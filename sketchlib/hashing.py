@@ -1,0 +1,311 @@
+"""64-bit element hashes for sketch building.
+
+Implements MurmurHash3 x64_128 (public-domain algorithm by Austin Appleby,
+https://github.com/aappleby/smhasher/blob/master/src/MurmurHash3.cpp) returning
+the *lower 64 bits* (h1), and FNV-1a 64 — the two hash options the reference
+library exposes (reference parity: ``Hash/Murmur3.cs:67-81``,
+``Hash/Fnv1A.cs:68-86``).  The north rule pins Murmur3 as the per-element hash.
+
+Two code paths per hash:
+
+* ``murmur3_64`` / ``fnv1a_64`` — scalar, pure Python, used for goldens and
+  tiny inputs.
+* ``murmur3_64_batch`` / ``fnv1a_64_batch`` — vectorized numpy over a batch of
+  variable-length byte strings (offsets + flat buffer, i.e. the Arrow layout).
+  This is the hot path inside Pandas UDFs: no per-row Python.
+
+Golden vectors (reference ``Test/Hash/Murmur3Tests.cs:37-40``,
+``Test/Hash/Fnv1ATests.cs:38-40``) are pinned in ``tests/test_hashing.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+_MASK64 = (1 << 64) - 1
+
+_C1 = 0x87C37B91114253D5
+_C2 = 0x4CF5AD432745937F
+
+_FNV_OFFSET = 14695981039346656037
+_FNV_PRIME = 0x100000001B3
+
+
+# ---------------------------------------------------------------------------
+# Scalar reference implementations
+# ---------------------------------------------------------------------------
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK64
+
+
+def _fmix64(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _MASK64
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _MASK64
+    k ^= k >> 33
+    return k
+
+
+def murmur3_128(data: bytes, seed: int = 0) -> tuple[int, int]:
+    """MurmurHash3 x64_128 → (h1, h2)."""
+    length = len(data)
+    nblocks = length // 16
+    h1 = seed
+    h2 = seed
+
+    for i in range(nblocks):
+        k1 = int.from_bytes(data[i * 16 : i * 16 + 8], "little")
+        k2 = int.from_bytes(data[i * 16 + 8 : i * 16 + 16], "little")
+        k1 = (k1 * _C1) & _MASK64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * _C2) & _MASK64
+        h1 ^= k1
+        h1 = _rotl64(h1, 27)
+        h1 = (h1 + h2) & _MASK64
+        h1 = (h1 * 5 + 0x52DCE729) & _MASK64
+        k2 = (k2 * _C2) & _MASK64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * _C1) & _MASK64
+        h2 ^= k2
+        h2 = _rotl64(h2, 31)
+        h2 = (h2 + h1) & _MASK64
+        h2 = (h2 * 5 + 0x38495AB5) & _MASK64
+
+    tail = data[nblocks * 16 :]
+    if tail:
+        padded = tail + b"\x00" * (16 - len(tail))
+        k1 = int.from_bytes(padded[0:8], "little")
+        k2 = int.from_bytes(padded[8:16], "little")
+        k2 = (k2 * _C2) & _MASK64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * _C1) & _MASK64
+        h2 ^= k2
+        k1 = (k1 * _C1) & _MASK64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * _C2) & _MASK64
+        h1 ^= k1
+
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & _MASK64
+    h2 = (h2 + h1) & _MASK64
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & _MASK64
+    h2 = (h2 + h1) & _MASK64
+    return h1, h2
+
+
+def murmur3_64(data: bytes) -> int:
+    """Lower 64 bits (h1) of Murmur3 x64_128, seed 0 — the reference's hash."""
+    return murmur3_128(data)[0]
+
+
+def fnv1a_64(data: bytes) -> int:
+    h = _FNV_OFFSET
+    for b in data:
+        h ^= b
+        h = (h * _FNV_PRIME) & _MASK64
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Vectorized batch implementations (Arrow-shaped input)
+# ---------------------------------------------------------------------------
+
+def to_flat_bytes(values: Sequence[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Pack a sequence of byte strings into (flat uint8 buffer, int64 offsets).
+
+    ``offsets`` has len(values)+1 entries; row i is flat[offsets[i]:offsets[i+1]].
+    """
+    lengths = np.fromiter((len(v) for v in values), dtype=np.int64, count=len(values))
+    offsets = np.zeros(len(values) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    flat = np.frombuffer(b"".join(values), dtype=np.uint8) if len(values) else np.zeros(0, np.uint8)
+    return flat, offsets
+
+
+_AR16 = np.arange(16, dtype=np.int64)
+
+
+class _Buffers:
+    """Reusable scratch buffers (fresh large numpy allocations are expensive)."""
+
+    def __init__(self) -> None:
+        self.idx = np.empty(0, dtype=np.int64)
+        self.block = np.empty(0, dtype=np.uint8)
+
+    def get(self, n: int) -> tuple[np.ndarray, np.ndarray]:
+        if self.idx.shape[0] < n * 16:
+            self.idx = np.empty(n * 16, dtype=np.int64)
+            self.block = np.empty(n * 16, dtype=np.uint8)
+        return self.idx[: n * 16].reshape(n, 16), self.block[: n * 16].reshape(n, 16)
+
+
+_BUFS = _Buffers()
+
+
+def _gather_block(flat_pad: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Read 16 bytes at each start offset from a zero-padded flat buffer into a
+    contiguous (n, 16) uint8 scratch matrix (view-able as '<u8' words)."""
+    n = starts.shape[0]
+    idx, block = _BUFS.get(n)
+    np.add(starts[:, None], _AR16[None, :], out=idx)
+    np.take(flat_pad, idx, out=block)
+    return block
+
+
+def _rotl64_vec(x: np.ndarray, r: int) -> np.ndarray:
+    r_ = np.uint64(r)
+    inv = np.uint64(64 - r)
+    return (x << r_) | (x >> inv)
+
+
+def _fmix64_vec(k: np.ndarray) -> np.ndarray:
+    k = k ^ (k >> np.uint64(33))
+    k = k * np.uint64(0xFF51AFD7ED558CCD)
+    k = k ^ (k >> np.uint64(33))
+    k = k * np.uint64(0xC4CEB9FE1A85EC53)
+    k = k ^ (k >> np.uint64(33))
+    return k
+
+
+def murmur3_64_flat(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Vectorized Murmur3 x64_128 (h1, seed 0) over n variable-length rows.
+
+    ``flat`` is the concatenated uint8 payload, ``offsets`` the (n+1,) int64
+    row boundaries — exactly an Arrow BinaryArray's buffers.  Strategy: rows
+    are processed 16-byte-block-parallel; at block step j only rows with more
+    than j full blocks are active.  Rows are pre-sorted by block count so the
+    active set is always a prefix (O(total_bytes) work overall).
+    """
+    n = offsets.shape[0] - 1
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    flat = np.ascontiguousarray(flat, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    lengths = offsets[1:] - offsets[:-1]
+    nblocks = lengths // 16
+    tail_len = lengths - nblocks * 16
+
+    # zero-pad the flat buffer so 16-byte gathers past the end are safe
+    flat_pad = np.concatenate([flat, np.zeros(16, dtype=np.uint8)])
+
+    # sort rows by descending block count → active rows form a prefix
+    order = np.argsort(-nblocks, kind="stable")
+    s_starts = offsets[:-1][order]
+    s_nblocks = nblocks[order]
+
+    h1 = np.zeros(n, dtype=np.uint64)
+    h2 = np.zeros(n, dtype=np.uint64)
+    c1 = np.uint64(_C1)
+    c2 = np.uint64(_C2)
+    mul5 = np.uint64(5)
+    add1 = np.uint64(0x52DCE729)
+    add2 = np.uint64(0x38495AB5)
+
+    max_blocks = int(s_nblocks[0]) if n else 0
+    # number of active rows at each block step (descending-sorted)
+    with np.errstate(over="ignore"):
+        for j in range(max_blocks):
+            # rows [0:na) have nblocks > j (descending sort)
+            na = n - int(np.searchsorted(s_nblocks[::-1], j, side="right"))
+            if na <= 0:
+                break
+            starts = s_starts[:na] + 16 * j
+            words = _gather_block(flat_pad, starts).view("<u8")  # (na, 2)
+            k1 = words[:, 0]
+            k2 = words[:, 1]
+            a1 = h1[:na]
+            a2 = h2[:na]
+            k1 = _rotl64_vec(k1 * c1, 31) * c2
+            a1 ^= k1
+            a1 = _rotl64_vec(a1, 27) + a2
+            a1 = a1 * mul5 + add1
+            k2 = _rotl64_vec(k2 * c2, 33) * c1
+            a2 ^= k2
+            a2 = _rotl64_vec(a2, 31) + a1
+            a2 = a2 * mul5 + add2
+            h1[:na] = a1
+            h2[:na] = a2
+
+        # tail: gather the zero-padded final partial block for rows with tail>0
+        s_tail_starts = (offsets[:-1] + nblocks * 16)[order]
+        s_tail_len = tail_len[order]
+        has_tail = s_tail_len > 0
+        if has_tail.any():
+            t_idx = np.nonzero(has_tail)[0]
+            starts = s_tail_starts[t_idx]
+            block = _gather_block(flat_pad, starts)  # (t, 16) scratch
+            # zero out bytes beyond the tail length, then view as LE words
+            tl = s_tail_len[t_idx]
+            block[_AR16[None, :] >= tl[:, None]] = 0
+            words = block.view("<u8")  # (t, 2)
+            k1 = words[:, 0]
+            k2 = words[:, 1]
+            k2 = _rotl64_vec(k2 * c2, 33) * c1
+            h2[t_idx] ^= k2
+            k1 = _rotl64_vec(k1 * c1, 31) * c2
+            h1[t_idx] ^= k1
+
+        s_len = lengths[order].astype(np.uint64)
+        h1 ^= s_len
+        h2 ^= s_len
+        h1 = h1 + h2
+        h2 = h2 + h1
+        h1 = _fmix64_vec(h1)
+        h2 = _fmix64_vec(h2)
+        h1 = h1 + h2
+
+    # unsort back to input order
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = h1
+    return out
+
+
+def murmur3_64_batch(values: Sequence[bytes]) -> np.ndarray:
+    flat, offsets = to_flat_bytes(values)
+    return murmur3_64_flat(flat, offsets)
+
+
+def fnv1a_64_flat(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a 64.  Byte-serial per row, row-parallel per byte
+    position (rows sorted by length so the active set is a prefix)."""
+    n = offsets.shape[0] - 1
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    flat = np.ascontiguousarray(flat, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    lengths = offsets[1:] - offsets[:-1]
+    order = np.argsort(-lengths, kind="stable")
+    s_starts = offsets[:-1][order]
+    s_len = lengths[order]
+
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    prime = np.uint64(_FNV_PRIME)
+    max_len = int(s_len[0]) if n else 0
+    with np.errstate(over="ignore"):
+        for j in range(max_len):
+            na = n - int(np.searchsorted(s_len[::-1], j, side="right"))
+            if na <= 0:
+                break
+            b = flat[s_starts[:na] + j].astype(np.uint64)
+            h[:na] = (h[:na] ^ b) * prime
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = h
+    return out
+
+
+def fnv1a_64_batch(values: Sequence[bytes]) -> np.ndarray:
+    flat, offsets = to_flat_bytes(values)
+    return fnv1a_64_flat(flat, offsets)
+
+
+HASHES = {
+    "murmur3": (murmur3_64, murmur3_64_flat),
+    "fnv1a": (fnv1a_64, fnv1a_64_flat),
+}
