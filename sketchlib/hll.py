@@ -18,24 +18,32 @@ reference ``CardinalityEstimation.CardinalityEstimator`` (C#):
   (``CardinalityEstimator.cs:615-685``);
 * wire format v3.1 (``CardinalityEstimatorSerializer.cs:125-165``) with the
   deserialize-replay rule (``CardinalityEstimator.cs:297-307``), so blobs are
-  interchangeable with the reference — with one strengthening: we write the
-  direct-hash set and sparse registers in *sorted* order, making the
-  serialization canonical (the C# HashSet/Dictionary iteration order is
-  nondeterministic).  Canonical bytes back the bit-for-bit merge
-  associativity/commutativity tests the north rule demands.
+  interchangeable with the reference — with one strengthening: direct hashes
+  and sparse registers are written in *sorted* order, making serialization
+  canonical (the C# HashSet/Dictionary iteration order is nondeterministic).
+  Canonical bytes back the bit-for-bit merge associativity/commutativity
+  tests the north rule demands.
 
-Representation note: registers are *always* kept as a dense ``uint8[m]``
-in memory (16 KB at p=14) plus an ``is_sparse`` flag; "sparse" affects only
-serialization layout and the promotion bookkeeping.  Because every inserted
-rank is >= 1, the reference's sparse-dict entry count always equals the number
-of non-zero registers, so mode transitions land at identical points.
+Two scale-driven representation choices (both exactly equivalent to the
+reference's incremental state machine because non-zero register count and
+direct-set size are monotone):
+
+* While direct mode is active the dense register array is **not** stored;
+  it is replayed on demand from the <=100 element hashes (the reference's own
+  deserialize-replay rule).  A small group's sketch costs ~1 KB instead of
+  16 KB — this is what keeps millions of per-group sketches (e.g. per-host)
+  cheap inside one executor.
+* Once past direct mode, registers are a dense ``uint8[m]`` plus an
+  ``is_sparse`` flag; "sparse" affects only serialization layout and
+  promotion bookkeeping.  Every inserted rank is >= 1, so the reference's
+  sparse-dict entry count always equals the non-zero register count and mode
+  transitions land at identical points.
 """
 
 from __future__ import annotations
 
 import math
 import struct
-from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -75,7 +83,7 @@ def correct_bias(value: float, p: int) -> float:
 
     Linear interpolation into the empirical tables; clamps to the first/last
     bias value outside the table range, exactly like the reference's
-    binary-search + Last()/First() logic.
+    binary-search + First()/Last() logic.
     """
     raw = _RAW_ESTIMATE[p]
     bias = _BIAS_DATA[p]
@@ -107,41 +115,81 @@ def get_sigma_batch(hashes: np.ndarray, bits_to_count: int) -> np.ndarray:
         has = t > 0
         bl += shift * has
         cur = np.where(has, t, cur)
-    bl += cur > 0  # bit_length; 0 for x == 0
-    sigma = (bits_to_count + 1 - bl).astype(np.uint8)
-    # x == 0 (including hash == 0): bl = 0 -> sigma = bits_to_count + 1 already
-    return sigma
+    bl += cur > 0  # bit_length; 0 for x == 0 -> sigma = bits_to_count + 1
+    return (bits_to_count + 1 - bl).astype(np.uint8)
 
 
 def get_sigma(hash_value: int, bits_to_count: int) -> int:
     return int(get_sigma_batch(np.asarray([hash_value], dtype=np.uint64), bits_to_count)[0])
 
 
-@dataclass
 class HllSketch:
-    """Mergeable HLL sketch.  All batch inputs are ``np.uint64`` hash arrays —
+    """Mergeable HLL sketch.  Batch inputs are ``np.uint64`` hash arrays —
     hashing and element encoding live in :mod:`sketchlib.hashing` /
     :mod:`sketchlib.encoding` so this class stays a pure register algebra."""
 
-    p: int = 14
-    use_direct_counting: bool = True
-    registers: np.ndarray = field(default=None)  # type: ignore[assignment]
-    direct: np.ndarray | None = None  # sorted unique uint64 hashes, or None
-    is_sparse: bool = True
-    count_additions: int = 0
+    __slots__ = ("p", "m", "bits_for_hll", "sparse_max_elements",
+                 "_registers", "_is_sparse", "direct", "count_additions")
 
-    def __post_init__(self) -> None:
-        if not 4 <= self.p <= 16:
-            raise ValueError(f"p must be in [4, 16], got {self.p}")
-        self.m = 1 << self.p
-        self.bits_for_hll = 64 - self.p
-        self.sparse_max_elements = max(0, self.m // 15 - 10)
-        if self.registers is None:
-            self.registers = np.zeros(self.m, dtype=np.uint8)
-        if self.direct is None and self.use_direct_counting:
-            self.direct = np.zeros(0, dtype=np.uint64)
+    def __init__(self, p: int = 14, use_direct_counting: bool = True,
+                 registers: np.ndarray | None = None,
+                 direct: np.ndarray | None = None,
+                 is_sparse: bool = True, count_additions: int = 0) -> None:
+        if not 4 <= p <= 16:
+            raise ValueError(f"p must be in [4, 16], got {p}")
+        self.p = p
+        self.m = 1 << p
+        self.bits_for_hll = 64 - p
+        self.sparse_max_elements = max(0, self.m // 15 - 10)  # CardinalityEstimator.cs:290
+        self.count_additions = count_additions
+        if direct is None and use_direct_counting and registers is None:
+            direct = np.zeros(0, dtype=np.uint64)
+        self.direct = direct
+        if direct is not None:
+            self._registers = None  # lazy: replayed from direct hashes on demand
+            self._is_sparse = True
+        else:
+            self._registers = registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
+            self._is_sparse = is_sparse
         if self.sparse_max_elements <= 0:
-            self.is_sparse = False
+            self._is_sparse = False
+
+    # -- lazy register materialization ----------------------------------------
+
+    def _replay(self, hashes: np.ndarray) -> np.ndarray:
+        regs = np.zeros(self.m, dtype=np.uint8)
+        if hashes.shape[0]:
+            idx = (hashes >> np.uint64(self.bits_for_hll)).astype(np.int64)
+            np.maximum.at(regs, idx, get_sigma_batch(hashes, self.bits_for_hll))
+        return regs
+
+    @property
+    def registers(self) -> np.ndarray:
+        """Dense register view (replayed from the direct hash set while in
+        direct mode — the deserialize-replay rule, CardinalityEstimator.cs:297-307)."""
+        if self._registers is not None:
+            return self._registers
+        return self._replay(self.direct)
+
+    @property
+    def is_sparse(self) -> bool:
+        if self._registers is not None:
+            return self._is_sparse
+        if self.sparse_max_elements <= 0:
+            return False
+        return int(np.count_nonzero(self.registers)) <= self.sparse_max_elements
+
+    def _drop_direct(self) -> None:
+        """Transition out of direct mode: materialize registers by replay."""
+        regs = self._replay(self.direct)
+        self._registers = regs
+        self._is_sparse = self.sparse_max_elements > 0
+        self.direct = None
+        self._maybe_promote()
+
+    def _maybe_promote(self) -> None:
+        if self._is_sparse and int(np.count_nonzero(self._registers)) > self.sparse_max_elements:
+            self._is_sparse = False
 
     # -- build ---------------------------------------------------------------
 
@@ -155,10 +203,10 @@ class HllSketch:
         if self.direct is not None:
             self.direct = np.union1d(self.direct, h)
             if self.direct.shape[0] > DIRECT_COUNTER_MAX_ELEMENTS:
-                self.direct = None
+                self._drop_direct()
+            return
         idx = (h >> np.uint64(self.bits_for_hll)).astype(np.int64)
-        sigma = get_sigma_batch(h, self.bits_for_hll)
-        np.maximum.at(self.registers, idx, sigma)
+        np.maximum.at(self._registers, idx, get_sigma_batch(h, self.bits_for_hll))
         self._maybe_promote()
 
     def add(self, *elements) -> None:
@@ -168,17 +216,13 @@ class HllSketch:
         flat, offsets = to_flat_bytes(vals)
         self.add_hashes(murmur3_64_flat(flat, offsets))
 
-    def _maybe_promote(self) -> None:
-        if self.is_sparse and int(np.count_nonzero(self.registers)) > self.sparse_max_elements:
-            self.is_sparse = False
-
     # -- estimate ------------------------------------------------------------
 
     def count(self) -> int:
         """Estimate distinct count (CardinalityEstimator.cs:542-600)."""
         if self.direct is not None:
             return int(self.direct.shape[0])
-        counts = np.bincount(self.registers, minlength=65)
+        counts = np.bincount(self._registers, minlength=65)
         z_inverse = float(counts @ _INV_POW2[: counts.shape[0]])
         v = float(counts[0])
         m = float(self.m)
@@ -190,8 +234,8 @@ class HllSketch:
         else:
             h = e
         if h <= _THRESHOLD[self.p]:
-            return _round_half_even(h)
-        return _round_half_even(e)
+            return int(round(h))  # C# Math.Round default = banker's = Python round
+        return int(round(e))
 
     # -- merge ---------------------------------------------------------------
 
@@ -200,29 +244,35 @@ class HllSketch:
         if other.m != self.m:
             raise ValueError("cannot merge sketches with different precision")
         self.count_additions += other.count_additions
-        np.maximum(self.registers, other.registers, out=self.registers)
-        if self.is_sparse and other.is_sparse:
+        if self.direct is not None and other.direct is not None:
+            self.direct = np.union1d(self.direct, other.direct)
+            if self.direct.shape[0] > DIRECT_COUNTER_MAX_ELEMENTS:
+                self._drop_direct()
+            return
+        # at least one side is past direct mode -> result has no direct set
+        other_sparse = other.is_sparse
+        if self.direct is not None:
+            self._drop_direct()
+        self_sparse = self._is_sparse
+        if self._registers is None:  # pragma: no cover - defensive
+            self._registers = self._replay(np.zeros(0, dtype=np.uint64))
+        np.maximum(self._registers, other.registers, out=self._registers)
+        self.direct = None
+        if self_sparse and other_sparse:
+            self._is_sparse = True
             self._maybe_promote()
         else:
-            self.is_sparse = False
-        if other.direct is not None:
-            if self.direct is not None:
-                self.direct = np.union1d(self.direct, other.direct)
-                if self.direct.shape[0] > DIRECT_COUNTER_MAX_ELEMENTS:
-                    self.direct = None
-        else:
-            self.direct = None
+            self._is_sparse = False
 
     def copy(self) -> "HllSketch":
-        s = HllSketch(
+        return HllSketch(
             p=self.p,
-            use_direct_counting=self.direct is not None,
-            registers=self.registers.copy(),
+            use_direct_counting=False,
+            registers=None if self._registers is None else self._registers.copy(),
             direct=None if self.direct is None else self.direct.copy(),
-            is_sparse=self.is_sparse,
+            is_sparse=self._is_sparse,
             count_additions=self.count_additions,
         )
-        return s
 
     @staticmethod
     def merge_all(sketches) -> "HllSketch | None":
@@ -244,27 +294,30 @@ class HllSketch:
         u16 major, u16 minor, i32 bitsPerIndex, u8 flags(isSparse<<1|isDirect),
         payload, u64 countAdditions — all little-endian; direct hashes and
         sparse entries written in ascending order (canonical)."""
+        is_direct = self.direct is not None
+        is_sparse = self.is_sparse
         parts = [struct.pack("<HHiB", WIRE_MAJOR, WIRE_MINOR, self.p,
-                             ((1 if self.is_sparse else 0) << 1) | (1 if self.direct is not None else 0))]
-        if self.direct is not None:
+                             ((1 if is_sparse else 0) << 1) | (1 if is_direct else 0))]
+        if is_direct:
             parts.append(struct.pack("<i", self.direct.shape[0]))
             parts.append(np.sort(self.direct).astype("<u8").tobytes())
-        elif self.is_sparse:
-            nz = np.nonzero(self.registers)[0]
+        elif is_sparse:
+            regs = self._registers
+            nz = np.nonzero(regs)[0]
             parts.append(struct.pack("<i", nz.shape[0]))
             entries = np.empty(nz.shape[0], dtype=[("idx", "<u2"), ("rank", "u1")])
             entries["idx"] = nz.astype(np.uint16)
-            entries["rank"] = self.registers[nz]
+            entries["rank"] = regs[nz]
             parts.append(entries.tobytes())
         else:
             parts.append(struct.pack("<i", self.m))
-            parts.append(self.registers.astype(np.uint8).tobytes())
+            parts.append(self._registers.tobytes())
         parts.append(struct.pack("<Q", self.count_additions & ((1 << 64) - 1)))
         return b"".join(parts)
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "HllSketch":
-        """Parse a v2.x/v3.x blob with the reference's hardening checks
+        """Parse a v1/v2/v3 blob with the reference's hardening checks
         (CardinalityEstimatorSerializer.cs:257-326) and the direct-count
         replay rule (CardinalityEstimator.cs:297-307)."""
         off = 0
@@ -273,9 +326,7 @@ class HllSketch:
         if major > WIRE_MAJOR:
             raise ValueError(f"incompatible wire format version {major}.{minor}")
         if major == 2:
-            off += 1  # v2 hash-function id byte; hash is caller-supplied here
-        elif major < 2:
-            pass  # v1: FNV-1a implied; format otherwise compatible
+            off += 1  # v2 hash-function id byte; the hash is caller-supplied here
         (p,) = struct.unpack_from("<i", blob, off)
         off += 4
         if not 4 <= p <= 16:
@@ -286,15 +337,14 @@ class HllSketch:
         is_sparse = bool(flags & 2)
         is_direct = bool(flags & 1)
 
-        direct = None
-        registers = np.zeros(m, dtype=np.uint8)
         if is_direct:
             (n,) = struct.unpack_from("<i", blob, off)
             off += 4
             if not 0 <= n <= DIRECT_COUNTER_MAX_ELEMENTS:
                 raise ValueError(f"invalid direct count {n}")
-            direct = np.frombuffer(blob, dtype="<u8", count=n, offset=off).astype(np.uint64)
+            direct = np.unique(np.frombuffer(blob, dtype="<u8", count=n, offset=off).astype(np.uint64))
             off += 8 * n
+            sketch = cls(p=p, direct=direct)
         elif is_sparse:
             (n,) = struct.unpack_from("<i", blob, off)
             off += 4
@@ -302,10 +352,13 @@ class HllSketch:
                 raise ValueError(f"invalid sparse count {n}")
             entries = np.frombuffer(blob, dtype=[("idx", "<u2"), ("rank", "u1")], count=n, offset=off)
             off += 3 * n
+            registers = np.zeros(m, dtype=np.uint8)
             idx = entries["idx"].astype(np.int64)
             if n and int(idx.max()) >= m:
                 raise ValueError("sparse index out of range")
             np.maximum.at(registers, idx, entries["rank"])
+            sketch = cls(p=p, use_direct_counting=False, registers=registers, is_sparse=True)
+            sketch._maybe_promote()
         else:
             (n,) = struct.unpack_from("<i", blob, off)
             off += 4
@@ -313,25 +366,10 @@ class HllSketch:
                 raise ValueError(f"dense length {n} != m {m}")
             registers = np.frombuffer(blob, dtype=np.uint8, count=n, offset=off).copy()
             off += n
-        count_additions = 0
+            sketch = cls(p=p, use_direct_counting=False, registers=registers, is_sparse=False)
         if (major, minor) >= (2, 1):
             (count_additions,) = struct.unpack_from("<Q", blob, off)
-            off += 8
-
-        sketch = cls(p=p, use_direct_counting=False, registers=registers,
-                     direct=None, is_sparse=is_sparse, count_additions=0)
-        sketch.count_additions = int(count_additions)
-        if direct is not None:
-            # replay rule: a direct-mode blob stores only the <=100 hashes;
-            # registers are reconstructed by re-inserting them, starting from
-            # a fresh sparse state (CardinalityEstimator.cs:297-307)
-            sketch.registers = np.zeros(m, dtype=np.uint8)
-            sketch.is_sparse = sketch.sparse_max_elements > 0
-            sketch.direct = np.unique(direct)
-            idx = (sketch.direct >> np.uint64(sketch.bits_for_hll)).astype(np.int64)
-            sigma = get_sigma_batch(sketch.direct, sketch.bits_for_hll)
-            np.maximum.at(sketch.registers, idx, sigma)
-            sketch._maybe_promote()
+            sketch.count_additions = int(count_additions)
         return sketch
 
     # -- equality / canonical state -------------------------------------------
@@ -345,21 +383,18 @@ class HllSketch:
             self.count_additions,
         )
 
-    def __eq__(self, other: object) -> bool:  # type: ignore[override]
+    def __eq__(self, other: object) -> bool:
         if not isinstance(other, HllSketch):
             return NotImplemented
         return self.state_tuple() == other.state_tuple()
 
-
-def _round_half_even(x: float) -> int:
-    """C# Math.Round default = banker's rounding = Python round()."""
-    return int(round(x))
+    __hash__ = None  # type: ignore[assignment]
 
 
 def hll_from_values(values, p: int = 14, hash_name: str = "murmur3",
                     use_direct_counting: bool = True) -> HllSketch:
     """Build a sketch from an iterable of byte strings (test convenience)."""
-    scalar, flat_fn = HASHES[hash_name]
+    _scalar, flat_fn = HASHES[hash_name]
     sketch = HllSketch(p=p, use_direct_counting=use_direct_counting)
     vals = [v if isinstance(v, bytes) else str(v).encode("utf-8") for v in values]
     flat, offsets = to_flat_bytes(vals)

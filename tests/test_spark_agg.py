@@ -1,0 +1,137 @@
+"""Distributed HLL aggregation: exactness <=100 distinct, accuracy vs exact,
+partition invariance (bit-identical sketches at any parallelism), and oracle
+cross-checks against Spark built-ins."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.hll import HllSketch
+from sketchlib.spark.aggregate import (
+    HllSpec,
+    build_partials,
+    distinct_count,
+    estimate_col,
+    merge_partials,
+    sketch_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def urls_df(spark):
+    # 3 langs x 2 days; per-group distinct counts spanning direct (<100),
+    # sparse, and beyond; ~20% duplicate rows
+    rows = []
+    for lang, day, n in [("en", "2026-01-01", 50), ("en", "2026-01-02", 4000),
+                         ("de", "2026-01-01", 99), ("de", "2026-01-02", 250),
+                         ("zh", "2026-01-01", 12), ("zh", "2026-01-02", 1)]:
+        for i in range(n):
+            url = f"https://h{i % max(n // 2, 1)}.example.{lang}/p{i}"
+            rows.append((url, lang, day))
+            if i % 5 == 0:
+                rows.append((url, lang, day))
+    return spark.createDataFrame(rows, "url string, lang string, day string")
+
+
+def _exact(urls_df, *group_cols):
+    rows = urls_df.groupBy(*group_cols).agg(F.countDistinct("url").alias("n")).collect()
+    return {tuple(r[g] for g in group_cols): r["n"] for r in rows}
+
+
+def test_exact_below_100_per_group(urls_df):
+    got = {(r["lang"], r["day"]): r["estimate"]
+           for r in distinct_count(urls_df, "url", ["lang", "day"]).collect()}
+    want = _exact(urls_df, "lang", "day")
+    for key, n in want.items():
+        if n <= 100:
+            assert got[key] == n, key
+        else:
+            assert abs(got[key] - n) / n <= 10 * 0.008125, (key, got[key], n)
+
+
+def test_global_aggregate(urls_df):
+    [row] = distinct_count(urls_df, "url").collect()
+    want = urls_df.select(F.countDistinct("url")).first()[0]
+    assert abs(row["estimate"] - want) / want <= 10 * 0.008125
+
+
+def test_multi_column_element(urls_df):
+    df = urls_df.withColumn("host", F.parse_url("url", F.lit("HOST")))
+    got = {r["lang"]: r["estimate"]
+           for r in distinct_count(df, ["lang", "host"], ["lang"]).collect()}
+    want = {r["lang"]: r["n"]
+            for r in df.groupBy("lang").agg(F.countDistinct("lang", "host").alias("n")).collect()}
+    for lang, n in want.items():
+        tol = 0 if n <= 100 else 10 * 0.008125 * n
+        assert abs(got[lang] - n) <= tol
+
+
+def test_partition_invariance_bit_for_bit(urls_df):
+    """Same input at different parallelism -> byte-identical canonical sketches
+    (north-rule merge determinism)."""
+    blobs = {}
+    for nparts in (1, 3, 7):
+        df = urls_df.repartition(nparts)
+        rows = sketch_agg(df, "url", ["lang", "day"]).collect()
+        blobs[nparts] = {(r["lang"], r["day"]): bytes(r["sketch"]) for r in rows}
+    assert blobs[1] == blobs[3] == blobs[7]
+
+
+def test_spark_pipeline_matches_local_singlenode(urls_df):
+    """Distributed build+merge == one local sketch over the same rows."""
+    rows = sketch_agg(urls_df, "url", ["lang"]).collect()
+    pdf = urls_df.toPandas()
+    for r in rows:
+        local = HllSketch()
+        from sketchlib.spark.aggregate import hash_columns
+        sub = pdf[pdf["lang"] == r["lang"]].reset_index(drop=True)
+        local.add_hashes(hash_columns(sub, ["url"]))
+        dist = HllSketch.from_bytes(bytes(r["sketch"]))
+        assert dist.registers.tobytes() == local.registers.tobytes()
+        assert dist.count() == local.count()
+        assert dist.count_additions == local.count_additions == len(sub)
+
+
+def test_nulls_ignored(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), (None, "x"), ("b", "x"), (None, "y")],
+        "url string, lang string")
+    got = {r["lang"]: r["estimate"] for r in distinct_count(df, "url", ["lang"]).collect()}
+    assert got["x"] == 2
+    assert "y" not in got  # all-null group vanishes, like COUNT(DISTINCT)
+
+
+def test_against_spark_builtin_oracle(urls_df):
+    """Secondary sanity: our estimate within a few std errors of Spark's own
+    HLL (approx_count_distinct) and the exact count."""
+    ours = {r["lang"]: r["estimate"] for r in distinct_count(urls_df, "url", ["lang"]).collect()}
+    exact = _exact(urls_df, "lang")
+    for (lang,), n in exact.items():
+        assert abs(ours[lang] - n) / n <= 0.05
+
+
+def test_merge_partials_reusable_for_rollup(urls_df):
+    """Partials built per (lang, day) can be re-merged to lang level — the
+    mergeability contract that powers checkpoint/rollup."""
+    day_level = sketch_agg(urls_df, "url", ["lang", "day"])
+    lang_level = merge_partials(day_level, ["lang"])
+    got = {r["lang"]: HllSketch.from_bytes(bytes(r["sketch"])).count()
+           for r in lang_level.collect()}
+    want = _exact(urls_df, "lang")
+    for (lang,), n in want.items():
+        tol = 0 if n <= 100 else 10 * 0.008125 * n
+        assert abs(got[lang] - n) <= tol
+
+
+def test_estimate_col_udf(urls_df):
+    agg = sketch_agg(urls_df, "url", ["lang"])
+    rows = agg.select("lang", estimate_col().alias("est")).collect()
+    assert all(isinstance(r["est"], int) and r["est"] > 0 for r in rows)
+
+
+def test_integer_element_hashing(spark):
+    df = spark.range(0, 50_000).withColumn("k", F.col("id") % 7)
+    got = {r["k"]: r["estimate"] for r in distinct_count(df, "id", ["k"]).collect()}
+    for k, est in got.items():
+        n = len(range(int(k), 50_000, 7))
+        assert abs(est - n) / n <= 10 * 0.008125
