@@ -3,36 +3,149 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Oracle design for *approximate* operators: a sketch estimate cannot be
+reproduced by ANSI SQL, so each approximate query returns the **exact**
+answer (computed Spark-side) plus a ``within_bound`` boolean asserting the
+sketch estimate fell inside the algorithm's published error bound (HLL:
+1.04/sqrt(m) std error at p=14, checked at 6 sigma). The DuckDB oracle
+returns the exact answer plus ``TRUE`` — so the correctness gate fails
+exactly when the sketch math is out of bound. Queries over groups with
+<= 100 distinct elements run in the reference's direct-count mode
+(``HllConstants.cs:42``) and are *exact*, so they get a plain
+``COUNT(DISTINCT ...)`` oracle with no tolerance.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sketchlib.spark.aggregate import (  # noqa: E402
+    HllSpec,
+    distinct_count,
+    estimate_col,
+    merge_partials,
+    sketch_agg,
+)
+
+# 6 sigma on HLL's published std error 1.04/sqrt(2^14) = 0.8125%  (README.md:58)
+_HLL_SIGMA_P14 = 1.04 / (2 ** 14) ** 0.5
+_HLL_MARGIN = 6 * _HLL_SIGMA_P14
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _bound_check(est_df: DataFrame, exact_df: DataFrame, keys: list[str],
+                 exact_name: str) -> DataFrame:
+    """Join sketch estimate with exact answer -> (keys..., exact, within_bound)."""
+    j = est_df.join(exact_df, on=keys) if keys else est_df.crossJoin(exact_df)
+    within = (
+        F.abs(F.col("estimate") - F.col(exact_name))
+        <= F.greatest(F.lit(_HLL_MARGIN) * F.col(exact_name), F.lit(2.0))
+    ).alias("within_bound")
+    return j.select(*keys, F.col(exact_name), within)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_hll_distinct_suppliers_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group distinct via HLL direct-count mode (<=100 distinct per
+    group -> reference-exact, HllConstants.cs:42)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return distinct_count(li, "l_suppkey", ["l_orderkey"],
+                          estimate_name="distinct_suppliers")
+
+
+def q_hll_distinct_custkeys_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global distinct customers over orders (sparse/dense register path),
+    estimate checked against exact within 6 sigma."""
+    orders = _read(spark, sf_dir, "orders")
+    est = distinct_count(orders, "o_custkey")
+    exact = orders.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    return _bound_check(est, exact, [], "exact_distinct")
+
+
+def q_hll_distinct_orders_dense_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global distinct orderkeys over lineitem — above the p=14 LinearCounting
+    threshold (11500, HllConstants.cs:118) at sf>=0.01, exercising the raw-HLL
+    + bias-correction path."""
+    li = _read(spark, sf_dir, "lineitem")
+    est = distinct_count(li, "l_orderkey")
+    exact = li.agg(F.countDistinct("l_orderkey").alias("exact_distinct"))
+    return _bound_check(est, exact, [], "exact_distinct")
+
+
+def q_hll_union_per_status_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge path: per-o_orderstatus sketches union-merged into one, estimate
+    equal (within bound) to the global exact distinct — sketch-union semantics
+    (CardinalityEstimator.cs:615-685)."""
+    orders = _read(spark, sf_dir, "orders")
+    spec = HllSpec()
+    per_status = sketch_agg(orders, "o_custkey", ["o_orderstatus"], spec)
+    merged = merge_partials(per_status.select("sketch"), (), spec)
+    est = merged.select(estimate_col(spec).alias("estimate"))
+    exact = orders.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    return _bound_check(est, exact, [], "exact_distinct")
+
+
+def q_hll_users_per_event_type_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group estimate-vs-exact bound check on the events table
+    (LinearCounting range)."""
+    ev = _read(spark, sf_dir, "events")
+    est = distinct_count(ev, "user_id", ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"))
+    return _bound_check(est, exact, ["event_type"], "exact_users")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: exact distinct suppliers per order via HLL two-stage
+    aggregation on sf0.001."""
+    return q_hll_distinct_suppliers_per_order(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "hll_distinct_suppliers_per_order": q_hll_distinct_suppliers_per_order,
+        "hll_distinct_custkeys_bound": q_hll_distinct_custkeys_bound,
+        "hll_distinct_orders_dense_bound": q_hll_distinct_orders_dense_bound,
+        "hll_union_per_status_bound": q_hll_union_per_status_bound,
+        "hll_users_per_event_type_bound": q_hll_users_per_event_type_bound,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "hll_distinct_suppliers_per_order": (
+            "SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS distinct_suppliers "
+            "FROM lineitem GROUP BY l_orderkey"
+        ),
+        "hll_distinct_custkeys_bound": (
+            "SELECT COUNT(DISTINCT o_custkey) AS exact_distinct, TRUE AS within_bound "
+            "FROM orders"
+        ),
+        "hll_distinct_orders_dense_bound": (
+            "SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct, TRUE AS within_bound "
+            "FROM lineitem"
+        ),
+        "hll_union_per_status_bound": (
+            "SELECT COUNT(DISTINCT o_custkey) AS exact_distinct, TRUE AS within_bound "
+            "FROM orders"
+        ),
+        "hll_users_per_event_type_bound": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
+            "TRUE AS within_bound FROM events GROUP BY event_type"
+        ),
+    }

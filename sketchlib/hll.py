@@ -274,6 +274,26 @@ class HllSketch:
             count_additions=self.count_additions,
         )
 
+    @classmethod
+    def from_unique_hashes(cls, hashes: np.ndarray, p: int = 14,
+                           count_additions: int = 0,
+                           use_direct_counting: bool = True) -> "HllSketch":
+        """Build a sketch from an array of *distinct* element hashes in one
+        shot — exactly equivalent to incremental ``add_hashes`` because the
+        reference's mode transitions depend only on the distinct-hash count
+        and the non-zero register count, both order-independent
+        (CardinalityEstimator.cs:755-788). This is the vectorized
+        many-tiny-groups fast path used by the Spark stage-1 builder."""
+        h = np.ascontiguousarray(hashes, dtype=np.uint64)
+        if use_direct_counting and h.shape[0] <= DIRECT_COUNTER_MAX_ELEMENTS:
+            sk = cls(p=p, direct=h, count_additions=count_additions)
+            return sk
+        sk = cls(p=p, use_direct_counting=False, count_additions=count_additions)
+        idx = (h >> np.uint64(sk.bits_for_hll)).astype(np.int64)
+        np.maximum.at(sk._registers, idx, get_sigma_batch(h, sk.bits_for_hll))
+        sk._maybe_promote()
+        return sk
+
     @staticmethod
     def merge_all(sketches) -> "HllSketch | None":
         """Fold-merge, null-safe (static Merge, CardinalityEstimator.cs:704-730)."""

@@ -86,6 +86,10 @@ class HllSpec:
     four methods plus ``estimate_fields``."""
 
     name = "hll"
+    #: distinct-counting sketches are a pure function of the *set* of element
+    #: hashes -> stage 1 may dedup (group, hash) pairs and batch-build
+    #: (the vectorized many-tiny-groups fast path).
+    hash_dedup = True
 
     def __init__(self, p: int = 14, hash_name: str = "murmur3",
                  use_direct_counting: bool = True) -> None:
@@ -95,6 +99,11 @@ class HllSpec:
 
     def make(self):
         return HllSketch(p=self.p, use_direct_counting=self.use_direct_counting)
+
+    def build_from_hashes(self, unique_hashes: np.ndarray, count_additions: int):
+        return HllSketch.from_unique_hashes(
+            unique_hashes, p=self.p, count_additions=count_additions,
+            use_direct_counting=self.use_direct_counting)
 
     def prepare(self, pdf: pd.DataFrame, element_cols: Sequence[str]) -> np.ndarray:
         return hash_columns(pdf, element_cols, self.hash_name)
@@ -123,6 +132,112 @@ def _group_field(df: DataFrame, name: str) -> T.StructField:
     return T.StructField(f.name, f.dataType, True)
 
 
+class _PairAccumulator:
+    """Stage-1 state for dedup-able sketches (HLL/Bloom): accumulates
+    (group-code, element-hash) pairs across Arrow batches, sort-dedups on a
+    size threshold, and spills any group past ``spill_threshold`` distinct
+    hashes into a register sketch so memory stays bounded by
+    ``#small-groups x spill_threshold x 16B + #big-groups x sketch_size``
+    regardless of partition row count.  Per-group Python work is deferred to
+    one vectorized pass at partition end — this is what makes millions of
+    tiny groups (e.g. per-host distincts) cheap."""
+
+    def __init__(self, spec, compact_threshold: int = 1 << 23,
+                 spill_threshold: int = 1 << 12) -> None:
+        self.spec = spec
+        self.compact_threshold = compact_threshold
+        self.spill_threshold = spill_threshold
+        self.key_to_code: dict = {}
+        self.keys: list[tuple] = []
+        self.code_chunks: list[np.ndarray] = []
+        self.hash_chunks: list[np.ndarray] = []
+        self.pending = 0
+        self.additions: list[int] = []
+        self.spilled: dict[int, object] = {}
+
+    def _code_of(self, key: tuple) -> int:
+        code = self.key_to_code.get(key)
+        if code is None:
+            code = len(self.keys)
+            self.key_to_code[key] = code
+            self.keys.append(key)
+            self.additions.append(0)
+        return code
+
+    def add_batch(self, local_codes: np.ndarray, local_keys: list,
+                  hashes: np.ndarray) -> None:
+        lut = np.fromiter(
+            (self._code_of(k if isinstance(k, tuple) else (k,)) for k in local_keys),
+            dtype=np.int64, count=len(local_keys))
+        codes = lut[local_codes]
+        counts = np.bincount(codes, minlength=len(self.keys))
+        for c in np.nonzero(counts)[0]:
+            self.additions[int(c)] += int(counts[c])
+        self.code_chunks.append(codes)
+        self.hash_chunks.append(np.ascontiguousarray(hashes, dtype=np.uint64))
+        self.pending += codes.shape[0]
+        if self.pending > self.compact_threshold:
+            self._compact()
+
+    def _compact(self) -> None:
+        if not self.code_chunks:
+            return
+        codes = np.concatenate(self.code_chunks)
+        hashes = np.concatenate(self.hash_chunks)
+        order = np.lexsort((hashes, codes))
+        codes = codes[order]
+        hashes = hashes[order]
+        keep = np.ones(codes.shape[0], dtype=bool)
+        keep[1:] = (codes[1:] != codes[:-1]) | (hashes[1:] != hashes[:-1])
+        codes = codes[keep]
+        hashes = hashes[keep]
+        # spill groups with > spill_threshold distinct hashes to sketches
+        counts = np.bincount(codes, minlength=len(self.keys))
+        big = np.nonzero(counts > self.spill_threshold)[0]
+        if big.shape[0]:
+            starts = np.searchsorted(codes, big, side="left")
+            ends = np.searchsorted(codes, big, side="right")
+            drop = np.zeros(codes.shape[0], dtype=bool)
+            for c, s, e in zip(big.tolist(), starts.tolist(), ends.tolist()):
+                sk = self.spilled.get(c)
+                if sk is None:
+                    sk = self.spec.make()
+                    self.spilled[c] = sk
+                self.spec.ingest(sk, hashes[s:e])
+                drop[s:e] = True
+            codes = codes[~drop]
+            hashes = hashes[~drop]
+        self.code_chunks = [codes]
+        self.hash_chunks = [hashes]
+        self.pending = codes.shape[0]
+
+    def finalize(self, group_cols: Sequence[str], sketch_col: str):
+        if not self.keys:
+            return
+        self._compact()
+        codes = self.code_chunks[0]
+        hashes = self.hash_chunks[0]
+        n = len(self.keys)
+        starts = np.searchsorted(codes, np.arange(n), side="left")
+        ends = np.searchsorted(codes, np.arange(n), side="right")
+        blobs = []
+        for c in range(n):
+            seg = hashes[starts[c]:ends[c]]
+            sk = self.spilled.get(c)
+            if sk is None:
+                sk = self.spec.build_from_hashes(seg, int(self.additions[c]))
+            else:
+                if seg.shape[0]:
+                    self.spec.ingest(sk, seg)
+                sk.count_additions = int(self.additions[c])
+            blobs.append(self.spec.to_bytes(sk))
+        out = pd.DataFrame(self.keys, columns=list(group_cols) or None)
+        if not group_cols:
+            out = pd.DataFrame(index=range(len(blobs)))
+        out[sketch_col] = blobs
+        yield out
+
+
 def build_partials(df: DataFrame, element_cols: Sequence[str] | str,
                    group_cols: Sequence[str] = (), spec: HllSpec | None = None,
                    sketch_col: str = "sketch") -> DataFrame:
@@ -140,7 +255,33 @@ def build_partials(df: DataFrame, element_cols: Sequence[str] | str,
         [_group_field(df, g) for g in group_cols] + [T.StructField(sketch_col, T.BinaryType(), False)]
     )
 
-    def build(batches: Iterable[pd.DataFrame]):
+    def build_dedup(batches: Iterable[pd.DataFrame]):
+        """Dedup-able sketches (HLL/Bloom): vectorized pair accumulation;
+        per-group Python cost is one sketch materialization per group per
+        partition, at partition end."""
+        acc = _PairAccumulator(spec)
+        for pdf in batches:
+            pdf = pdf.dropna(subset=element_cols)
+            if pdf.empty:
+                continue
+            prepared = spec.prepare(pdf, element_cols)
+            if group_cols:
+                if len(group_cols) == 1:
+                    local_codes, uniques = pd.factorize(
+                        pdf[group_cols[0]], use_na_sentinel=False)
+                    local_keys = [(u,) for u in uniques]
+                else:
+                    mi = pd.MultiIndex.from_frame(pdf[group_cols])
+                    local_codes, uniques = mi.factorize(use_na_sentinel=False)
+                    local_keys = list(uniques)
+            else:
+                local_codes = np.zeros(len(pdf), dtype=np.int64)
+                local_keys = [()]
+            acc.add_batch(local_codes, local_keys, prepared)
+        yield from acc.finalize(group_cols, sketch_col)
+
+    def build_stream(batches: Iterable[pd.DataFrame]):
+        """Generic streaming path: one live sketch per group, batch-ingested."""
         sketches: dict[tuple, object] = {}
         for pdf in batches:
             pdf = pdf.dropna(subset=element_cols)
@@ -166,41 +307,51 @@ def build_partials(df: DataFrame, element_cols: Sequence[str] | str,
             rows = [list(k) + [spec.to_bytes(s)] for k, s in sketches.items()]
             yield pd.DataFrame(rows, columns=group_cols + [sketch_col])
 
+    build = build_dedup if getattr(spec, "hash_dedup", False) else build_stream
+
     needed = list(dict.fromkeys(group_cols + element_cols))  # dedupe overlap
     return df.select(*needed).mapInPandas(build, out_schema)
 
 
+def merge_blobs_udf(spec) -> Column:
+    """Vectorized fold-merge of an ``array<binary>`` column of serialized
+    partial sketches into one blob per row.  Used after a JVM-side
+    ``groupBy().agg(collect_list(sketch))`` — the whole merge stage stays in
+    Spark's hash aggregate (map-side partial collect + shuffle), and Python is
+    entered exactly once per output group with an Arrow batch of groups, not
+    once per group (the ``applyInPandas`` per-group overhead this replaces)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _merge(lists: pd.Series) -> pd.Series:
+        out = []
+        for blobs in lists:
+            merged = None
+            for b in blobs:
+                sk = spec.from_bytes(bytes(b))
+                merged = sk if merged is None else spec.merge(merged, sk)
+            # empty group (global agg over zero rows): emit the empty sketch,
+            # so COUNT(DISTINCT <empty>) estimates 0 like SQL
+            out.append(spec.to_bytes(merged if merged is not None else spec.make()))
+        return pd.Series(out)
+
+    return _merge
+
+
 def merge_partials(partials: DataFrame, group_cols: Sequence[str] = (),
                    spec: HllSpec | None = None, sketch_col: str = "sketch") -> DataFrame:
-    """Stage 2: fold-merge each group's partial sketches into one."""
+    """Stage 2: fold-merge each group's partial sketches into one.
+
+    Register-wise max is associative & commutative, so any merge order yields
+    bit-identical canonical bytes (CardinalityEstimator.cs:615-685)."""
     group_cols = list(group_cols)
     spec = spec or HllSpec()
-    out_schema = T.StructType(
-        [_group_field(partials, g) for g in group_cols]
-        + [T.StructField(sketch_col, T.BinaryType(), False)]
-    )
-
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        merged = None
-        for blob in pdf[sketch_col]:
-            sk = spec.from_bytes(bytes(blob))
-            merged = sk if merged is None else spec.merge(merged, sk)
-        head = pdf.iloc[[0]][group_cols].reset_index(drop=True)
-        head[sketch_col] = [spec.to_bytes(merged)]
-        return head
-
-    if not group_cols:
-        # global aggregate: single group -> single-partition applyInPandas
-        def merge_global(pdf: pd.DataFrame) -> pd.DataFrame:
-            out = merge(pdf.drop(columns=["__g"]))
-            out.insert(0, "__g", 1)
-            return out
-
-        global_schema = T.StructType([T.StructField("__g", T.IntegerType())] + list(out_schema))
-        return (partials.withColumn("__g", F.lit(1))
-                .groupBy("__g").applyInPandas(merge_global, global_schema)
-                .drop("__g"))
-    return partials.groupBy(*group_cols).applyInPandas(merge, out_schema)
+    merge = merge_blobs_udf(spec)
+    collected = F.collect_list(sketch_col).alias("__blobs")
+    if group_cols:
+        agged = partials.groupBy(*group_cols).agg(collected)
+    else:
+        agged = partials.agg(collected)
+    return agged.select(*group_cols, merge("__blobs").alias(sketch_col))
 
 
 def estimate_col(spec: HllSpec | None = None, sketch_col: str | Column = "sketch") -> Column:
@@ -210,7 +361,8 @@ def estimate_col(spec: HllSpec | None = None, sketch_col: str | Column = "sketch
 
     @F.pandas_udf(spec.estimate_type)
     def _estimate(blobs: pd.Series) -> pd.Series:
-        return pd.Series([spec.estimate(spec.from_bytes(bytes(b))) for b in blobs])
+        return pd.Series([None if b is None else spec.estimate(spec.from_bytes(bytes(b)))
+                          for b in blobs])
 
     return _estimate(sketch_col if isinstance(sketch_col, Column) else F.col(sketch_col))
 

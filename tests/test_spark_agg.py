@@ -92,6 +92,16 @@ def test_spark_pipeline_matches_local_singlenode(urls_df):
         assert dist.count_additions == local.count_additions == len(sub)
 
 
+def test_empty_input(spark):
+    """Global agg over zero rows -> estimate 0 (SQL COUNT DISTINCT semantics);
+    grouped agg -> zero groups."""
+    empty = spark.createDataFrame([], "url string, lang string")
+    assert distinct_count(empty, "url").collect()[0]["estimate"] == 0
+    assert distinct_count(empty, "url", ["lang"]).collect() == []
+    all_null = spark.createDataFrame([(None, "x")] * 5, "url string, lang string")
+    assert distinct_count(all_null, "url").collect()[0]["estimate"] == 0
+
+
 def test_nulls_ignored(spark):
     df = spark.createDataFrame(
         [("a", "x"), (None, "x"), ("b", "x"), (None, "y")],
