@@ -110,6 +110,81 @@ def q_hll_users_per_event_type_bound(spark: SparkSession, sf_dir: str) -> DataFr
     return _bound_check(est, exact, ["event_type"], "exact_users")
 
 
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join pre-filter: no false negatives (every customer with an
+    order passes the filter), false-positive rate within bound."""
+    from sketchlib.spark.membership import bloom_build_bytes, might_contain_udf
+
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    blob = bloom_build_bytes(orders, "o_custkey")
+    member_keys = orders.select(F.col("o_custkey").alias("k")).distinct()
+    probes = (customer.select(F.col("c_custkey").alias("k")).distinct()
+              .join(member_keys.withColumn("is_member", F.lit(True)), "k", "left")
+              .withColumn("is_member", F.coalesce("is_member", F.lit(False)))
+              .withColumn("hit", might_contain_udf(blob, "k")))
+    return probes.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.col("is_member").cast("long")).alias("n_members"),
+        F.sum((F.col("is_member") & ~F.col("hit")).cast("long")).alias("n_members_missed"),
+        (F.sum((~F.col("is_member") & F.col("hit")).cast("long"))
+         <= F.greatest(F.lit(5), (F.lit(0.01) * F.sum((~F.col("is_member")).cast("long"))).cast("long"))
+         ).alias("fp_ok"),
+    )
+
+
+def q_bloom_distinct_custkeys_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom fill-ratio cardinality estimate (Swamidass–Baldi) within 5%."""
+    from sketchlib.spark.aggregate import distinct_count as dc
+    from sketchlib.spark.specs import BloomSpec
+
+    orders = _read(spark, sf_dir, "orders")
+    est = dc(orders, "o_custkey", spec=BloomSpec())
+    exact = orders.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    j = est.crossJoin(exact)
+    within = (F.abs(F.col("estimate") - F.col("exact_distinct"))
+              <= F.greatest(F.lit(0.05) * F.col("exact_distinct"), F.lit(2.0))
+              ).alias("within_bound")
+    return j.select("exact_distinct", within)
+
+
+def q_cms_top_suppliers_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point queries on the exact top-10 suppliers: the CMS estimate
+    must sandwich the true count (never under; over by <= 3*eps*N,
+    eps = e/width — Cormode–Muthukrishnan)."""
+    import math
+
+    from pyspark.sql import Window
+
+    from sketchlib.spark.heavy_hitters import estimate_counts
+    from sketchlib.spark.specs import CmsSpec
+    from sketchlib.spark.aggregate import sketch_agg
+
+    li = _read(spark, sf_dir, "lineitem")
+    spec = CmsSpec(width=1 << 12, depth=5)
+    [cms_row] = sketch_agg(li, "l_suppkey", (), spec).collect()
+    blob = bytes(cms_row["sketch"])
+    n = li.count()
+    margin = 3 * (math.e / (1 << 12)) * n
+
+    exact = li.groupBy("l_suppkey").agg(F.count("*").alias("exact_count"))
+    w = Window.orderBy(F.desc("exact_count"), F.asc("l_suppkey"))
+    top = exact.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= 10).drop("__rn")
+    est = estimate_counts(top, "l_suppkey", blob, spec)
+    ok = ((F.col("est_count") >= F.col("exact_count"))
+          & (F.col("est_count") <= F.col("exact_count") + F.lit(margin))).alias("cms_ok")
+    return est.select("l_suppkey", "exact_count", ok)
+
+
+def q_cms_heavy_hitters_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 suppliers by row count (CMS + candidate union) —
+    estimates are sketch-valued, so this gets the rows-only check."""
+    from sketchlib.spark.heavy_hitters import heavy_hitters
+
+    li = _read(spark, sf_dir, "lineitem")
+    return heavy_hitters(li, "l_suppkey", k=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact distinct suppliers per order via HLL two-stage
     aggregation on sf0.001."""
@@ -123,6 +198,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_orders_dense_bound": q_hll_distinct_orders_dense_bound,
         "hll_union_per_status_bound": q_hll_union_per_status_bound,
         "hll_users_per_event_type_bound": q_hll_users_per_event_type_bound,
+        "bloom_membership": q_bloom_membership,
+        "bloom_distinct_custkeys_bound": q_bloom_distinct_custkeys_bound,
+        "cms_top_suppliers_bound": q_cms_top_suppliers_bound,
+        "cms_heavy_hitters_suppliers": q_cms_heavy_hitters_suppliers,
     }
 
 
@@ -148,4 +227,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
             "TRUE AS within_bound FROM events GROUP BY event_type"
         ),
+        "bloom_membership": (
+            "SELECT COUNT(*) AS n_probes, "
+            "COUNT(*) FILTER (WHERE is_member) AS n_members, "
+            "0 AS n_members_missed, TRUE AS fp_ok FROM ("
+            "SELECT DISTINCT c_custkey, "
+            "c_custkey IN (SELECT o_custkey FROM orders) AS is_member "
+            "FROM customer)"
+        ),
+        "bloom_distinct_custkeys_bound": (
+            "SELECT COUNT(DISTINCT o_custkey) AS exact_distinct, TRUE AS within_bound "
+            "FROM orders"
+        ),
+        "cms_top_suppliers_bound": (
+            "SELECT l_suppkey, COUNT(*) AS exact_count, TRUE AS cms_ok "
+            "FROM lineitem GROUP BY l_suppkey "
+            "ORDER BY exact_count DESC, l_suppkey LIMIT 10"
+        ),
+        # cms_heavy_hitters_suppliers: intentionally no oracle (sketch-valued
+        # estimates are not ANSI-SQL-expressible) -> rows-only check
     }

@@ -377,13 +377,17 @@ def sketch_agg(df: DataFrame, element_cols, group_cols: Sequence[str] = (),
 
 def distinct_count(df: DataFrame, element_cols, group_cols: Sequence[str] = (),
                    p: int = 14, hash_name: str = "murmur3",
-                   estimate_name: str = "estimate") -> DataFrame:
-    """Approximate ``COUNT(DISTINCT element_cols...)`` per group via HLL.
+                   estimate_name: str = "estimate",
+                   spec: "HllSpec | None" = None,
+                   spec_factory=None) -> DataFrame:
+    """Approximate ``COUNT(DISTINCT element_cols...)`` per group via HLL (or
+    any cardinality-estimating spec passed via ``spec``/``spec_factory``).
 
-    Exact (direct-count mode) for groups with <= 100 distinct elements;
+    HLL: exact (direct-count mode) for groups with <= 100 distinct elements;
     within 1.04/sqrt(2^p) relative std-error beyond (README.md:58).
     """
-    spec = HllSpec(p=p, hash_name=hash_name)
+    if spec is None:
+        spec = spec_factory() if spec_factory is not None else HllSpec(p=p, hash_name=hash_name)
     merged = sketch_agg(df, element_cols, group_cols, spec)
     cols = list(group_cols) + [estimate_col(spec).alias(estimate_name)]
     return merged.select(*cols)

@@ -1,0 +1,61 @@
+"""Bloom-filter membership operators: build a filter per group, probe a
+column against it (url-dedup / anti-join pre-filter — SURVEY.md §2.6).
+
+At 100 TB the pattern is: build the filter over the small(er) side with the
+two-stage aggregation, then ship the blob to every probe task (closure
+capture ~ broadcast; a 1M-bit filter is 128 KB) and filter the big side
+*before* any shuffle — the classic semi-join reduction. No false negatives:
+a row filtered out definitely does not match.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .aggregate import hash_columns, sketch_agg
+from .specs import BloomSpec
+
+
+def bloom_build(df: DataFrame, element_cols, group_cols: Sequence[str] = (),
+                spec: BloomSpec | None = None) -> DataFrame:
+    """One Bloom filter blob per group (two-stage: partial OR-merge)."""
+    return sketch_agg(df, element_cols, group_cols, spec or BloomSpec())
+
+
+def bloom_build_bytes(df: DataFrame, element_cols,
+                      spec: BloomSpec | None = None) -> bytes:
+    """Global filter as raw bytes (driver-side), for probing other frames."""
+    [row] = bloom_build(df, element_cols, (), spec).collect()
+    return bytes(row["sketch"])
+
+
+def might_contain_udf(blob: bytes, cols: Sequence[str] | str,
+                      spec: BloomSpec | None = None) -> Column:
+    """Boolean column: True = possibly in the filter, False = definitely not."""
+    spec = spec or BloomSpec()
+    if isinstance(cols, str):
+        cols = [cols]
+    cols = list(cols)
+
+    @F.pandas_udf(T.BooleanType())
+    def _contains(*series: pd.Series) -> pd.Series:
+        bf = spec.from_bytes(blob)
+        pdf = pd.concat(series, axis=1)
+        pdf.columns = cols
+        return pd.Series(bf.contains_hashes(hash_columns(pdf, cols, spec.hash_name)))
+
+    return _contains(*[F.col(c) for c in cols])
+
+
+def filter_might_contain(df: DataFrame, cols, blob: bytes,
+                         spec: BloomSpec | None = None,
+                         negate: bool = False) -> DataFrame:
+    """Keep rows possibly present in (or, with ``negate``, definitely absent
+    from) the filter — the semi-/anti-join pre-filter."""
+    c = might_contain_udf(blob, cols, spec)
+    return df.filter(~c if negate else c)

@@ -1,0 +1,200 @@
+"""Bloom filter and count-min sketch: core algebra, error bounds, wire
+round-trips, merge associativity/commutativity (bit-for-bit), and the Spark
+operators (membership pre-filter, heavy hitters)."""
+
+import numpy as np
+import pytest
+
+from sketchlib.bloom import BloomFilter, optimal_params
+from sketchlib.cms import CountMinSketch, params_for
+from sketchlib.hashing import murmur3_64_flat, to_flat_bytes
+
+
+def _hashes(values):
+    flat, off = to_flat_bytes([str(v).encode() for v in values])
+    return murmur3_64_flat(flat, off)
+
+
+# ---------------------------------------------------------------------------
+# Bloom core
+# ---------------------------------------------------------------------------
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        bf = BloomFilter(m_bits=1 << 14, k=5)
+        h = _hashes(range(2000))
+        bf.add_hashes(h)
+        assert bf.contains_hashes(h).all()
+
+    def test_fpr_within_bound(self):
+        n = 2000
+        m_bits, k = optimal_params(n, 0.01)
+        bf = BloomFilter(m_bits=m_bits, k=k)
+        bf.add_hashes(_hashes(range(n)))
+        probes = _hashes(range(10_000, 60_000))
+        fp = int(bf.contains_hashes(probes).sum())
+        assert fp / probes.shape[0] <= 3 * 0.01
+
+    def test_cardinality_estimate(self):
+        bf = BloomFilter(m_bits=1 << 16, k=5)
+        bf.add_hashes(_hashes(range(3000)))
+        est = bf.estimate_cardinality()
+        assert abs(est - 3000) / 3000 < 0.05
+        assert BloomFilter(m_bits=1 << 16, k=5).estimate_cardinality() == 0
+
+    def test_merge_or_bitwise_assoc_comm(self):
+        parts = [np.sort(_hashes(range(i * 500, (i + 1) * 500))) for i in range(4)]
+        filters = []
+        for p in parts:
+            bf = BloomFilter(m_bits=1 << 14, k=5)
+            bf.add_hashes(p)
+            filters.append(bf)
+        ab = BloomFilter.from_bytes(filters[0].to_bytes()); ab.merge(filters[1])
+        ba = BloomFilter.from_bytes(filters[1].to_bytes()); ba.merge(filters[0])
+        assert ab.to_bytes() == ba.to_bytes()
+        left = BloomFilter.from_bytes(ab.to_bytes())
+        left.merge(filters[2]); left.merge(filters[3])
+        cd = BloomFilter.from_bytes(filters[2].to_bytes()); cd.merge(filters[3])
+        right = BloomFilter.from_bytes(ab.to_bytes()); right.merge(cd)
+        assert left.to_bytes() == right.to_bytes()
+        # merged == single-pass build
+        single = BloomFilter(m_bits=1 << 14, k=5)
+        single.add_hashes(np.concatenate(parts))
+        assert left.bits.tobytes() == single.bits.tobytes()
+
+    def test_wire_roundtrip(self):
+        bf = BloomFilter(m_bits=1 << 12, k=3)
+        bf.add_hashes(_hashes(range(100)))
+        rt = BloomFilter.from_bytes(bf.to_bytes())
+        assert rt == bf
+        assert rt.to_bytes() == bf.to_bytes()
+
+    def test_param_validation(self):
+        with pytest.raises(ValueError):
+            BloomFilter(m_bits=1000)  # not power of two
+        with pytest.raises(ValueError):
+            BloomFilter(k=0)
+        a, b = BloomFilter(m_bits=1 << 10), BloomFilter(m_bits=1 << 11)
+        with pytest.raises(ValueError):
+            a.merge(b)
+        with pytest.raises(ValueError):
+            BloomFilter.from_bytes(b"XX" + b"\x00" * 20)
+
+
+# ---------------------------------------------------------------------------
+# Count-min core
+# ---------------------------------------------------------------------------
+
+class TestCms:
+    def test_never_undercounts_and_eps_bound(self):
+        rng = np.random.default_rng(7)
+        # Zipf-ish frequencies over 5000 distinct values
+        values = rng.zipf(1.3, size=200_000) % 5000
+        uniq, true_counts = np.unique(values, return_counts=True)
+        cms = CountMinSketch(width=1 << 12, depth=5)
+        cms.add_hashes(_hashes(values.tolist()))
+        est = cms.estimate_hashes(_hashes(uniq.tolist())).astype(np.int64)
+        assert (est >= true_counts).all()  # one-sided guarantee
+        n = values.shape[0]
+        over = est - true_counts
+        # overcount <= eps*N for the overwhelming majority (prob 1 - e^-d each)
+        assert (over <= cms.eps * n).mean() > 0.99
+
+    def test_weighted_add_equivalent(self):
+        vals = list(range(300))
+        h = _hashes(vals)
+        a = CountMinSketch(width=1 << 10, depth=4)
+        for _ in range(3):
+            a.add_hashes(h)
+        b = CountMinSketch(width=1 << 10, depth=4)
+        b.add_hashes(h, counts=np.full(len(vals), 3, dtype=np.int64))
+        assert a == b
+
+    def test_merge_sum_assoc_comm(self):
+        parts = [_hashes(range(i * 300, (i + 1) * 300 + 50)) for i in range(3)]
+        sketches = []
+        for p in parts:
+            c = CountMinSketch(width=1 << 10, depth=4)
+            c.add_hashes(p)
+            sketches.append(c)
+        ab = CountMinSketch.from_bytes(sketches[0].to_bytes()); ab.merge(sketches[1])
+        ba = CountMinSketch.from_bytes(sketches[1].to_bytes()); ba.merge(sketches[0])
+        assert ab.to_bytes() == ba.to_bytes()
+        abc1 = CountMinSketch.from_bytes(ab.to_bytes()); abc1.merge(sketches[2])
+        bc = CountMinSketch.from_bytes(sketches[1].to_bytes()); bc.merge(sketches[2])
+        abc2 = CountMinSketch.from_bytes(sketches[0].to_bytes()); abc2.merge(bc)
+        assert abc1.to_bytes() == abc2.to_bytes()
+        single = CountMinSketch(width=1 << 10, depth=4)
+        single.add_hashes(np.concatenate(parts))
+        assert abc1 == single
+
+    def test_wire_roundtrip(self):
+        c = CountMinSketch(width=1 << 8, depth=3)
+        c.add_hashes(_hashes(range(500)))
+        rt = CountMinSketch.from_bytes(c.to_bytes())
+        assert rt == c and rt.to_bytes() == c.to_bytes()
+
+    def test_params_for(self):
+        w, d = params_for(eps=0.001, delta=0.01)
+        assert w >= np.e / 0.001 and (w & (w - 1)) == 0
+        assert d == 5
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+class TestSparkOps:
+    def test_bloom_membership_prefilter(self, spark, sf_dir):
+        from sketchlib.spark.membership import bloom_build_bytes, filter_might_contain
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        blob = bloom_build_bytes(orders, "o_custkey")
+        kept = filter_might_contain(customer, "c_custkey", blob)
+        # semi-join correctness: every customer with an order must be kept
+        with_orders = customer.join(orders, customer.c_custkey == orders.o_custkey,
+                                    "left_semi")
+        missed = with_orders.exceptAll(kept.select(*with_orders.columns)).count()
+        assert missed == 0
+
+    def test_bloom_distinct_estimate_via_sketch_agg(self, spark, sf_dir):
+        from sketchlib.spark.aggregate import distinct_count
+        from sketchlib.spark.specs import BloomSpec
+        from pyspark.sql import functions as F
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        est = distinct_count(orders, "o_custkey", spec_factory=BloomSpec)
+        [row] = est.collect()
+        want = orders.select(F.countDistinct("o_custkey")).first()[0]
+        assert abs(row["estimate"] - want) / want < 0.05
+
+    def test_heavy_hitters_global(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from sketchlib.spark.heavy_hitters import heavy_hitters
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        hh = heavy_hitters(li, "l_suppkey", k=10).collect()
+        assert len(hh) == 10
+        exact = dict(li.groupBy("l_suppkey").count().collect())
+        n = li.count()
+        eps = np.e / (1 << 12)
+        for r in hh:
+            true = exact[r["value"]]
+            assert r["lower_bound"] <= true <= r["est_count"]
+            assert r["est_count"] <= true + 3 * eps * n
+        # top-1 by estimate should be the true top-1 (margin >> eps*N here)
+        true_top = max(exact.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        ests = {r["value"]: r["est_count"] for r in hh}
+        assert true_top in ests
+
+    def test_heavy_hitters_grouped(self, spark, sf_dir):
+        from sketchlib.spark.heavy_hitters import heavy_hitters
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        hh = heavy_hitters(ev, "user_id", k=5, group_cols=["event_type"])
+        rows = hh.collect()
+        types = {r["event_type"] for r in rows}
+        assert types == {r["event_type"] for r in ev.select("event_type").distinct().collect()}
+        for r in rows:
+            assert r["lower_bound"] <= r["est_count"]
