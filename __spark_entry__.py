@@ -185,6 +185,55 @@ def q_cms_heavy_hitters_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
     return heavy_hitters(li, "l_suppkey", k=10)
 
 
+def _quantile_rank_bound(df: DataFrame, value_col: str, group_cols: list[str],
+                         probs: list[float], spec, margin: float = 0.05) -> DataFrame:
+    """(group_cols..., q, within_bound): sketch quantile's rank distance to q
+    must be <= margin (rank-interval distance — exact under ties)."""
+    from sketchlib.spark.quantiles import approx_quantiles
+
+    est = approx_quantiles(df, value_col, probs, group_cols, spec)
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+    est = est.select(*group_cols, F.posexplode("quantiles").alias("__pos", "est"))
+    est = est.withColumn("q", F.element_at(parr, F.col("__pos") + 1)).drop("__pos")
+    joined = df.join(est, group_cols) if group_cols else df.crossJoin(est)
+    v, e = F.col(value_col), F.col("est")
+    agg = joined.groupBy(*group_cols, "q").agg(
+        (F.sum((v < e).cast("long")) / F.count("*")).alias("lo"),
+        (F.sum((v <= e).cast("long")) / F.count("*")).alias("hi"))
+    within = (F.greatest(F.lit(0.0), F.col("lo") - F.col("q"),
+                         F.col("q") - F.col("hi")) <= F.lit(margin)).alias("within_bound")
+    return agg.select(*group_cols, "q", within)
+
+
+def q_tdigest_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest quantiles of events.value per event_type, checked by rank
+    distance (Dunning & Ertl rank-error bound, generous 0.05 margin)."""
+    from sketchlib.spark.specs import TDigestSpec
+
+    ev = _read(spark, sf_dir, "events")
+    return _quantile_rank_bound(ev, "value", ["event_type"],
+                                [0.25, 0.5, 0.75, 0.95], TDigestSpec())
+
+
+def q_kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantiles of lineitem.l_extendedprice (global), rank-bound check
+    (Karnin-Lang-Liberty O(1/k) rank error, k=200, 0.05 margin)."""
+    from sketchlib.spark.specs import KllSpec
+
+    li = _read(spark, sf_dir, "lineitem")
+    return _quantile_rank_bound(li, "l_extendedprice", [],
+                                [0.1, 0.25, 0.5, 0.75, 0.9, 0.99], KllSpec())
+
+
+def q_tdigest_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-length quantiles over the documents table per lang — the north
+    star's text-length-quantile query shape."""
+    from sketchlib.spark.specs import TDigestSpec
+
+    docs = _read(spark, sf_dir, "documents")
+    return _quantile_rank_bound(docs, "n_chars", ["lang"], [0.5, 0.9], TDigestSpec())
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact distinct suppliers per order via HLL two-stage
     aggregation on sf0.001."""
@@ -202,6 +251,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_distinct_custkeys_bound": q_bloom_distinct_custkeys_bound,
         "cms_top_suppliers_bound": q_cms_top_suppliers_bound,
         "cms_heavy_hitters_suppliers": q_cms_heavy_hitters_suppliers,
+        "tdigest_event_value_quantiles": q_tdigest_event_value_quantiles,
+        "kll_price_quantiles": q_kll_price_quantiles,
+        "tdigest_doc_length_quantiles": q_tdigest_doc_length_quantiles,
     }
 
 
@@ -246,4 +298,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         # cms_heavy_hitters_suppliers: intentionally no oracle (sketch-valued
         # estimates are not ANSI-SQL-expressible) -> rows-only check
+        "tdigest_event_value_quantiles": (
+            "SELECT event_type, q, TRUE AS within_bound "
+            "FROM (SELECT DISTINCT event_type FROM events), "
+            "(SELECT UNNEST([0.25, 0.5, 0.75, 0.95]::DOUBLE[]) AS q)"
+        ),
+        "kll_price_quantiles": (
+            "SELECT q, TRUE AS within_bound "
+            "FROM (SELECT UNNEST([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]) AS q)"
+        ),
+        "tdigest_doc_length_quantiles": (
+            "SELECT lang, q, TRUE AS within_bound "
+            "FROM (SELECT DISTINCT lang FROM documents), "
+            "(SELECT UNNEST([0.5, 0.9]::DOUBLE[]) AS q)"
+        ),
     }

@@ -17,6 +17,8 @@ from pyspark.sql import types as T
 
 from ..bloom import BloomFilter
 from ..cms import CountMinSketch
+from ..kll import KllSketch
+from ..tdigest import TDigest
 from .aggregate import hash_columns
 
 
@@ -100,3 +102,61 @@ class CmsSpec:
         """Scalar summary = total stream length N (point queries go through
         :func:`sketchlib.spark.heavy_hitters.estimate_counts`)."""
         return sketch.count_additions
+
+
+class _QuantileSpecBase:
+    """Shared binding for value-based (not hash-based) quantile sketches:
+    ``prepare`` extracts the float64 value column; stage 1 streams values into
+    one live sketch per group (``hash_dedup = False`` — multiplicity and
+    magnitude matter)."""
+
+    hash_dedup = False
+    estimate_type = T.DoubleType()
+
+    def prepare(self, pdf: pd.DataFrame, element_cols: Sequence[str]) -> np.ndarray:
+        if len(element_cols) != 1:
+            raise ValueError("quantile sketches take exactly one value column")
+        return pdf[element_cols[0]].to_numpy(dtype=np.float64)
+
+    def ingest(self, sketch, prepared: np.ndarray) -> None:
+        sketch.add_values(prepared)
+
+    def merge(self, a, b):
+        a.merge(b)
+        return a
+
+    def estimate(self, sketch) -> float:
+        """Scalar summary = median (full quantile sets via quantiles_col)."""
+        return float(sketch.quantile(0.5))
+
+
+class TDigestSpec(_QuantileSpecBase):
+    name = "tdigest"
+
+    def __init__(self, delta: int = 200) -> None:
+        self.delta = delta
+
+    def make(self) -> TDigest:
+        return TDigest(delta=self.delta)
+
+    def to_bytes(self, sketch: TDigest) -> bytes:
+        return sketch.to_bytes()
+
+    def from_bytes(self, blob: bytes) -> TDigest:
+        return TDigest.from_bytes(blob)
+
+
+class KllSpec(_QuantileSpecBase):
+    name = "kll"
+
+    def __init__(self, k: int = 200) -> None:
+        self.k = k
+
+    def make(self) -> KllSketch:
+        return KllSketch(k=self.k)
+
+    def to_bytes(self, sketch: KllSketch) -> bytes:
+        return sketch.to_bytes()
+
+    def from_bytes(self, blob: bytes) -> KllSketch:
+        return KllSketch.from_bytes(blob)
