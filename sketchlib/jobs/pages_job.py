@@ -1,0 +1,129 @@
+"""North-star queries over the pages table, checkpointed & resumable.
+
+Usage (spark-submit --py-files sketchlib.zip sketchlib/jobs/pages_job.py ...):
+
+    python -m sketchlib.jobs.pages_job \
+        --input /data/pages --checkpoint /ckpt/distinct_urls \
+        --query distinct-urls --output /out/distinct_urls
+
+Queries (BASELINE.json north_star):
+    distinct-urls      HLL distinct url per (lang, day)
+    distinct-hosts     HLL distinct (lang, url_host) per (lang, day)
+    heavy-hosts        count-min top-k hosts (global)
+    text-quantiles     t-digest text-length quantiles per lang
+
+The unit of checkpointing is ``day`` (a partition directory): each day's
+stage-1 partials land in the checkpoint with a lineage record; a re-run skips
+committed days and the final merge is bit-identical to an uninterrupted run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _host(col):
+    return F.parse_url(col, F.lit("HOST"))
+
+
+def build_session(app: str, cpus: str | None = None) -> SparkSession:
+    b = SparkSession.builder.appName(app)
+    if cpus:
+        b = b.master(f"local[{cpus}]").config("spark.sql.shuffle.partitions", cpus)
+    return (b.config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .getOrCreate())
+
+
+def list_days(spark: SparkSession, input_dir: str) -> list[str]:
+    days = (spark.read.parquet(input_dir).select("day").distinct().collect())
+    return sorted(str(r["day"]) for r in days)
+
+
+def day_source(spark: SparkSession, input_dir: str, query: str):
+    """Partition-pruned, column-pruned per-day reader (scan never touches
+    ``html``; Catalyst prunes both the day directory and the columns)."""
+    cols = {
+        "distinct-urls": ["url", "lang", "day"],
+        "distinct-hosts": ["url", "lang", "day"],
+        "heavy-hosts": ["url", "day"],
+        "text-quantiles": ["text", "lang", "day"],
+    }[query]
+
+    def source(day: str) -> DataFrame:
+        df = (spark.read.parquet(input_dir)
+              .filter(F.col("day") == day).select(*cols))
+        if query in ("distinct-hosts", "heavy-hosts"):
+            df = df.withColumn("url_host", _host(F.col("url")))
+        if query == "text-quantiles":
+            df = df.withColumn("text_len", F.length("text").cast("double"))
+        return df
+
+    return source
+
+
+def make_checkpoint(query: str, checkpoint_dir: str):
+    from sketchlib.spark.aggregate import HllSpec
+    from sketchlib.spark.checkpoint import SketchCheckpoint
+    from sketchlib.spark.specs import CmsSpec, TDigestSpec
+
+    if query == "distinct-urls":
+        return SketchCheckpoint(checkpoint_dir, HllSpec(), ["url"], ["lang", "day"])
+    if query == "distinct-hosts":
+        return SketchCheckpoint(checkpoint_dir, HllSpec(), ["lang", "url_host"],
+                                ["lang", "day"])
+    if query == "heavy-hosts":
+        return SketchCheckpoint(checkpoint_dir, CmsSpec(), ["url_host"], [])
+    if query == "text-quantiles":
+        return SketchCheckpoint(checkpoint_dir, TDigestSpec(), ["text_len"], ["lang"])
+    raise ValueError(f"unknown query {query}")
+
+
+def finalize(spark: SparkSession, query: str, ckpt) -> DataFrame:
+    from sketchlib.spark.aggregate import estimate_col
+    from sketchlib.spark.quantiles import quantiles_col
+
+    merged = ckpt.result(spark)
+    if query in ("distinct-urls", "distinct-hosts"):
+        name = "distinct_urls" if query == "distinct-urls" else "distinct_hosts"
+        return merged.select(*ckpt.group_cols, estimate_col(ckpt.spec).alias(name))
+    if query == "heavy-hosts":
+        return merged  # CMS blob; point queries via heavy_hitters/estimate_counts
+    return merged.select(*ckpt.group_cols,
+                         quantiles_col(ckpt.spec, [0.5, 0.9, 0.99]).alias("text_len_q"))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--query", required=True,
+                    choices=["distinct-urls", "distinct-hosts", "heavy-hosts",
+                             "text-quantiles"])
+    ap.add_argument("--local-cpus", default=None,
+                    help="run on local[N] (omit on a real cluster)")
+    args = ap.parse_args(argv)
+
+    spark = build_session(f"pages-{args.query}", args.local_cpus)
+    days = list_days(spark, args.input)
+    ckpt = make_checkpoint(args.query, args.checkpoint)
+    summary = ckpt.run(spark, day_source(spark, args.input, args.query), days)
+    result = finalize(spark, args.query, ckpt)
+    result.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"query": args.query, "days": len(days),
+                      "skipped_committed": summary["skipped"],
+                      "ran": summary["ran"],
+                      "lineage_records": len(ckpt.lineage()),
+                      "output": args.output}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

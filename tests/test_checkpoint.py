@@ -1,0 +1,110 @@
+"""Checkpoint/resume: interrupted run + resume == uninterrupted run
+bit-for-bit; lineage records per unit; jobs CLI end-to-end."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from sketchlib.data.pages import write_pages_parquet
+from sketchlib.spark.aggregate import HllSpec
+from sketchlib.spark.checkpoint import SketchCheckpoint
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages")
+    return write_pages_parquet(str(d), n_rows=8000, seed=42, n_days=4)
+
+
+def _day_source(spark, pages_dir):
+    from pyspark.sql import functions as F
+
+    def source(day):
+        return (spark.read.parquet(pages_dir)
+                .filter(F.col("day") == day).select("url", "lang", "day"))
+
+    return source
+
+
+def _days(spark, pages_dir):
+    return sorted(str(r["day"]) for r in
+                  spark.read.parquet(pages_dir).select("day").distinct().collect())
+
+
+def test_resume_equals_uninterrupted(spark, pages_dir, tmp_path):
+    days = _days(spark, pages_dir)
+    assert len(days) == 4
+    src = _day_source(spark, pages_dir)
+
+    # uninterrupted
+    full = SketchCheckpoint(str(tmp_path / "full"), HllSpec(), ["url"], ["lang", "day"])
+    s = full.run(spark, src, days)
+    assert s["ran"] == 4 and not s["resumed"]
+    want = {(r["lang"], r["day"]): bytes(r["sketch"])
+            for r in full.result(spark).collect()}
+
+    # interrupted after 2 units, then resumed
+    part = SketchCheckpoint(str(tmp_path / "part"), HllSpec(), ["url"], ["lang", "day"])
+    part.run(spark, src, days[:2])
+    assert part.completed_units() == set(days[:2])
+    resumed = SketchCheckpoint(str(tmp_path / "part"), HllSpec(), ["url"], ["lang", "day"])
+    s2 = resumed.run(spark, src, days)
+    assert s2["resumed"] and s2["skipped"] == 2 and s2["ran"] == 2
+    got = {(r["lang"], r["day"]): bytes(r["sketch"])
+           for r in resumed.result(spark).collect()}
+    assert got == want  # bit-for-bit
+
+
+def test_lineage_records(spark, pages_dir, tmp_path):
+    days = _days(spark, pages_dir)
+    ck = SketchCheckpoint(str(tmp_path / "ck"), HllSpec(), ["url"], ["lang", "day"])
+    ck.run(spark, _day_source(spark, pages_dir), days[:2])
+    recs = ck.lineage()
+    assert len(recs) == 2
+    for rec in recs:
+        assert rec["unit"] in days
+        assert rec["n_input_rows"] > 0
+        assert rec["n_partials"] > 0
+        assert rec["wall_sec"] >= 0
+        assert rec["sketch"] == "hll"
+
+
+def test_rollup_from_checkpoint(spark, pages_dir, tmp_path):
+    """Partials checkpointed at (lang, day) re-merge to lang level without
+    rescanning input."""
+    from sketchlib.hll import HllSketch
+    from sketchlib.spark.aggregate import merge_partials
+    from pyspark.sql import functions as F
+
+    days = _days(spark, pages_dir)
+    ck = SketchCheckpoint(str(tmp_path / "ck2"), HllSpec(), ["url"], ["lang", "day"])
+    ck.run(spark, _day_source(spark, pages_dir), days)
+    partials = spark.read.parquet(*(ck._unit_path(u) for u in sorted(ck.completed_units())))
+    lang_level = merge_partials(partials, ["lang"], HllSpec())
+    got = {r["lang"]: HllSketch.from_bytes(bytes(r["sketch"])).count()
+           for r in lang_level.collect()}
+    exact = {r["lang"]: r["n"] for r in
+             spark.read.parquet(pages_dir).groupBy("lang")
+             .agg(F.countDistinct("url").alias("n")).collect()}
+    for lang, n in exact.items():
+        tol = 0 if n <= 100 else 10 * 0.008125 * n
+        assert abs(got[lang] - n) <= tol
+
+
+def test_pages_job_cli(pages_dir, tmp_path):
+    """The spark-submit entry point end-to-end (separate process)."""
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "sketchlib.jobs.pages_job",
+         "--input", pages_dir, "--checkpoint", str(ckpt),
+         "--output", str(out), "--query", "distinct-urls", "--local-cpus", "4"],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["days"] == 4 and summary["ran"] == 4
+    assert os.path.exists(out / "_SUCCESS")
