@@ -234,6 +234,72 @@ def q_tdigest_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
     return _quantile_rank_bound(docs, "n_chars", ["lang"], [0.5, 0.9], TDigestSpec())
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer text-quality statistics per document (token counts, punct,
+    alpha, stopwords) — Spark-native expressions, exact oracle."""
+    from sketchlib.text.analysis import quality_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", *quality_stats(F.col("text")))
+
+
+def q_lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted-language histogram from the script+stopword heuristic."""
+    from sketchlib.text.analysis import lang_id
+
+    docs = _read(spark, sf_dir, "documents")
+    return (docs.select(lang_id(F.col("text")).alias("pred_lang"))
+            .groupBy("pred_lang").agg(F.count("*").alias("n_docs")))
+
+
+def q_dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup audit: total docs, survivors, and the checksum of kept ids
+    (min doc_id per normalized-text group — fully deterministic)."""
+    from sketchlib.dedup import dedup_exact
+
+    docs = _read(spark, sf_dir, "documents")
+    kept = dedup_exact(docs)
+    total = docs.count()
+    return kept.agg(
+        F.lit(total).cast("long").alias("n_docs"),
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("id_checksum"))
+
+
+def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs at word-3-gram Jaccard >= 0.8 via MinHash-LSH
+    banding (r=4, b=32 -> miss prob < 1e-14 at s>=0.9) + exact verification."""
+    from sketchlib.dedup import near_dup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return near_dup_pairs(docs, threshold=0.8, n_hashes=128, bands=32)
+
+
+def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3 over 64 bits, pigeonhole-exact
+    candidate recall) — simhash values are not SQL-expressible -> rows-only."""
+    from sketchlib.dedup import simhash_near_dup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for three fixed query vectors (deterministic
+    total order: cosine desc, vec_id asc)."""
+    from sketchlib.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id").isin([0, 7, 21])).collect()
+    queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    res = cosine_topk(emb, queries, k=5)
+    return res.select("query_id", "vec_id", F.col("rnk").cast("int").alias("rnk"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact distinct suppliers per order via HLL two-stage
     aggregation on sf0.001."""
@@ -254,11 +320,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_event_value_quantiles": q_tdigest_event_value_quantiles,
         "kll_price_quantiles": q_kll_price_quantiles,
         "tdigest_doc_length_quantiles": q_tdigest_doc_length_quantiles,
+        "text_stats": q_text_stats,
+        "lang_id_distribution": q_lang_id_distribution,
+        "dedup_exact_summary": q_dedup_exact_summary,
+        "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+        "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+    }
+
+
+def _pipeline_oracles() -> dict[str, str]:
+    from sketchlib.text import analysis as A
+
+    text_stats = (
+        "SELECT doc_id, length(text) AS n_chars, "
+        f"{A.SQL_WS_TOKENS.format(c='text')} AS n_ws_tokens, "
+        f"{A.SQL_BPE_TOKENS.format(c='text')} AS n_bpe_tokens, "
+        f"{A.SQL_PUNCT.format(c='text')} AS n_punct, "
+        f"{A.SQL_ALPHA.format(c='text')} AS n_alpha, "
+        f"{A.sql_stopword_count('text', 'en')} AS n_stopwords_en "
+        "FROM documents"
+    )
+    g = "greatest(s_en, s_de, s_es, s_fr)"
+    lang_id = (
+        "SELECT pred_lang, COUNT(*) AS n_docs FROM ("
+        "SELECT CASE WHEN kana >= 2 THEN 'ja' WHEN cjk >= 2 THEN 'zh' "
+        "WHEN cyr >= 2 THEN 'ru' "
+        f"WHEN {g} <= 0 THEN 'unknown' "
+        f"WHEN s_en = {g} THEN 'en' WHEN s_de = {g} THEN 'de' "
+        f"WHEN s_es = {g} THEN 'es' ELSE 'fr' END AS pred_lang FROM ("
+        "SELECT len(regexp_extract_all(text, '[぀-ヿ]')) AS kana, "
+        "len(regexp_extract_all(text, '[一-鿿]')) AS cjk, "
+        "len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS cyr, "
+        f"{A.sql_stopword_count('text', 'en')} AS s_en, "
+        f"{A.sql_stopword_count('text', 'de')} AS s_de, "
+        f"{A.sql_stopword_count('text', 'es')} AS s_es, "
+        f"{A.sql_stopword_count('text', 'fr')} AS s_fr FROM documents)) "
+        "GROUP BY pred_lang"
+    )
+    norm = A.SQL_NORMALIZE.format(c="text")
+    dedup = (
+        "SELECT (SELECT COUNT(*) FROM documents) AS n_docs, "
+        "COUNT(*) AS n_kept, CAST(SUM(m) AS BIGINT) AS id_checksum "
+        f"FROM (SELECT MIN(doc_id) AS m FROM documents GROUP BY {norm})"
+    )
+    # word-3-gram shingles with the same <3-token whole-string fallback as
+    # sketchlib.dedup.minhash.shingles_col
+    shingles = (
+        "SELECT doc_id, CASE WHEN len(t) >= 3 THEN "
+        "list_distinct([(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) "
+        "for i in range(1, len(t) - 1)]) "
+        "ELSE [array_to_string(t, ' ')] END AS s "
+        "FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t "
+        "FROM documents)"
+    )
+    minhash = (
+        f"WITH sh AS ({shingles}) "
+        "SELECT id_a, id_b, jaccard FROM ("
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jaccard "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.8"
+    )
+    ann = (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
+        "WHERE vec_id IN (0, 7, 21)), "
+        "s AS (SELECT q.query_id, e.vec_id, "
+        "list_cosine_similarity(q.qv, e.embedding) AS cos FROM q, embeddings e) "
+        "SELECT query_id, vec_id, rnk FROM ("
+        "SELECT query_id, vec_id, CAST(row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rnk FROM s) "
+        "WHERE rnk <= 5"
+    )
+    return {
+        "text_stats": text_stats,
+        "lang_id_distribution": lang_id,
+        "dedup_exact_summary": dedup,
+        "minhash_near_dup_pairs": minhash,
+        # simhash_near_dup_pairs: no oracle (simhash not SQL-expressible)
+        "ann_cosine_topk": ann,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    return _pipeline_oracles() | {
         "hll_distinct_suppliers_per_order": (
             "SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS distinct_suppliers "
             "FROM lineitem GROUP BY l_orderkey"

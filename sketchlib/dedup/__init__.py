@@ -1,0 +1,11 @@
+"""Deduplication operators for training-data pipelines: exact (fingerprint
+groupBy), MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup."""
+
+from .exact import dedup_exact, duplicate_groups  # noqa: F401
+from .minhash import (  # noqa: F401
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_dup_pairs,
+    shingles_col,
+)
+from .simhash import simhash_col, simhash_near_dup_pairs  # noqa: F401

@@ -1,0 +1,13 @@
+"""Text analysis for web-scale training-data pipelines: token counting,
+quality scoring, language ID, fingerprinting — all Spark-native column
+expressions (JVM, whole-stage codegen; no Python in the hot path)."""
+
+from .analysis import (  # noqa: F401
+    bpe_token_count,
+    fingerprint_key,
+    lang_id,
+    normalize_text,
+    quality_stats,
+    stopword_count,
+    ws_token_count,
+)

@@ -1,0 +1,219 @@
+"""Training-data pipeline operators: text analysis, dedup (exact / minhash /
+simhash), embedding similarity, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog near the river bank today", "en"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today", "en"),  # case dup of 0
+        (2, "The quick brown fox jumps over the lazy dog near the river bank yesterday", "en"),  # near-dup of 0
+        (3, "Der Hund ist nicht mit der Katze und das ist ein Problem von heute", "de"),
+        (4, "el perro es una mascota para la casa con los gatos del barrio", "es"),
+        (5, "le chat est dans la maison avec les chiens pour la nuit sur place", "fr"),
+        (6, "这 是 一个 中文 文档 关于 猫 和 狗 的 故事 还有 更多", "zh"),
+        (7, "これ は 日本語 の ドキュメント です ねこ と いぬ", "ja"),
+        (8, "Это русский документ про кошек и собак в доме", "ru"),
+        (9, "zxq vbn qwerty", "unknown"),
+        (10, "", "empty"),
+        (11, "Completely different text about databases and distributed systems here", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+class TestTextAnalysis:
+    def test_token_counts(self, spark, docs_df):
+        from sketchlib.text.analysis import bpe_token_count, ws_token_count
+
+        got = docs_df.select("doc_id", ws_token_count(F.col("text")).alias("ws"),
+                             bpe_token_count(F.col("text")).alias("bpe")).collect()
+        by_id = {r["doc_id"]: r for r in got}
+        assert by_id[0]["ws"] == 14
+        assert by_id[10]["ws"] == 0 and by_id[10]["bpe"] == 0
+        assert by_id[0]["bpe"] == 14  # all plain words
+
+    def test_bpe_splits_symbols_digits(self, spark):
+        from sketchlib.text.analysis import bpe_token_count
+
+        df = spark.createDataFrame([("a1b, c2!d3",)], "t string")
+        # tokens: a,1,b,',',c,2,!,d,3 -> 9
+        assert df.select(bpe_token_count(F.col("t"))).first()[0] == 9
+
+    def test_lang_id(self, spark, docs_df):
+        from sketchlib.text.analysis import lang_id
+
+        got = {r["doc_id"]: r["pred"] for r in
+               docs_df.select("doc_id", lang_id(F.col("text")).alias("pred")).collect()}
+        want = {0: "en", 3: "de", 4: "es", 5: "fr", 6: "zh", 7: "ja", 8: "ru",
+                9: "unknown", 10: "unknown"}
+        for k, v in want.items():
+            assert got[k] == v, (k, got[k], v)
+
+    def test_quality_stats_and_bucket(self, spark, docs_df):
+        from sketchlib.text.analysis import quality_stats
+        from sketchlib.text.analysis import quality_bucket
+
+        row = (docs_df.filter("doc_id = 0")
+               .select(*quality_stats(F.col("text"))).first())
+        assert row["n_chars"] == len(
+            "The quick brown fox jumps over the lazy dog near the river bank today")
+        assert row["n_ws_tokens"] == 14
+        assert row["n_stopwords_en"] == 3  # 'the' x3 (case-insensitive)
+        buckets = {r["doc_id"]: r["b"] for r in docs_df.select(
+            "doc_id", quality_bucket(F.col("text")).alias("b")).collect()}
+        assert all(0 <= b <= 10 for b in buckets.values())
+        assert buckets[0] > buckets[10]  # real text beats empty
+
+    def test_oracle_sql_parity(self, spark, docs_df):
+        """The SQL fragments shipped for DuckDB must agree with the Spark
+        expressions on every row."""
+        import duckdb
+
+        from sketchlib.text import analysis as A
+
+        pdf = docs_df.toPandas()
+        con = duckdb.connect()
+        con.register("docs", pdf)
+        spark_rows = docs_df.select(
+            "doc_id", *A.quality_stats(F.col("text"))).toPandas().set_index("doc_id")
+        duck = con.sql(f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   {A.SQL_WS_TOKENS.format(c='text')} AS n_ws_tokens,
+                   {A.SQL_BPE_TOKENS.format(c='text')} AS n_bpe_tokens,
+                   {A.SQL_PUNCT.format(c='text')} AS n_punct,
+                   {A.SQL_ALPHA.format(c='text')} AS n_alpha,
+                   {A.sql_stopword_count('text', 'en')} AS n_stopwords_en
+            FROM docs""").df().set_index("doc_id")
+        for col in spark_rows.columns:
+            assert (spark_rows[col] == duck[col]).all(), (
+                col, spark_rows[col].to_dict(), duck[col].to_dict())
+
+
+class TestDedup:
+    def test_exact_dedup(self, spark, docs_df):
+        from sketchlib.dedup import dedup_exact, duplicate_groups
+
+        kept = dedup_exact(docs_df)
+        ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        assert 0 in ids and 1 not in ids  # doc 1 is a case-dup of doc 0
+        assert len(ids) == docs_df.count() - 1
+        hist = {r["group_size"]: r["n_groups"] for r in duplicate_groups(docs_df).collect()}
+        assert hist[2] == 1 and hist[1] == docs_df.count() - 2
+
+    def test_minhash_near_dup(self, spark, docs_df):
+        from sketchlib.dedup import near_dup_pairs
+
+        pairs = near_dup_pairs(docs_df, threshold=0.5, n_hashes=64, bands=16)
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+        assert (0, 1) in got and got[(0, 1)] == 1.0  # identical after lowercase
+        assert (0, 2) in got  # one-word change
+        assert not any(11 in p for p in got)
+
+    def test_minhash_candidates_superset_of_true_pairs(self, spark, docs_df):
+        """Banding recall: every pair above threshold must surface as a
+        candidate (checked exhaustively on this corpus)."""
+        from sketchlib.dedup.minhash import (lsh_candidate_pairs,
+                                             minhash_signatures, shingles_col)
+
+        sig = minhash_signatures(docs_df, n_hashes=64)
+        cands = {(r["id_a"], r["id_b"])
+                 for r in lsh_candidate_pairs(sig, bands=16).collect()}
+        sh = docs_df.select("doc_id", shingles_col(F.col("text")).alias("sh"))
+        a = sh.selectExpr("doc_id as id_a", "sh as sh_a")
+        b = sh.selectExpr("doc_id as id_b", "sh as sh_b")
+        allp = (a.crossJoin(b).filter("id_a < id_b")
+                .withColumn("j", F.size(F.array_intersect("sh_a", "sh_b"))
+                            / F.size(F.array_union("sh_a", "sh_b"))))
+        true_pairs = {(r["id_a"], r["id_b"])
+                      for r in allp.filter("j >= 0.5").collect()}
+        assert true_pairs <= cands
+
+    def test_simhash_near_dup(self, spark, docs_df):
+        from sketchlib.dedup import simhash_near_dup_pairs
+
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in simhash_near_dup_pairs(docs_df, max_hamming=10).collect()}
+        assert pairs.get((0, 1)) == 0  # lowercase-identical token multisets
+        assert (0, 2) in pairs  # one token swapped -> few bits
+        assert not any(11 in p and 0 in p for p in pairs)
+
+    def test_simhash_deterministic(self, spark, docs_df):
+        from sketchlib.dedup import simhash_col
+
+        a = docs_df.select(simhash_col("text").alias("s")).collect()
+        b = docs_df.select(simhash_col("text").alias("s")).collect()
+        assert [r["s"] for r in a] == [r["s"] for r in b]
+
+
+class TestSimilarity:
+    def test_cosine_topk_matches_numpy(self, spark, sf_dir):
+        from sketchlib.similarity import cosine_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        pdf = emb.toPandas()
+        mat = np.asarray([np.asarray(v) for v in pdf["embedding"]], dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        queries = [(int(ids[i]), mat[i]) for i in (0, 7)]
+        got = cosine_topk(emb, queries, k=5).collect()
+        mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        for qid, qv in queries:
+            sims = mn @ (qv / np.linalg.norm(qv))
+            order = np.lexsort((ids, -sims))[:5]
+            want = [int(ids[i]) for i in order]
+            mine = [r["vec_id"] for r in sorted(
+                (r for r in got if r["query_id"] == qid), key=lambda r: r["rnk"])]
+            assert mine == want
+            assert mine[0] == qid  # self is its own nearest neighbor
+
+    def test_cosine_near_dup_pairs(self, spark):
+        from sketchlib.similarity import cosine_near_dup_pairs
+
+        rng = np.random.default_rng(5)
+        base = rng.standard_normal((50, 16))
+        # make 2 near-dup pairs: (0,50) tiny noise, (1,51) moderate noise
+        near = np.vstack([base[0] + 0.01 * rng.standard_normal(16),
+                          base[1] + 0.05 * rng.standard_normal(16)])
+        mat = np.vstack([base, near])
+        rows = [(i, mat[i].tolist()) for i in range(mat.shape[0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 cosine_near_dup_pairs(df, threshold=0.95, dim=16).collect()}
+        assert (0, 50) in pairs and (1, 51) in pairs
+        # verify no pair below threshold sneaks in
+        mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mn @ mn.T
+        for a, b in pairs:
+            assert sims[a, b] >= 0.95
+
+
+class TestMultimodal:
+    def test_meta_and_features(self, spark):
+        from sketchlib.multimodal import extract_media_features, media_meta_col
+        from sketchlib.multimodal.media import pack_fake_image
+
+        rows = [(i, pack_fake_image(32 + i, 16 + i, seed=i)) for i in range(5)]
+        rows.append((99, b"NOTANIMAGE"))
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        meta = {r["media_id"]: r["m"] for r in
+                df.select("media_id", media_meta_col("payload").alias("m")).collect()}
+        assert meta[0]["width"] == 32 and meta[0]["height"] == 16
+        assert meta[3]["width"] == 35 and meta[3]["codec"] == "fake-v1"
+        assert meta[99]["codec"] == "unknown" and meta[99]["width"] is None
+        feats = {r["media_id"]: r for r in extract_media_features(df).collect()}
+        assert feats[0]["width"] == 32 and len(feats[0]["mean_rgb"]) == 3
+        assert feats[99]["width"] is None  # decode failure -> null row, no crash
+        # deterministic stub: same payload -> same features
+        feats2 = {r["media_id"]: r for r in extract_media_features(df).collect()}
+        assert feats[2]["phash"] == feats2[2]["phash"]
+
+    def test_frame_sample_plan(self, spark):
+        from sketchlib.multimodal import frame_sample_plan
+
+        df = spark.createDataFrame([(3500,)], "duration_ms long")
+        [row] = df.select(frame_sample_plan(F.col("duration_ms"), 1000).alias("p")).collect()
+        assert row["p"] == [0, 1000, 2000, 3000]
