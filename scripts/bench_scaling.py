@@ -1,0 +1,178 @@
+"""Scaling-efficiency benchmark (north rule: throughput at N vs 4N
+parallelism, efficiency >= 0.8).
+
+No real cluster exists in this sandbox, so scaling is evidenced by running
+the identical job at two local parallelism levels (local[8] vs local[32]) on
+the same generated pages table (SURVEY.md §6). Each level runs in its own
+subprocess (fresh JVM — no warm-cache bleed between levels).
+
+Usage:
+    python scripts/bench_scaling.py [--rows 4000000] [--cpus 8,32]
+    python scripts/bench_scaling.py --child 8 --data DIR --rows N   (internal)
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DATA_DIR = os.path.join(REPO, ".benchdata", "pages4m")
+
+
+def ensure_data(rows: int) -> str:
+    from sketchlib.data.pages import write_pages_parquet
+
+    return write_pages_parquet(DATA_DIR, n_rows=rows, seed=42, n_days=7)
+
+
+def child(cpus: int, data: str, rows: int) -> None:
+    """Run the flagship two-stage HLL job at local[cpus]; print JSON."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.aggregate import distinct_count
+
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName(f"scaling-{cpus}")
+             .config("spark.sql.shuffle.partitions", str(cpus))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
+             .config("spark.ui.showConsoleProgress", "false")
+             .config("spark.driver.memory", "24g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    df = spark.read.parquet(data)
+    df.count()  # scan/page-cache warmup
+    walls = []
+    n_groups = 0
+    for _ in range(3):  # min-of-3: the sandbox VM has noisy-neighbor variance
+        t0 = time.time()
+        res = distinct_count(df, "url", ["lang", "day"])
+        n_groups = res.count()
+        walls.append(time.time() - t0)
+    wall = min(walls)
+    print(json.dumps({"cpus": cpus, "wall_sec": round(wall, 3),
+                      "walls": [round(w, 2) for w in walls],
+                      "docs_per_sec": round(rows / wall, 1),
+                      "n_groups": n_groups}))
+    spark.stop()
+
+
+def hash_microbench() -> dict:
+    """Single-thread vectorized Murmur3 throughput vs the reference's
+    BenchmarkDotNet numbers (DifferentHashes-report-github.md: Murmur3
+    4.7M adds/s, XxHash128 12.8M adds/s on an i7-8700)."""
+    import numpy as np
+
+    from sketchlib.hashing import murmur3_64_flat, to_flat_bytes
+
+    n = 2_000_000
+    vals = [f"https://h{i % 997}.example.com/p/{i}".encode() for i in range(n)]
+    flat, offsets = to_flat_bytes(vals)
+    wf, wo = to_flat_bytes(vals[:1000])
+    murmur3_64_flat(wf, wo)  # warm
+    t0 = time.time()
+    murmur3_64_flat(flat, offsets)
+    dt = time.time() - t0
+    return {"n": n, "wall_sec": round(dt, 3),
+            "hashes_per_sec": round(n / dt, 1)}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=4_000_000)
+    ap.add_argument("--cpus", default="8,32")
+    ap.add_argument("--child", type=int, default=None)
+    ap.add_argument("--data", default=None)
+    args = ap.parse_args()
+
+    if args.child is not None:
+        child(args.child, args.data, args.rows)
+        return 0
+
+    data = ensure_data(args.rows)
+    results = {}
+    for cpus in [int(c) for c in args.cpus.split(",")]:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(cpus),
+             "--data", data, "--rows", str(args.rows)],
+            capture_output=True, text=True, timeout=3600,
+            env=dict(os.environ, PYTHONPATH=REPO), cwd=REPO)
+        if r.returncode != 0:
+            print(r.stderr[-3000:], file=sys.stderr)
+            return 1
+        results[cpus] = json.loads(r.stdout.strip().splitlines()[-1])
+
+    cl = sorted(results)
+    lo, hi = cl[0], cl[-1]
+    speedup = results[lo]["wall_sec"] / results[hi]["wall_sec"]
+    ideal = hi / lo
+    efficiency = speedup / ideal
+    hb = hash_microbench()
+    summary = {
+        "metric": "scaling_efficiency",
+        "rows": args.rows,
+        "levels": results,
+        "speedup": round(speedup, 3),
+        "ideal": ideal,
+        "efficiency": round(efficiency, 3),
+        "hash_microbench": hb,
+    }
+    print(json.dumps(summary))
+    write_report(summary)
+    return 0
+
+
+def write_report(s: dict) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    lines = [
+        "# BENCH/BASELINE — scaling & throughput evidence",
+        "",
+        f"Flagship job: two-stage HLL `distinct url per (lang, day)` over a "
+        f"{s['rows']:,}-row generated pages table (Zipf lang/host, ~20% dup "
+        "urls), identical input at every parallelism level; fresh JVM per "
+        "level. Machine: 32-core container, local mode.",
+        "",
+        "| parallelism | wall (s) | docs/sec | groups |",
+        "|---|---|---|---|",
+    ]
+    for cpus, r in sorted(s["levels"].items()):
+        lines.append(f"| local[{cpus}] | {r['wall_sec']} | "
+                     f"{r['docs_per_sec']:,.0f} | {r['n_groups']} |")
+    lines += [
+        "",
+        f"**Speedup {min(s['levels'])}→{max(s['levels'])} cores: "
+        f"{s['speedup']}x of ideal {s['ideal']}x → scaling efficiency "
+        f"{s['efficiency']}** (north-rule target >= 0.8; no real cluster in "
+        "this sandbox — two-parallelism-level evidence per BASELINE.json).",
+        "",
+        "## Single-thread hash throughput vs reference",
+        "",
+        "Reference (C#, BenchmarkDotNet, i7-8700 — "
+        "`DifferentHashes-report-github.md`): Murmur3 4.7M adds/s, "
+        "XxHash128 12.8M adds/s, single thread.",
+        "",
+        f"Vectorized numpy Murmur3 x64_128 (this repo, single thread): "
+        f"**{s['hash_microbench']['hashes_per_sec']:,.0f} hashes/s** on "
+        f"{s['hash_microbench']['n']:,} ~30-byte urls.",
+        "",
+        "_Regenerate: `python scripts/bench_scaling.py`_",
+    ]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -77,6 +77,57 @@ def encode_string_series(series) -> tuple[np.ndarray, np.ndarray]:
     return data, offsets
 
 
+def arrow_flat_bytes(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint8, int64 offsets) straight from an Arrow array's buffers —
+    ZERO per-row Python, no pandas materialization. Accepts string/binary
+    (32-bit offsets cast up), numerics (fixed-width LE reinterpret), and
+    timestamps (int64 micros). This is the ``mapInArrow`` hot path."""
+    import pyarrow as pa
+    import pyarrow.types as pt
+
+    t = arr.type
+    if pt.is_string(t) or pt.is_binary(t):
+        arr = arr.cast(pa.large_binary())
+        t = arr.type
+    if pt.is_large_string(t):
+        arr = arr.cast(pa.large_binary())
+        t = arr.type
+    if pt.is_large_binary(t):
+        if arr.null_count:
+            raise ValueError("nulls must be filtered before hashing")
+        buffers = arr.buffers()
+        offsets = np.frombuffer(buffers[1], dtype=np.int64, count=len(arr) + 1,
+                                offset=arr.offset * 8)
+        data = np.frombuffer(buffers[2], dtype=np.uint8)
+        if offsets[0] != 0:
+            data = data[offsets[0]:]
+            offsets = offsets - offsets[0]
+        return data, offsets
+    if pt.is_timestamp(t):
+        vals = arr.cast(pa.timestamp("us")).cast(pa.int64())
+        if vals.null_count:
+            raise ValueError("nulls must be filtered before hashing")
+        return encode_numeric_batch(vals.to_numpy(), "int64")
+    if pt.is_integer(t):
+        width = t.bit_width // 8
+        kind = {4: "int32", 8: "int64"}[width] if not pt.is_unsigned_integer(t) \
+            else {4: "uint32", 8: "uint64"}[width]
+        if arr.null_count:
+            raise ValueError("nulls must be filtered before hashing")
+        return encode_numeric_batch(arr.to_numpy(), kind)
+    if pt.is_floating(t):
+        kind = "float32" if t.bit_width == 32 else "float64"
+        if arr.null_count:
+            raise ValueError("nulls must be filtered before hashing")
+        return encode_numeric_batch(arr.to_numpy(), kind)
+    if pt.is_date(t):
+        vals = arr.cast(pa.int64())
+        if vals.null_count:
+            raise ValueError("nulls must be filtered before hashing")
+        return encode_numeric_batch(vals.to_numpy(), "int64")
+    raise TypeError(f"unsupported arrow type for hashing: {t}")
+
+
 def encode_binary_series(series) -> tuple[np.ndarray, np.ndarray]:
     """Raw-bytes encoding of a pandas Series of bytes objects."""
     import pyarrow as pa

@@ -19,7 +19,7 @@ from ..bloom import BloomFilter
 from ..cms import CountMinSketch
 from ..kll import KllSketch
 from ..tdigest import TDigest
-from .aggregate import hash_columns
+from .aggregate import hash_arrow_columns, hash_columns
 
 
 class BloomSpec:
@@ -40,6 +40,9 @@ class BloomSpec:
 
     def prepare(self, pdf: pd.DataFrame, element_cols: Sequence[str]) -> np.ndarray:
         return hash_columns(pdf, element_cols, self.hash_name)
+
+    def prepare_arrow(self, batch, element_cols: Sequence[str]) -> np.ndarray:
+        return hash_arrow_columns(batch, element_cols, self.hash_name)
 
     def ingest(self, sketch: BloomFilter, prepared: np.ndarray) -> None:
         sketch.add_hashes(prepared)
