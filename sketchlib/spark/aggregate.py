@@ -364,6 +364,51 @@ def build_partials(df: DataFrame, element_cols: Sequence[str] | str,
             acc.add_batch(local_codes, local_keys, prepared)
         yield from acc.finalize(group_cols, sketch_col)
 
+    def build_stream_arrow(batches):
+        """Arrow-native streaming build for non-dedup sketches (CMS,
+        t-digest, KLL): one live sketch per group; per batch the rows are
+        ordered by group code once and each group's slice is ingested
+        vectorized."""
+        import pyarrow as pa
+
+        sketches: dict[tuple, object] = {}
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            mask = None
+            for c in element_cols:
+                col = batch.column(c)
+                if col.null_count:
+                    import pyarrow.compute as pc
+                    v = pc.is_valid(col)
+                    mask = v if mask is None else pc.and_(mask, v)
+            if mask is not None:
+                batch = batch.filter(mask)
+                if batch.num_rows == 0:
+                    continue
+            prepared = spec.prepare_arrow(batch, element_cols)
+            if group_cols:
+                codes, keys = arrow_group_codes(batch, group_cols)
+            else:
+                codes = np.zeros(batch.num_rows, dtype=np.int64)
+                keys = [()]
+            order = np.argsort(codes, kind="stable")
+            sorted_codes = codes[order]
+            starts = np.searchsorted(sorted_codes, np.arange(len(keys)), side="left")
+            ends = np.searchsorted(sorted_codes, np.arange(len(keys)), side="right")
+            for k, s, e in zip(keys, starts.tolist(), ends.tolist()):
+                if s == e:
+                    continue
+                sk = sketches.get(k)
+                if sk is None:
+                    sk = spec.make()
+                    sketches[k] = sk
+                spec.ingest(sk, prepared[order[s:e]])
+        if sketches:
+            rows = [list(k) + [spec.to_bytes(s)] for k, s in sketches.items()]
+            pdf = pd.DataFrame(rows, columns=group_cols + [sketch_col])
+            yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+
     def build_stream(batches: Iterable[pd.DataFrame]):
         """Generic streaming path: one live sketch per group, batch-ingested."""
         sketches: dict[tuple, object] = {}
@@ -393,10 +438,13 @@ def build_partials(df: DataFrame, element_cols: Sequence[str] | str,
 
     needed = list(dict.fromkeys(group_cols + element_cols))  # dedupe overlap
     pruned = df.select(*needed)
+    has_arrow = hasattr(spec, "prepare_arrow")
     if getattr(spec, "hash_dedup", False):
-        if hasattr(spec, "prepare_arrow"):
+        if has_arrow:
             return pruned.mapInArrow(build_arrow, out_schema)
         return pruned.mapInPandas(build_dedup, out_schema)
+    if has_arrow:
+        return pruned.mapInArrow(build_stream_arrow, out_schema)
     return pruned.mapInPandas(build_stream, out_schema)
 
 

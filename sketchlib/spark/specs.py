@@ -88,6 +88,9 @@ class CmsSpec:
     def prepare(self, pdf: pd.DataFrame, element_cols: Sequence[str]) -> np.ndarray:
         return hash_columns(pdf, element_cols, self.hash_name)
 
+    def prepare_arrow(self, batch, element_cols: Sequence[str]) -> np.ndarray:
+        return hash_arrow_columns(batch, element_cols, self.hash_name)
+
     def ingest(self, sketch: CountMinSketch, prepared: np.ndarray) -> None:
         sketch.add_hashes(prepared)
 
@@ -120,6 +123,14 @@ class _QuantileSpecBase:
         if len(element_cols) != 1:
             raise ValueError("quantile sketches take exactly one value column")
         return pdf[element_cols[0]].to_numpy(dtype=np.float64)
+
+    def prepare_arrow(self, batch, element_cols: Sequence[str]) -> np.ndarray:
+        import pyarrow as pa
+
+        if len(element_cols) != 1:
+            raise ValueError("quantile sketches take exactly one value column")
+        return (batch.column(element_cols[0]).cast(pa.float64())
+                .to_numpy(zero_copy_only=False))
 
     def ingest(self, sketch, prepared: np.ndarray) -> None:
         sketch.add_values(prepared)
