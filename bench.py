@@ -36,6 +36,9 @@ def main() -> None:
         .appName("sketchlib-bench")
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
         .getOrCreate()

@@ -1,0 +1,87 @@
+"""SQL-string access to the sketch library.
+
+``register_sql_functions(spark)`` registers vectorized UDFs so sketch
+columns produced by the two-stage aggregation are queryable from plain
+``spark.sql``:
+
+    SELECT lang, hll_estimate(sketch) FROM sketches_by_lang
+    SELECT hll_estimate(hll_merge_all(sketch)) FROM partials      -- via agg
+    SELECT bloom_estimate(sketch), cms_total(sketch) ...
+    SELECT tdigest_quantile(sketch, 0.5), kll_quantile(sketch, 0.9) ...
+
+(Per-group *building* stays with the Python API — Spark has no Python UDAF
+with a partial/final split, SURVEY.md §7 — but merge/estimate compose in SQL
+through collect_list + these functions.)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    from ..bloom import BloomFilter
+    from ..cms import CountMinSketch
+    from ..hll import HllSketch
+    from ..kll import KllSketch
+    from ..tdigest import TDigest
+
+    @F.pandas_udf(T.LongType())
+    def hll_estimate(blobs: pd.Series) -> pd.Series:
+        return pd.Series([None if b is None else HllSketch.from_bytes(bytes(b)).count()
+                          for b in blobs])
+
+    @F.pandas_udf(T.BinaryType())
+    def hll_merge_all(lists: pd.Series) -> pd.Series:
+        out = []
+        for blobs in lists:
+            merged = None
+            for b in blobs:
+                sk = HllSketch.from_bytes(bytes(b))
+                if merged is None:
+                    merged = sk
+                else:
+                    merged.merge(sk)
+            out.append(None if merged is None else merged.to_bytes())
+        return pd.Series(out)
+
+    @F.pandas_udf(T.LongType())
+    def hll_count_additions(blobs: pd.Series) -> pd.Series:
+        return pd.Series([None if b is None else
+                          HllSketch.from_bytes(bytes(b)).count_additions
+                          for b in blobs])
+
+    @F.pandas_udf(T.LongType())
+    def bloom_estimate(blobs: pd.Series) -> pd.Series:
+        return pd.Series([None if b is None else
+                          BloomFilter.from_bytes(bytes(b)).estimate_cardinality()
+                          for b in blobs])
+
+    @F.pandas_udf(T.LongType())
+    def cms_total(blobs: pd.Series) -> pd.Series:
+        return pd.Series([None if b is None else
+                          CountMinSketch.from_bytes(bytes(b)).count_additions
+                          for b in blobs])
+
+    @F.pandas_udf(T.DoubleType())
+    def tdigest_quantile(blobs: pd.Series, qs: pd.Series) -> pd.Series:
+        return pd.Series([None if b is None else
+                          float(TDigest.from_bytes(bytes(b)).quantile(float(q)))
+                          for b, q in zip(blobs, qs)])
+
+    @F.pandas_udf(T.DoubleType())
+    def kll_quantile(blobs: pd.Series, qs: pd.Series) -> pd.Series:
+        return pd.Series([None if b is None else
+                          float(KllSketch.from_bytes(bytes(b)).quantile(float(q)))
+                          for b, q in zip(blobs, qs)])
+
+    spark.udf.register("hll_estimate", hll_estimate)
+    spark.udf.register("hll_merge_all", hll_merge_all)
+    spark.udf.register("hll_count_additions", hll_count_additions)
+    spark.udf.register("bloom_estimate", bloom_estimate)
+    spark.udf.register("cms_total", cms_total)
+    spark.udf.register("tdigest_quantile", tdigest_quantile)
+    spark.udf.register("kll_quantile", kll_quantile)
