@@ -132,17 +132,6 @@ def to_flat_bytes(values: Sequence[bytes]) -> tuple[np.ndarray, np.ndarray]:
 _AR16 = np.arange(16, dtype=np.int64)
 
 
-def _gather_block(flat_pad: np.ndarray, starts: np.ndarray) -> np.ndarray:
-    """Read 16 bytes at each start offset from a zero-padded flat buffer into
-    a contiguous (n, 16) uint8 matrix (view-able as '<u8' words).
-
-    Implemented as a row-gather on a sliding-window view: numpy does one
-    C-level 16-byte copy per row, ~400x faster than element-wise fancy
-    indexing with an (n, 16) index matrix."""
-    windows = np.lib.stride_tricks.sliding_window_view(flat_pad, 16)
-    return windows[starts]
-
-
 def _rotl64_vec(x: np.ndarray, r: int) -> np.ndarray:
     r_ = np.uint64(r)
     inv = np.uint64(64 - r)
@@ -163,9 +152,16 @@ def murmur3_64_flat(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
 
     ``flat`` is the concatenated uint8 payload, ``offsets`` the (n+1,) int64
     row boundaries — exactly an Arrow BinaryArray's buffers.  Strategy: rows
-    are processed 16-byte-block-parallel; at block step j only rows with more
-    than j full blocks are active.  Rows are pre-sorted by block count so the
-    active set is always a prefix (O(total_bytes) work overall).
+    are processed 16-byte-block-parallel, sort-free; at block step j:
+
+    * if most rows are still active, compute the step for ALL rows (reads are
+      clamped in-bounds; the pad makes them safe) and keep the old state for
+      finished rows via ``np.where`` — no gather/scatter, pure streaming ops;
+    * once the active set is small (long-tail rows), switch to index mode and
+      touch only the active rows.
+
+    Total work stays O(total_bytes); typical web-url batches take two full-
+    width steps plus a tail pass.
     """
     n = offsets.shape[0] - 1
     if n == 0:
@@ -176,13 +172,9 @@ def murmur3_64_flat(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     nblocks = lengths // 16
     tail_len = lengths - nblocks * 16
 
-    # zero-pad the flat buffer so 16-byte gathers past the end are safe
+    # zero-pad the flat buffer so 16-byte reads past the end are safe
     flat_pad = np.concatenate([flat, np.zeros(16, dtype=np.uint8)])
-
-    # sort rows by descending block count → active rows form a prefix
-    order = np.argsort(-nblocks, kind="stable")
-    s_starts = offsets[:-1][order]
-    s_nblocks = nblocks[order]
+    windows = np.lib.stride_tricks.sliding_window_view(flat_pad, 16)
 
     h1 = np.zeros(n, dtype=np.uint64)
     h2 = np.zeros(n, dtype=np.uint64)
@@ -192,63 +184,75 @@ def murmur3_64_flat(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     add1 = np.uint64(0x52DCE729)
     add2 = np.uint64(0x38495AB5)
 
-    max_blocks = int(s_nblocks[0]) if n else 0
-    # number of active rows at each block step (descending-sorted)
+    starts0 = offsets[:-1]
+    lim = flat.shape[0]
+    max_blocks = int(nblocks.max()) if n else 0
     with np.errstate(over="ignore"):
         for j in range(max_blocks):
-            # rows [0:na) have nblocks > j (descending sort)
-            na = n - int(np.searchsorted(s_nblocks[::-1], j, side="right"))
-            if na <= 0:
+            active = nblocks > j
+            n_active = int(active.sum())
+            if n_active == 0:
                 break
-            starts = s_starts[:na] + 16 * j
-            words = _gather_block(flat_pad, starts).view("<u8")  # (na, 2)
-            k1 = words[:, 0]
-            k2 = words[:, 1]
-            a1 = h1[:na]
-            a2 = h2[:na]
-            k1 = _rotl64_vec(k1 * c1, 31) * c2
-            a1 ^= k1
-            a1 = _rotl64_vec(a1, 27) + a2
-            a1 = a1 * mul5 + add1
-            k2 = _rotl64_vec(k2 * c2, 33) * c1
-            a2 ^= k2
-            a2 = _rotl64_vec(a2, 31) + a1
-            a2 = a2 * mul5 + add2
-            h1[:na] = a1
-            h2[:na] = a2
+            if n_active < n // 4:
+                idx = np.nonzero(active)[0]
+                st = starts0[idx] + 16 * j
+                words = windows[st].view("<u8")
+                k1 = words[:, 0].copy()
+                k2 = words[:, 1].copy()
+                a1 = h1[idx]
+                a2 = h2[idx]
+                k1 = _rotl64_vec(k1 * c1, 31) * c2
+                a1 ^= k1
+                a1 = _rotl64_vec(a1, 27) + a2
+                a1 = a1 * mul5 + add1
+                k2 = _rotl64_vec(k2 * c2, 33) * c1
+                a2 ^= k2
+                a2 = _rotl64_vec(a2, 31) + a1
+                a2 = a2 * mul5 + add2
+                h1[idx] = a1
+                h2[idx] = a2
+            else:
+                st = np.minimum(starts0 + 16 * j, lim)
+                words = windows[st].view("<u8")
+                k1 = words[:, 0]
+                k2 = words[:, 1]
+                a1 = h1.copy()
+                a2 = h2.copy()
+                k1 = _rotl64_vec(k1 * c1, 31) * c2
+                a1 ^= k1
+                a1 = _rotl64_vec(a1, 27) + a2
+                a1 = a1 * mul5 + add1
+                k2 = _rotl64_vec(k2 * c2, 33) * c1
+                a2 ^= k2
+                a2 = _rotl64_vec(a2, 31) + a1
+                a2 = a2 * mul5 + add2
+                h1 = np.where(active, a1, h1)
+                h2 = np.where(active, a2, h2)
 
-        # tail: gather the zero-padded final partial block for rows with tail>0
-        s_tail_starts = (offsets[:-1] + nblocks * 16)[order]
-        s_tail_len = tail_len[order]
-        has_tail = s_tail_len > 0
-        if has_tail.any():
-            t_idx = np.nonzero(has_tail)[0]
-            starts = s_tail_starts[t_idx]
-            block = _gather_block(flat_pad, starts)  # (t, 16) scratch
-            # zero out bytes beyond the tail length, then view as LE words
-            tl = s_tail_len[t_idx]
+        # tail: the zero-padded final partial block for rows with tail > 0
+        t_idx = np.nonzero(tail_len > 0)[0]
+        if t_idx.shape[0]:
+            st = (starts0 + nblocks * 16)[t_idx]
+            block = windows[st].copy()  # (t, 16)
+            tl = tail_len[t_idx]
             block[_AR16[None, :] >= tl[:, None]] = 0
-            words = block.view("<u8")  # (t, 2)
-            k1 = words[:, 0]
-            k2 = words[:, 1]
+            words = block.view("<u8")
+            k1 = words[:, 0].copy()
+            k2 = words[:, 1].copy()
             k2 = _rotl64_vec(k2 * c2, 33) * c1
             h2[t_idx] ^= k2
             k1 = _rotl64_vec(k1 * c1, 31) * c2
             h1[t_idx] ^= k1
 
-        s_len = lengths[order].astype(np.uint64)
-        h1 ^= s_len
-        h2 ^= s_len
+        ln = lengths.astype(np.uint64)
+        h1 ^= ln
+        h2 ^= ln
         h1 = h1 + h2
         h2 = h2 + h1
         h1 = _fmix64_vec(h1)
         h2 = _fmix64_vec(h2)
         h1 = h1 + h2
-
-    # unsort back to input order
-    out = np.empty(n, dtype=np.uint64)
-    out[order] = h1
-    return out
+    return h1
 
 
 def murmur3_64_batch(values: Sequence[bytes]) -> np.ndarray:

@@ -41,13 +41,19 @@ def build_session(app: str, cpus: str | None = None) -> SparkSession:
 
 
 def list_days(spark: SparkSession, input_dir: str) -> list[str]:
-    days = (spark.read.parquet(input_dir).select("day").distinct().collect())
-    return sorted(str(r["day"]) for r in days)
+    from sketchlib.data.tables import PagesTable
+
+    return PagesTable(input_dir).days(spark)
 
 
 def day_source(spark: SparkSession, input_dir: str, query: str):
     """Partition-pruned, column-pruned per-day reader (scan never touches
-    ``html``; Catalyst prunes both the day directory and the columns)."""
+    ``html``; Catalyst prunes both the day partition and the columns).
+    ``input_dir`` may be a Parquet directory or ``iceberg:<catalog.db.table>``
+    (sketchlib.data.tables.PagesTable)."""
+    from sketchlib.data.tables import PagesTable
+
+    table = PagesTable(input_dir)
     cols = {
         "distinct-urls": ["url", "lang", "day"],
         "distinct-hosts": ["url", "lang", "day"],
@@ -56,8 +62,7 @@ def day_source(spark: SparkSession, input_dir: str, query: str):
     }[query]
 
     def source(day: str) -> DataFrame:
-        df = (spark.read.parquet(input_dir)
-              .filter(F.col("day") == day).select(*cols))
+        df = table.read_partition(spark, day=day).select(*cols)
         if query in ("distinct-hosts", "heavy-hosts"):
             df = df.withColumn("url_host", _host(F.col("url")))
         if query == "text-quantiles":
