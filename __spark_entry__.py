@@ -426,7 +426,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": (
             "SELECT COUNT(*) AS n_probes, "
             "COUNT(*) FILTER (WHERE is_member) AS n_members, "
-            "0 AS n_members_missed, TRUE AS fp_ok FROM ("
+            "CAST(0 AS BIGINT) AS n_members_missed, TRUE AS fp_ok FROM ("
             "SELECT DISTINCT c_custkey, "
             "c_custkey IN (SELECT o_custkey FROM orders) AS is_member "
             "FROM customer)"

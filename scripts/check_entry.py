@@ -57,6 +57,12 @@ def main() -> int:
         g, w = canon(got), canon(want)
         ok_rows = len(g) == len(w)
         ok_cols = list(g.columns) == list(w.columns)
+        if ok_cols:
+            gt = [str(got[sorted(got.columns)].dtypes[c]) for c in g.columns]
+            wt = [str(want[sorted(want.columns)].dtypes[c]) for c in w.columns]
+            if gt != wt:
+                print(f"{name}: DTYPE MISMATCH spark={gt} duckdb={wt}")
+                failures += 1
         ok_vals = ok_rows and ok_cols and g.astype(str).equals(w.astype(str))
         status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
         if status == "FAIL":

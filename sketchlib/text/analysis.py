@@ -58,12 +58,12 @@ def quality_stats(col: Column) -> list[Column]:
     exactly — no float formatting hazards): chars, ws tokens, bpe tokens,
     ASCII punctuation chars, alphabetic chars, en-stopword hits."""
     return [
-        F.length(col).alias("n_chars"),
-        ws_token_count(col).alias("n_ws_tokens"),
-        bpe_token_count(col).alias("n_bpe_tokens"),
-        _count_matches(col, r"\p{Punct}").alias("n_punct"),
-        _count_matches(col, r"[A-Za-z]").alias("n_alpha"),
-        stopword_count(col, "en").alias("n_stopwords_en"),
+        F.length(col).cast("long").alias("n_chars"),
+        ws_token_count(col).cast("long").alias("n_ws_tokens"),
+        bpe_token_count(col).cast("long").alias("n_bpe_tokens"),
+        _count_matches(col, r"\p{Punct}").cast("long").alias("n_punct"),
+        _count_matches(col, r"[A-Za-z]").cast("long").alias("n_alpha"),
+        stopword_count(col, "en").cast("long").alias("n_stopwords_en"),
     ]
 
 
