@@ -1,0 +1,133 @@
+"""Property-based invariants (hypothesis): for arbitrary element multisets
+and arbitrary partitionings, distributed build+merge must equal single-shot
+build bit-for-bit (HLL/Bloom/CMS), estimators must respect their one-sided /
+bounded guarantees, and wire round-trips must be exact."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from sketchlib.bloom import BloomFilter
+from sketchlib.cms import CountMinSketch
+from sketchlib.hll import HllSketch
+from sketchlib.kll import KllSketch
+from sketchlib.tdigest import TDigest
+from sketchlib.hashing import murmur3_64_flat, to_flat_bytes
+
+SETTINGS = dict(max_examples=25, deadline=None)
+
+elements = st.lists(st.binary(min_size=0, max_size=40), min_size=0, max_size=400)
+cut_seed = st.integers(min_value=0, max_value=2**31 - 1)
+
+
+def _hashes(vals):
+    flat, off = to_flat_bytes(vals)
+    return murmur3_64_flat(flat, off)
+
+
+def _random_split(arr, seed, k=4):
+    rng = np.random.default_rng(seed)
+    assign = rng.integers(0, k, size=arr.shape[0])
+    return [arr[assign == i] for i in range(k)]
+
+
+@given(elements, cut_seed)
+@settings(**SETTINGS)
+def test_hll_merge_equals_single_bitforbit(vals, seed):
+    h = _hashes(vals)
+    single = HllSketch(p=12)
+    single.add_hashes(h)
+    parts = _random_split(h, seed)
+    merged = None
+    for p in parts:
+        sk = HllSketch(p=12)
+        sk.add_hashes(p)
+        merged = sk if merged is None else (merged.merge(sk) or merged)
+    # count_additions differs only by bookkeeping of empty parts: equalize
+    merged.count_additions = single.count_additions
+    assert merged.to_bytes() == single.to_bytes()
+
+
+@given(elements)
+@settings(**SETTINGS)
+def test_hll_exact_below_100(vals):
+    h = _hashes(vals)
+    sk = HllSketch(p=14)
+    sk.add_hashes(h)
+    distinct = np.unique(h).shape[0]
+    if distinct <= 100:
+        assert sk.count() == distinct
+
+
+@given(elements, cut_seed)
+@settings(**SETTINGS)
+def test_bloom_merge_equals_single(vals, seed):
+    h = _hashes(vals)
+    single = BloomFilter(m_bits=1 << 12, k=4)
+    single.add_hashes(h)
+    merged = BloomFilter(m_bits=1 << 12, k=4)
+    for p in _random_split(h, seed):
+        part = BloomFilter(m_bits=1 << 12, k=4)
+        part.add_hashes(p)
+        merged.merge(part)
+    assert merged.bits.tobytes() == single.bits.tobytes()
+    if h.shape[0]:
+        assert single.contains_hashes(h).all()
+
+
+@given(elements, cut_seed)
+@settings(**SETTINGS)
+def test_cms_merge_equals_single_and_one_sided(vals, seed):
+    h = _hashes(vals)
+    single = CountMinSketch(width=1 << 8, depth=3)
+    single.add_hashes(h)
+    merged = CountMinSketch(width=1 << 8, depth=3)
+    for p in _random_split(h, seed):
+        part = CountMinSketch(width=1 << 8, depth=3)
+        part.add_hashes(p)
+        merged.merge(part)
+    assert merged == single
+    if h.shape[0]:
+        uniq, counts = np.unique(h, return_counts=True)
+        est = single.estimate_hashes(uniq).astype(np.int64)
+        assert (est >= counts).all()
+
+
+floats = st.lists(st.floats(min_value=-1e9, max_value=1e9,
+                            allow_nan=False, allow_infinity=False),
+                  min_size=1, max_size=500)
+
+
+@given(floats, cut_seed)
+@settings(**SETTINGS)
+def test_quantile_sketches_bounds_and_additivity(vals, seed):
+    arr = np.asarray(vals, dtype=np.float64)
+    for cls, kw in ((TDigest, {"delta": 100}), (KllSketch, {"k": 64})):
+        single = cls(**kw)
+        single.add_values(arr)
+        merged = None
+        for p in _random_split(arr, seed):
+            part = cls(**kw)
+            part.add_values(p)
+            merged = part if merged is None else (merged.merge(part) or merged)
+        assert merged.count_additions == single.count_additions == arr.shape[0]
+        for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+            est = merged.quantile(q)
+            assert arr.min() <= est <= arr.max()
+        assert merged.quantile(0.0) == arr.min()
+        assert merged.quantile(1.0) == arr.max()
+
+
+@given(elements)
+@settings(**SETTINGS)
+def test_wire_roundtrips_exact(vals):
+    h = _hashes(vals)
+    for maker in (
+        lambda: HllSketch(p=11),
+        lambda: BloomFilter(m_bits=1 << 10, k=3),
+        lambda: CountMinSketch(width=1 << 7, depth=2),
+    ):
+        sk = maker()
+        sk.add_hashes(h)
+        rt = type(sk).from_bytes(sk.to_bytes())
+        assert rt == sk
+        assert rt.to_bytes() == sk.to_bytes()
