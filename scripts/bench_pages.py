@@ -1,0 +1,108 @@
+"""North-star query suite over the generated pages table (largest local
+scale): the four BASELINE.json queries end-to-end at local[32], reported as
+docs/sec each and appended to BENCH/BASELINE.md.
+
+    python scripts/bench_pages.py [--data .benchdata/pages24m] [--cpus 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default=os.path.join(REPO, ".benchdata", "pages24m"))
+    ap.add_argument("--cpus", default="32")
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.aggregate import HllSpec, distinct_count, estimate_col, sketch_agg
+    from sketchlib.spark.heavy_hitters import heavy_hitters
+    from sketchlib.spark.quantiles import approx_quantiles
+    from sketchlib.spark.specs import CmsSpec, TDigestSpec
+
+    spark = (SparkSession.builder.master(f"local[{args.cpus}]")
+             .config("spark.sql.shuffle.partitions", args.cpus)
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
+             .config("spark.ui.showConsoleProgress", "false")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "24g")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(args.data)
+    n_rows = df.count()
+
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+
+    def q_distinct_urls():
+        return distinct_count(df, "url", ["lang", "day"]).count()
+
+    def q_distinct_lang_hosts():
+        with_host = df.withColumn("url_host", host)
+        return distinct_count(with_host, ["lang", "url_host"], ["lang", "day"]).count()
+
+    def q_heavy_hosts():
+        with_host = df.withColumn("url_host", host)
+        return heavy_hitters(with_host, "url_host", k=20, spec=CmsSpec()).count()
+
+    def q_text_quantiles():
+        with_len = df.withColumn("text_len", F.length("text").cast("double"))
+        return approx_quantiles(with_len, "text_len", [0.5, 0.9, 0.99],
+                                ["lang"], TDigestSpec()).count()
+
+    queries = {
+        "distinct_urls_per_lang_day": q_distinct_urls,
+        "distinct_lang_host_per_lang_day": q_distinct_lang_hosts,
+        "heavy_hitter_hosts_top20": q_heavy_hosts,
+        "text_len_quantiles_per_lang": q_text_quantiles,
+    }
+    results = {}
+    for name, fn in queries.items():
+        walls = []
+        out = None
+        for _ in range(args.reps):
+            t0 = time.time()
+            out = fn()
+            walls.append(time.time() - t0)
+        wall = min(walls)
+        results[name] = {"wall_sec": round(wall, 2),
+                         "docs_per_sec": round(n_rows / wall, 1),
+                         "out_rows": out}
+        print(json.dumps({name: results[name]}), flush=True)
+    spark.stop()
+
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    lines = [
+        "",
+        "## North-star query suite (pages table, local[{}], {:,} rows)".format(
+            args.cpus, n_rows),
+        "",
+        "| query | wall (s) | docs/sec | output rows |",
+        "|---|---|---|---|",
+    ]
+    for name, r in results.items():
+        lines.append(f"| {name} | {r['wall_sec']} | {r['docs_per_sec']:,.0f} | "
+                     f"{r['out_rows']} |")
+    lines.append("")
+    lines.append("_Regenerate: `python scripts/bench_pages.py`_")
+    with open(path, "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({"suite": results, "rows": n_rows}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
