@@ -62,6 +62,40 @@ def test_streaming_distinct_incremental_and_resume(spark, tmp_path):
     assert "de" not in got2  # update mode: untouched groups are not re-emitted
 
 
+def test_streaming_windowed_event_time(spark, tmp_path):
+    """Event-time windowing + watermark: the window struct is just another
+    group key to the stateful sketch operator."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from sketchlib.streaming import streaming_distinct_count
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src = str(tmp_path / "wsrc")
+    os.makedirs(src, exist_ok=True)
+    rows = ([(f"https://a/{i}", datetime(2026, 1, 1, 0, 10)) for i in range(30)]
+            + [(f"https://a/{i}", datetime(2026, 1, 1, 1, 10)) for i in range(10, 50)])
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    collected = []
+    stream = (spark.readStream.schema(schema).parquet(src)
+              .withWatermark("ts", "2 hours")
+              .withColumn("window", F.window("ts", "1 hour"))
+              .select("url", "window"))  # one event-time column downstream
+    agg = streaming_distinct_count(stream, "url", ["window"])
+    q = (agg.writeStream.foreachBatch(lambda df, _b: collected.extend(df.collect()))
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "wckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["window"]["start"].hour: r["estimate"] for r in collected}
+    assert got == {0: 30, 1: 40}
+
+
 def test_streaming_count_additions(spark, tmp_path):
     src = str(tmp_path / "src2")
     ckpt = str(tmp_path / "ckpt2")
