@@ -9,12 +9,23 @@ Layering:
 * ``sketchlib.hll`` & friends — pure-numpy mergeable sketches, each with
   ``add_* / merge / estimate / to_bytes / from_bytes``.
 * ``sketchlib.spark`` — the thin Spark integration: two-stage partial/final
-  aggregation built from ``mapInPandas`` + ``groupBy().applyInPandas``,
-  estimate ``pandas_udf``s, explicit skew salting, checkpoint/resume.
+  aggregation (``mapInArrow`` partial build + JVM ``collect_list`` merge),
+  estimate ``pandas_udf``s, explicit skew salting, heavy hitters, membership,
+  quantiles, checkpoint/resume, SQL registration.
+* ``sketchlib.streaming`` — stateful Structured-Streaming sketch aggregation.
+* ``sketchlib.text`` / ``sketchlib.dedup`` / ``sketchlib.similarity`` /
+  ``sketchlib.multimodal`` — training-data pipeline operators (quality/langid,
+  exact+MinHash+SimHash dedup, ANN, media plumbing).
 * ``sketchlib.data`` — deterministic Common-Crawl-style ``pages`` table
-  generator and the frozen byte-identical text extraction.
+  generator, frozen byte-identical text extraction, Iceberg/Parquet table
+  interface.
+* ``sketchlib.jobs`` — spark-submit entry points.
 """
 
+from .bloom import BloomFilter  # noqa: F401
+from .cms import CountMinSketch  # noqa: F401
 from .hll import HllSketch  # noqa: F401
+from .kll import KllSketch  # noqa: F401
+from .tdigest import TDigest  # noqa: F401
 
 __version__ = "0.1.0"

@@ -6,3 +6,4 @@ from .pages import (  # noqa: F401
     wrap_html,
     write_pages_parquet,
 )
+from .tables import PagesTable  # noqa: F401
