@@ -411,6 +411,30 @@ class HllSketch:
     __hash__ = None  # type: ignore[assignment]
 
 
+def union_estimate(*sketches: HllSketch) -> int:
+    """|A ∪ B ∪ ...| via merge (lossless for HLL)."""
+    merged = HllSketch.merge_all(sketches)
+    return 0 if merged is None else merged.count()
+
+
+def intersection_estimate(a: HllSketch, b: HllSketch) -> int:
+    """|A ∩ B| by inclusion-exclusion: |A| + |B| − |A ∪ B|.
+
+    Standard HLL set algebra (the reference has union only); error grows with
+    |A ∪ B| / |A ∩ B|, so treat small intersections of large sets as noise —
+    the estimate is clamped at 0."""
+    u = union_estimate(a, b)
+    return max(a.count() + b.count() - u, 0)
+
+
+def jaccard_estimate(a: HllSketch, b: HllSketch) -> float:
+    """J(A, B) ≈ (|A| + |B| − |A∪B|) / |A∪B|, clamped to [0, 1]."""
+    u = union_estimate(a, b)
+    if u == 0:
+        return 0.0
+    return min(max((a.count() + b.count() - u) / u, 0.0), 1.0)
+
+
 def hll_from_values(values, p: int = 14, hash_name: str = "murmur3",
                     use_direct_counting: bool = True) -> HllSketch:
     """Build a sketch from an iterable of byte strings (test convenience)."""

@@ -32,12 +32,9 @@ def _host(col):
 
 
 def build_session(app: str, cpus: str | None = None) -> SparkSession:
-    b = SparkSession.builder.appName(app)
-    if cpus:
-        b = b.master(f"local[{cpus}]").config("spark.sql.shuffle.partitions", cpus)
-    return (b.config("spark.sql.adaptive.enabled", "true")
-             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-             .getOrCreate())
+    from sketchlib.spark.session import build_session as build
+
+    return build(app, local_cpus=cpus)
 
 
 def list_days(spark: SparkSession, input_dir: str) -> list[str]:

@@ -318,3 +318,19 @@ def test_direct_blob_replay_reconstructs_registers():
     t = HllSketch.from_bytes(s.to_bytes())
     assert (t.registers == s.registers).all()
     assert t.direct is not None and t.direct.shape[0] == 50
+
+
+def test_set_algebra_estimates():
+    """Union/intersection/Jaccard estimates via inclusion-exclusion."""
+    from sketchlib.hll import (hll_from_values, intersection_estimate,
+                               jaccard_estimate, union_estimate)
+
+    a = hll_from_values([f"a{i}" for i in range(20_000)])
+    b = hll_from_values([f"a{i}" for i in range(10_000, 30_000)])
+    assert abs(union_estimate(a, b) - 30_000) / 30_000 < 0.05
+    inter = intersection_estimate(a, b)
+    assert abs(inter - 10_000) / 10_000 < 0.15
+    j = jaccard_estimate(a, b)
+    assert abs(j - 10_000 / 30_000) < 0.05
+    disjoint = hll_from_values([f"z{i}" for i in range(50)])
+    assert intersection_estimate(a, disjoint) <= 600  # noise-clamped
