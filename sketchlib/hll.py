@@ -177,6 +177,11 @@ class HllSketch:
             return self._is_sparse
         if self.sparse_max_elements <= 0:
             return False
+        # direct mode: non-zero registers <= distinct hashes, so a bounded
+        # direct set proves sparseness without materializing the registers
+        # (the replay costs a 16KB alloc — fatal at millions of tiny groups)
+        if self.direct.shape[0] <= self.sparse_max_elements:
+            return True
         return int(np.count_nonzero(self.registers)) <= self.sparse_max_elements
 
     def _drop_direct(self) -> None:
@@ -409,6 +414,18 @@ class HllSketch:
         return self.state_tuple() == other.state_tuple()
 
     __hash__ = None  # type: ignore[assignment]
+
+
+def direct_blob(p: int, sorted_unique_hashes: np.ndarray,
+                count_additions: int) -> bytes:
+    """Canonical v3.1 direct-mode blob straight from a sorted unique hash
+    array — byte-identical to ``HllSketch(direct=...).to_bytes()`` but with
+    no sketch object, for the millions-of-tiny-groups emit loop."""
+    n = sorted_unique_hashes.shape[0]
+    sparse_flag = 2 if max(0, (1 << p) // 15 - 10) > 0 else 0
+    return (struct.pack("<HHiBi", WIRE_MAJOR, WIRE_MINOR, p, sparse_flag | 1, n)
+            + sorted_unique_hashes.astype("<u8").tobytes()
+            + struct.pack("<Q", count_additions & ((1 << 64) - 1)))
 
 
 def union_estimate(*sketches: HllSketch) -> int:

@@ -84,9 +84,9 @@ def hash_arrow_columns(batch, cols: Sequence[str], hash_name: str = "murmur3") -
     return flat_fn(flat, offsets)
 
 
-def arrow_group_codes(batch, group_cols: Sequence[str]) -> tuple[np.ndarray, list[tuple]]:
-    """Per-row group codes + unique key tuples from Arrow dictionary
-    encoding — vectorized factorize without pandas."""
+def arrow_group_codes(batch, group_cols: Sequence[str]) -> tuple[np.ndarray, tuple]:
+    """Per-row group codes + unique-key *column arrays* from Arrow dictionary
+    encoding — vectorized factorize, zero per-key Python."""
     import pyarrow.compute as pc
 
     idx_arrays = []
@@ -94,22 +94,26 @@ def arrow_group_codes(batch, group_cols: Sequence[str]) -> tuple[np.ndarray, lis
     for c in group_cols:
         enc = pc.dictionary_encode(batch.column(c))
         idx_arrays.append(enc.indices.to_numpy(zero_copy_only=False).astype(np.int64))
-        dicts.append(enc.dictionary.to_pylist())
+        dicts.append(enc.dictionary)
     codes = idx_arrays[0].copy()
-    for idx, d in zip(idx_arrays[1:], dicts[1:]):
-        codes *= len(d)
+    sizes = [len(d) for d in dicts]
+    for idx, k in zip(idx_arrays[1:], sizes[1:]):
+        codes *= k
         codes += idx
     uniq = np.unique(codes)
     remap = np.searchsorted(uniq, codes)
-    keys = []
-    for v in uniq.tolist():
-        parts = []
-        for d in reversed(dicts[1:]):
-            parts.append(d[v % len(d)])
-            v //= len(d)
-        parts.append(dicts[0][v])
-        keys.append(tuple(reversed(parts)))
-    return remap, keys
+    # decode each unique combined code back into per-column values (take on
+    # the dictionary arrays — vectorized)
+    key_cols = []
+    rem = uniq
+    for d, k in zip(reversed(dicts), reversed(sizes)):
+        key_cols.append(np.asarray(d.take(rem % k).to_pandas()))
+        rem = rem // k
+    return remap, tuple(reversed(key_cols))
+
+
+def _keys_as_tuples(key_cols: tuple) -> list[tuple]:
+    return list(zip(*[c.tolist() for c in key_cols]))
 
 
 def hash_columns(pdf: pd.DataFrame, cols: Sequence[str], hash_name: str = "murmur3") -> np.ndarray:
@@ -154,6 +158,20 @@ class HllSpec:
             unique_hashes, p=self.p, count_additions=count_additions,
             use_direct_counting=self.use_direct_counting)
 
+    def blob_from_hashes(self, sorted_unique_hashes: np.ndarray,
+                         count_additions: int) -> bytes:
+        """Serialized sketch straight from a group's sorted unique hashes;
+        direct-mode groups skip sketch-object construction entirely."""
+        from ..hll import DIRECT_COUNTER_MAX_ELEMENTS, direct_blob
+
+        n = sorted_unique_hashes.shape[0]
+        sparse_max = max(0, (1 << self.p) // 15 - 10)
+        if (self.use_direct_counting and n <= DIRECT_COUNTER_MAX_ELEMENTS
+                and n <= sparse_max):
+            return direct_blob(self.p, sorted_unique_hashes, count_additions)
+        return self.to_bytes(self.build_from_hashes(sorted_unique_hashes,
+                                                    count_additions))
+
     def prepare(self, pdf: pd.DataFrame, element_cols: Sequence[str]) -> np.ndarray:
         return hash_columns(pdf, element_cols, self.hash_name)
 
@@ -190,52 +208,95 @@ class _PairAccumulator:
     size threshold, and spills any group past ``spill_threshold`` distinct
     hashes into a register sketch so memory stays bounded by
     ``#small-groups x spill_threshold x 16B + #big-groups x sketch_size``
-    regardless of partition row count.  Per-group Python work is deferred to
-    one vectorized pass at partition end — this is what makes millions of
-    tiny groups (e.g. per-host distincts) cheap."""
+    regardless of partition row count.
+
+    Per-row AND per-group work is vectorized: batches arrive with batch-local
+    codes plus their unique-key *column arrays*; codes globalize lazily in one
+    pandas factorize over the concatenated key columns (no per-key Python),
+    and per-group blob emission at partition end uses a direct-blob fast path
+    for small groups. This is what makes millions of tiny groups (e.g.
+    per-host distincts) cheap."""
 
     def __init__(self, spec, compact_threshold: int = 1 << 23,
                  spill_threshold: int = 1 << 12) -> None:
         self.spec = spec
         self.compact_threshold = compact_threshold
         self.spill_threshold = spill_threshold
-        self.key_to_code: dict = {}
-        self.keys: list[tuple] = []
-        self.code_chunks: list[np.ndarray] = []
-        self.hash_chunks: list[np.ndarray] = []
+        # pending batches: (key_cols tuple[np.ndarray], local codes, hashes)
+        self.batches: list[tuple[tuple, np.ndarray, np.ndarray]] = []
         self.pending = 0
-        self.additions: list[int] = []
+        # globalized state
+        self.gkey_cols: tuple | None = None
+        self.gcodes = np.zeros(0, dtype=np.int64)
+        self.ghashes = np.zeros(0, dtype=np.uint64)
+        self.gadds = np.zeros(0, dtype=np.int64)
         self.spilled: dict[int, object] = {}
 
-    def _code_of(self, key: tuple) -> int:
-        code = self.key_to_code.get(key)
-        if code is None:
-            code = len(self.keys)
-            self.key_to_code[key] = code
-            self.keys.append(key)
-            self.additions.append(0)
-        return code
-
-    def add_batch(self, local_codes: np.ndarray, local_keys: list,
+    def add_batch(self, local_codes: np.ndarray, key_cols: tuple,
                   hashes: np.ndarray) -> None:
-        lut = np.fromiter(
-            (self._code_of(k if isinstance(k, tuple) else (k,)) for k in local_keys),
-            dtype=np.int64, count=len(local_keys))
-        codes = lut[local_codes]
-        counts = np.bincount(codes, minlength=len(self.keys))
-        for c in np.nonzero(counts)[0]:
-            self.additions[int(c)] += int(counts[c])
-        self.code_chunks.append(codes)
-        self.hash_chunks.append(np.ascontiguousarray(hashes, dtype=np.uint64))
-        self.pending += codes.shape[0]
+        self.batches.append((key_cols,
+                             np.ascontiguousarray(local_codes, dtype=np.int64),
+                             np.ascontiguousarray(hashes, dtype=np.uint64)))
+        self.pending += local_codes.shape[0]
         if self.pending > self.compact_threshold:
-            self._compact()
+            self._globalize()
 
-    def _compact(self) -> None:
-        if not self.code_chunks:
+    @staticmethod
+    def _factorize_cols(cols: tuple) -> tuple[np.ndarray, tuple]:
+        if len(cols) == 1:
+            codes, uniq = pd.factorize(cols[0], use_na_sentinel=False)
+            return codes.astype(np.int64), (np.asarray(uniq),)
+        mi = pd.MultiIndex.from_arrays(list(cols))
+        codes, uniq = mi.factorize(use_na_sentinel=False)
+        return codes.astype(np.int64), tuple(
+            np.asarray(uniq.get_level_values(i)) for i in range(len(cols)))
+
+    def _globalize(self) -> None:
+        """One vectorized pass: re-factorize all known keys (existing globals
+        + every pending batch's uniques), remap codes through per-source LUTs,
+        accumulate additions, sort-dedup pairs, spill huge groups."""
+        if not self.batches and self.gkey_cols is not None:
             return
-        codes = np.concatenate(self.code_chunks)
-        hashes = np.concatenate(self.hash_chunks)
+        parts = []
+        if self.gkey_cols is not None:
+            parts.append(self.gkey_cols)
+        for key_cols, _codes, _hashes in self.batches:
+            parts.append(key_cols)
+        if not parts:
+            return
+        ncols = len(parts[0])
+        cat = tuple(np.concatenate([p[i] for p in parts]) for i in range(ncols))
+        all_codes, uniq_cols = self._factorize_cols(cat)
+        n_uniq = uniq_cols[0].shape[0]
+
+        # split the lut back per source
+        offs = np.cumsum([0] + [p[0].shape[0] for p in parts])
+        luts = [all_codes[offs[i]:offs[i + 1]] for i in range(len(parts))]
+
+        new_adds = np.zeros(n_uniq, dtype=np.int64)
+        codes_list = []
+        hashes_list = []
+        li = 0
+        if self.gkey_cols is not None:
+            lut = luts[0]
+            li = 1
+            codes_list.append(lut[self.gcodes])
+            hashes_list.append(self.ghashes)
+            np.add.at(new_adds, lut, self.gadds)
+            if self.spilled:
+                self.spilled = {int(lut[c]): sk for c, sk in self.spilled.items()}
+        for (key_cols, codes, hashes), lut in zip(self.batches, luts[li:]):
+            codes_list.append(lut[codes])
+            hashes_list.append(hashes)
+            np.add.at(new_adds, lut,
+                      np.bincount(codes, minlength=key_cols[0].shape[0]))
+        self.batches = []
+        self.pending = 0
+        self.gkey_cols = uniq_cols
+        self.gadds = new_adds
+
+        codes = np.concatenate(codes_list)
+        hashes = np.concatenate(hashes_list)
         order = np.lexsort((hashes, codes))
         codes = codes[order]
         hashes = hashes[order]
@@ -244,47 +305,52 @@ class _PairAccumulator:
         codes = codes[keep]
         hashes = hashes[keep]
         # spill groups with > spill_threshold distinct hashes to sketches
-        counts = np.bincount(codes, minlength=len(self.keys))
+        counts = np.bincount(codes, minlength=n_uniq)
         big = np.nonzero(counts > self.spill_threshold)[0]
         if big.shape[0]:
             starts = np.searchsorted(codes, big, side="left")
             ends = np.searchsorted(codes, big, side="right")
             drop = np.zeros(codes.shape[0], dtype=bool)
             for c, s, e in zip(big.tolist(), starts.tolist(), ends.tolist()):
-                sk = self.spilled.get(c)
+                sk = self.spilled.get(int(c))
                 if sk is None:
                     sk = self.spec.make()
-                    self.spilled[c] = sk
+                    self.spilled[int(c)] = sk
                 self.spec.ingest(sk, hashes[s:e])
                 drop[s:e] = True
             codes = codes[~drop]
             hashes = hashes[~drop]
-        self.code_chunks = [codes]
-        self.hash_chunks = [hashes]
-        self.pending = codes.shape[0]
+        self.gcodes = codes
+        self.ghashes = hashes
 
     def finalize(self, group_cols: Sequence[str], sketch_col: str):
-        if not self.keys:
+        self._globalize()
+        if self.gkey_cols is None:
             return
-        self._compact()
-        codes = self.code_chunks[0]
-        hashes = self.hash_chunks[0]
-        n = len(self.keys)
+        codes = self.gcodes
+        hashes = self.ghashes
+        n = self.gkey_cols[0].shape[0]
         starts = np.searchsorted(codes, np.arange(n), side="left")
         ends = np.searchsorted(codes, np.arange(n), side="right")
+        fast_blob = getattr(self.spec, "blob_from_hashes", None)
         blobs = []
+        adds = self.gadds
         for c in range(n):
             seg = hashes[starts[c]:ends[c]]
             sk = self.spilled.get(c)
             if sk is None:
-                sk = self.spec.build_from_hashes(seg, int(self.additions[c]))
+                if fast_blob is not None:
+                    blobs.append(fast_blob(seg, int(adds[c])))
+                    continue
+                sk = self.spec.build_from_hashes(seg, int(adds[c]))
             else:
                 if seg.shape[0]:
                     self.spec.ingest(sk, seg)
-                sk.count_additions = int(self.additions[c])
+                sk.count_additions = int(adds[c])
             blobs.append(self.spec.to_bytes(sk))
-        out = pd.DataFrame(self.keys, columns=list(group_cols) or None)
-        if not group_cols:
+        if group_cols:
+            out = pd.DataFrame({g: col for g, col in zip(group_cols, self.gkey_cols)})
+        else:
             out = pd.DataFrame(index=range(len(blobs)))
         out[sketch_col] = blobs
         yield out
@@ -331,11 +397,11 @@ def build_partials(df: DataFrame, element_cols: Sequence[str] | str,
                     continue
             prepared = spec.prepare_arrow(batch, element_cols)
             if group_cols:
-                local_codes, local_keys = arrow_group_codes(batch, group_cols)
+                local_codes, key_cols = arrow_group_codes(batch, group_cols)
             else:
                 local_codes = np.zeros(batch.num_rows, dtype=np.int64)
-                local_keys = [()]
-            acc.add_batch(local_codes, local_keys, prepared)
+                key_cols = (np.zeros(1, dtype=np.int64),)
+            acc.add_batch(local_codes, key_cols, prepared)
         for pdf in acc.finalize(group_cols, sketch_col):
             yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
 
@@ -353,15 +419,16 @@ def build_partials(df: DataFrame, element_cols: Sequence[str] | str,
                 if len(group_cols) == 1:
                     local_codes, uniques = pd.factorize(
                         pdf[group_cols[0]], use_na_sentinel=False)
-                    local_keys = [(u,) for u in uniques]
+                    key_cols = (np.asarray(uniques),)
                 else:
                     mi = pd.MultiIndex.from_frame(pdf[group_cols])
                     local_codes, uniques = mi.factorize(use_na_sentinel=False)
-                    local_keys = list(uniques)
+                    key_cols = tuple(np.asarray(uniques.get_level_values(i))
+                                     for i in range(len(group_cols)))
             else:
                 local_codes = np.zeros(len(pdf), dtype=np.int64)
-                local_keys = [()]
-            acc.add_batch(local_codes, local_keys, prepared)
+                key_cols = (np.zeros(1, dtype=np.int64),)
+            acc.add_batch(np.asarray(local_codes, dtype=np.int64), key_cols, prepared)
         yield from acc.finalize(group_cols, sketch_col)
 
     def build_stream_arrow(batches):
@@ -388,7 +455,8 @@ def build_partials(df: DataFrame, element_cols: Sequence[str] | str,
                     continue
             prepared = spec.prepare_arrow(batch, element_cols)
             if group_cols:
-                codes, keys = arrow_group_codes(batch, group_cols)
+                codes, key_cols = arrow_group_codes(batch, group_cols)
+                keys = _keys_as_tuples(key_cols)
             else:
                 codes = np.zeros(batch.num_rows, dtype=np.int64)
                 keys = [()]
@@ -460,6 +528,11 @@ def merge_blobs_udf(spec) -> Column:
     def _merge(lists: pd.Series) -> pd.Series:
         out = []
         for blobs in lists:
+            if len(blobs) == 1:
+                # canonical serialization -> a lone partial IS the result
+                # (the common case when input is clustered by the group key)
+                out.append(bytes(blobs[0]))
+                continue
             merged = None
             for b in blobs:
                 sk = spec.from_bytes(bytes(b))
