@@ -100,10 +100,12 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
                 lambda bnd: F.xxhash64(F.slice("sig", bnd * rows_per_band + 1,
                                                rows_per_band)))
         ).alias("band", "bucket"))
-    # degenerate-bucket guard
-    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
-    banded = (banded.join(F.broadcast(sizes.filter(F.col("n") > max_bucket)),
-                          ["band", "bucket"], "left_anti"))
+    # degenerate-bucket guard: one window pass (no extra join stage)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    banded = (banded.withColumn("__n", F.count("*").over(w))
+              .filter(F.col("__n") <= max_bucket).drop("__n"))
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (a.join(b, ["band", "bucket"])

@@ -75,9 +75,11 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
             .bitwiseAND(F.lit((1 << chunk_bits) - 1))
             for i in range(n_chunks)
         ])).alias("chunk_id", "chunk_val"))
-    sizes = chunks.groupBy("chunk_id", "chunk_val").agg(F.count("*").alias("n"))
-    chunks = chunks.join(F.broadcast(sizes.filter(F.col("n") > max_bucket)),
-                         ["chunk_id", "chunk_val"], "left_anti")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("chunk_id", "chunk_val")
+    chunks = (chunks.withColumn("__n", F.count("*").over(w))
+              .filter(F.col("__n") <= max_bucket).drop("__n"))
     a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
                       "chunk_id", "chunk_val")
     b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),

@@ -110,9 +110,9 @@ def cosine_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
         id_col, vec_col,
         F.posexplode(F.array(*[F.col(f"__sig{t}") for t in range(n_tables)]))
         .alias("table_id", "bucket"))
-    sizes = banded.groupBy("table_id", "bucket").agg(F.count("*").alias("n"))
-    banded = banded.join(F.broadcast(sizes.filter(F.col("n") > max_bucket)),
-                         ["table_id", "bucket"], "left_anti")
+    w = Window.partitionBy("table_id", "bucket")
+    banded = (banded.withColumn("__n", F.count("*").over(w))
+              .filter(F.col("__n") <= max_bucket).drop("__n"))
     a = banded.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
                       "table_id", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
