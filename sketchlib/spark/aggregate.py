@@ -3,16 +3,19 @@
 Spark has no Python UDAF with a partial/final split, so we build the classic
 two-phase aggregation explicitly (SURVEY.md §4):
 
-* **stage 1 — partial build** (``mapInPandas``): each input partition streams
-  through a Python worker as Arrow batches; per (group, partition) one partial
-  sketch is built with vectorized numpy (batch hash + register max).  Output:
-  one row per group per partition — ``(group_cols..., sketch: binary)``.
+* **stage 1 — partial build** (``mapInArrow``): each input partition streams
+  through a Python worker as Arrow record batches; element bytes hash
+  straight from Arrow buffers (no pandas string materialization), group keys
+  factorize via Arrow dictionary encoding, and per (group, partition) one
+  partial sketch is emitted — ``(group_cols..., sketch: binary)``.
   This caps shuffle volume at ``#partitions x #groups x sketch_size`` no
   matter how many raw rows went in, and removes data skew from the shuffle:
   a hot group contributes at most one partial per partition.
-* **stage 2 — final merge** (``groupBy(group).applyInPandas``): fold-merge the
-  group's partials (register-wise max — associative & commutative, so any
-  merge order yields bit-identical canonical bytes).
+* **stage 2 — final merge**: JVM-side ``groupBy().agg(collect_list(sketch))``
+  (map-side partial aggregation + one exchange of blobs) followed by ONE
+  vectorized pandas UDF that fold-merges each group's blobs (register-wise
+  max — associative & commutative, so any merge order yields bit-identical
+  canonical bytes; a lone partial passes through untouched).
 
 This is the DataFrame-native equivalent of the reference's build-then-Merge
 pipeline (``CardinalityEstimator.cs:704-730``, ``CardinalityEstimatorExtensions.cs:87-103``)
