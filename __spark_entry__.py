@@ -234,6 +234,24 @@ def q_tdigest_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
     return _quantile_rank_bound(docs, "n_chars", ["lang"], [0.5, 0.9], TDigestSpec())
 
 
+def q_hll_salted_tree_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew handling end-to-end: salted input repartition + salted
+    tree-merge must yield the same estimates as the plain pipeline — here
+    checked against exact distinct (direct-mode groups are exact, so the
+    oracle is plain COUNT DISTINCT)."""
+    from sketchlib.spark.aggregate import HllSpec, build_partials, estimate_col
+    from sketchlib.spark.skew import salted_repartition, tree_merge_partials
+
+    li = _read(spark, sf_dir, "lineitem")
+    salted = salted_repartition(li, ["l_orderkey"], buckets=4, n_partitions=16,
+                                salt_source=["l_suppkey", "l_linenumber"])
+    spec = HllSpec()
+    partials = build_partials(salted, "l_suppkey", ["l_orderkey"], spec)
+    merged = tree_merge_partials(partials, ["l_orderkey"], spec, fanout=4, levels=1)
+    return merged.select("l_orderkey",
+                         estimate_col(spec).alias("distinct_suppliers"))
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings tables)
 # ---------------------------------------------------------------------------
@@ -313,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_orders_dense_bound": q_hll_distinct_orders_dense_bound,
         "hll_union_per_status_bound": q_hll_union_per_status_bound,
         "hll_users_per_event_type_bound": q_hll_users_per_event_type_bound,
+        "hll_salted_tree_merge": q_hll_salted_tree_merge,
         "bloom_membership": q_bloom_membership,
         "bloom_distinct_custkeys_bound": q_bloom_distinct_custkeys_bound,
         "cms_top_suppliers_bound": q_cms_top_suppliers_bound,
@@ -422,6 +441,10 @@ def oracle_sql() -> dict[str, str]:
         "hll_users_per_event_type_bound": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
             "TRUE AS within_bound FROM events GROUP BY event_type"
+        ),
+        "hll_salted_tree_merge": (
+            "SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS distinct_suppliers "
+            "FROM lineitem GROUP BY l_orderkey"
         ),
         "bloom_membership": (
             "SELECT COUNT(*) AS n_probes, "
