@@ -252,6 +252,44 @@ def q_hll_salted_tree_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                          estimate_col(spec).alias("distinct_suppliers"))
 
 
+def q_hll_fnv1a_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second hash option (FNV-1a 64, Hash/Fnv1A.cs:68-86): direct-mode
+    exactness is hash-independent, so the oracle is plain COUNT DISTINCT."""
+    li = _read(spark, sf_dir, "lineitem")
+    return distinct_count(li, "l_suppkey", ["l_orderkey"], hash_name="fnv1a",
+                          estimate_name="distinct_suppliers")
+
+
+def q_hll_multicolumn_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite (l_suppkey, l_partkey) element per order — multi-column
+    element hashing, exact in direct mode."""
+    li = _read(spark, sf_dir, "lineitem")
+    return distinct_count(li, ["l_suppkey", "l_partkey"], ["l_orderkey"],
+                          estimate_name="distinct_pairs")
+
+
+def q_hll_checkpointed_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpoint/lineage machinery inside the gate: per-day units of the
+    events table aggregated through SketchCheckpoint, final merged estimates
+    bound-checked against exact distinct users per event_type."""
+    import tempfile
+
+    from sketchlib.spark.aggregate import HllSpec
+    from sketchlib.spark.checkpoint import SketchCheckpoint
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "week", F.date_trunc("week", "ts"))
+    weeks = sorted(str(r["week"]) for r in ev.select("week").distinct().collect())
+    ck = SketchCheckpoint(tempfile.mkdtemp(prefix="ckpt_gate_"), HllSpec(),
+                          ["user_id"], ["event_type"], unit_col="week")
+    ck.run(spark, lambda w: ev.filter(F.col("week") == w), weeks)
+    merged = ck.result(spark)
+    est = merged.select("event_type", estimate_col(HllSpec()).alias("estimate"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"))
+    return _bound_check(est, exact, ["event_type"], "exact_users")
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings tables)
 # ---------------------------------------------------------------------------
@@ -332,6 +370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_union_per_status_bound": q_hll_union_per_status_bound,
         "hll_users_per_event_type_bound": q_hll_users_per_event_type_bound,
         "hll_salted_tree_merge": q_hll_salted_tree_merge,
+        "hll_fnv1a_distinct_exact": q_hll_fnv1a_distinct_exact,
+        "hll_multicolumn_distinct_exact": q_hll_multicolumn_distinct_exact,
+        "hll_checkpointed_users": q_hll_checkpointed_users,
         "bloom_membership": q_bloom_membership,
         "bloom_distinct_custkeys_bound": q_bloom_distinct_custkeys_bound,
         "cms_top_suppliers_bound": q_cms_top_suppliers_bound,
@@ -445,6 +486,19 @@ def oracle_sql() -> dict[str, str]:
         "hll_salted_tree_merge": (
             "SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS distinct_suppliers "
             "FROM lineitem GROUP BY l_orderkey"
+        ),
+        "hll_fnv1a_distinct_exact": (
+            "SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS distinct_suppliers "
+            "FROM lineitem GROUP BY l_orderkey"
+        ),
+        "hll_multicolumn_distinct_exact": (
+            "SELECT l_orderkey, COUNT(DISTINCT (l_suppkey::VARCHAR || '|' || "
+            "l_partkey::VARCHAR)) AS distinct_pairs "
+            "FROM lineitem GROUP BY l_orderkey"
+        ),
+        "hll_checkpointed_users": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
+            "TRUE AS within_bound FROM events GROUP BY event_type"
         ),
         "bloom_membership": (
             "SELECT COUNT(*) AS n_probes, "
