@@ -71,7 +71,7 @@ def day_source(spark: SparkSession, input_dir: str, query: str):
 
 def make_checkpoint(query: str, checkpoint_dir: str):
     from sketchlib.spark.aggregate import HllSpec
-    from sketchlib.spark.checkpoint import SketchCheckpoint
+    from sketchlib.spark.checkpoint import HeavyHittersCheckpoint, SketchCheckpoint
     from sketchlib.spark.specs import CmsSpec, TDigestSpec
 
     if query == "distinct-urls":
@@ -80,7 +80,8 @@ def make_checkpoint(query: str, checkpoint_dir: str):
         return SketchCheckpoint(checkpoint_dir, HllSpec(), ["lang", "url_host"],
                                 ["lang", "day"])
     if query == "heavy-hosts":
-        return SketchCheckpoint(checkpoint_dir, CmsSpec(), ["url_host"], [])
+        return HeavyHittersCheckpoint(checkpoint_dir, CmsSpec(), "url_host",
+                                      [], k=20)
     if query == "text-quantiles":
         return SketchCheckpoint(checkpoint_dir, TDigestSpec(), ["text_len"], ["lang"])
     raise ValueError(f"unknown query {query}")
@@ -95,7 +96,7 @@ def finalize(spark: SparkSession, query: str, ckpt) -> DataFrame:
         name = "distinct_urls" if query == "distinct-urls" else "distinct_hosts"
         return merged.select(*ckpt.group_cols, estimate_col(ckpt.spec).alias(name))
     if query == "heavy-hosts":
-        return merged  # CMS blob; point queries via heavy_hitters/estimate_counts
+        return merged  # (url_host, est_count, lower_bound) top-k table
     return merged.select(*ckpt.group_cols,
                          quantiles_col(ckpt.spec, [0.5, 0.9, 0.99]).alias("text_len_q"))
 

@@ -126,3 +126,52 @@ class SketchCheckpoint:
             return tree_merge_partials(partials, self.group_cols, self.spec,
                                        fanout=tree_fanout, levels=1)
         return merge_partials(partials, self.group_cols, self.spec)
+
+
+class HeavyHittersCheckpoint(SketchCheckpoint):
+    """Checkpointed heavy hitters: each unit persists the one-pass mixed
+    stage-1 output (per-partition candidate counts + partial CMS blobs), so
+    the final top-k is computable from the checkpoint alone — no input rescan
+    on resume. Lineage/commit semantics inherited from SketchCheckpoint."""
+
+    def __init__(self, checkpoint_dir: str, spec, value_col: str,
+                 group_cols: Sequence[str] = (), k: int = 20,
+                 unit_col: str = "day") -> None:
+        super().__init__(checkpoint_dir, spec, [value_col], group_cols, unit_col)
+        self.value_col = value_col
+        self.k = k
+
+    def run_unit(self, df_unit: DataFrame, unit: str) -> dict:
+        from .heavy_hitters import heavy_hitters_partials
+
+        t0 = time.time()
+        partials = heavy_hitters_partials(df_unit, self.value_col,
+                                          self.group_cols, self.spec,
+                                          n_cand=max(4 * self.k, 64))
+        path = self._unit_path(unit)
+        partials.write.mode("overwrite").parquet(path)
+        stats = (df_unit.sparkSession.read.parquet(path)
+                 .agg(F.count("*").alias("n_partials")).first())
+        record = {
+            "unit": unit,
+            "n_partials": int(stats["n_partials"]),
+            "n_input_rows": df_unit.count(),
+            "element_cols": [self.value_col],
+            "group_cols": self.group_cols,
+            "sketch": getattr(self.spec, "name", "sketch") + "+candidates",
+            "wall_sec": round(time.time() - t0, 3),
+            "writer": uuid.uuid4().hex[:12],
+            "finished_at": time.time(),
+        }
+        self._commit(record)
+        return record
+
+    def result(self, spark: SparkSession, tree_fanout: int | None = None) -> DataFrame:
+        from .heavy_hitters import heavy_hitters_from_partials
+
+        done = sorted(self.completed_units())
+        if not done:
+            raise ValueError(f"no completed units in checkpoint {self.dir}")
+        partials = spark.read.parquet(*(self._unit_path(u) for u in done))
+        return heavy_hitters_from_partials(partials, self.k, self.group_cols,
+                                           self.spec)

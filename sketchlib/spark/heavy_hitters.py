@@ -37,18 +37,15 @@ from .aggregate import _group_field, hash_series, merge_blobs_udf
 from .specs import CmsSpec
 
 
-def heavy_hitters(df: DataFrame, value_col: str, k: int = 20,
-                  group_cols: Sequence[str] = (), spec: CmsSpec | None = None,
-                  candidates_per_partition: int | None = None) -> DataFrame:
-    """Approximate top-k most frequent ``value_col`` per group.
-
-    Returns ``(group_cols..., value, est_count, lower_bound)`` with
-    ``lower_bound <= true count <= est_count`` and
-    ``est_count <= true + eps*N`` w.h.p. (eps = e/width).
-    """
+def heavy_hitters_partials(df: DataFrame, value_col: str,
+                           group_cols: Sequence[str] = (),
+                           spec: CmsSpec | None = None,
+                           n_cand: int = 80) -> DataFrame:
+    """Stage 1 only (one pass): mixed rows of per-partition candidates
+    (``value``, ``local_count``) and partial CMS blobs (``cms``). Exposed so
+    checkpointed jobs can persist per-unit partials and resume."""
     group_cols = list(group_cols)
     spec = spec or CmsSpec()
-    n_cand = candidates_per_partition or max(4 * k, 64)
 
     part_schema = T.StructType(
         [_group_field(df, g) for g in group_cols]
@@ -88,9 +85,15 @@ def heavy_hitters(df: DataFrame, value_col: str, k: int = 20,
             out_rows.append(list(key) + [None, None, spec.to_bytes(cms)])
         yield pd.DataFrame(out_rows, columns=group_cols + ["value", "local_count", "cms"])
 
-    partials = df.select(*dict.fromkeys(group_cols + [value_col])).mapInPandas(build, part_schema)
-    partials = partials.persist()
+    return df.select(*dict.fromkeys(group_cols + [value_col])).mapInPandas(build, part_schema)
 
+
+def heavy_hitters_from_partials(partials: DataFrame,
+                                k: int = 20, group_cols: Sequence[str] = (),
+                                spec: CmsSpec | None = None) -> DataFrame:
+    """Stages 2-3 over (possibly unioned-across-units) stage-1 partials."""
+    group_cols = list(group_cols)
+    spec = spec or CmsSpec()
     cms_rows = partials.filter(F.col("cms").isNotNull())
     if group_cols:
         merged_cms = (cms_rows.groupBy(*group_cols).agg(F.collect_list("cms").alias("__blobs"))
@@ -104,8 +107,8 @@ def heavy_hitters(df: DataFrame, value_col: str, k: int = 20,
             .agg(F.sum("local_count").alias("lower_bound")))
 
     out_schema = T.StructType(
-        [_group_field(df, g) for g in group_cols]
-        + [T.StructField("value", df.schema[value_col].dataType, True),
+        [_group_field(partials, g) for g in group_cols]
+        + [T.StructField("value", partials.schema["value"].dataType, True),
            T.StructField("est_count", T.LongType(), True),
            T.StructField("lower_bound", T.LongType(), True)]
     )
@@ -129,6 +132,21 @@ def heavy_hitters(df: DataFrame, value_col: str, k: int = 20,
     return (cog.applyInPandas(
         lambda l, r: rank(l.drop(columns="__g"), r.drop(columns="__g")).assign(__g=1),
         schema_g).drop("__g"))
+
+
+def heavy_hitters(df: DataFrame, value_col: str, k: int = 20,
+                  group_cols: Sequence[str] = (), spec: CmsSpec | None = None,
+                  candidates_per_partition: int | None = None) -> DataFrame:
+    """Approximate top-k most frequent ``value_col`` per group.
+
+    Returns ``(group_cols..., value, est_count, lower_bound)`` with
+    ``lower_bound <= true count <= est_count`` and
+    ``est_count <= true + eps*N`` w.h.p. (eps = e/width).
+    """
+    spec = spec or CmsSpec()
+    n_cand = candidates_per_partition or max(4 * k, 64)
+    partials = heavy_hitters_partials(df, value_col, group_cols, spec, n_cand).persist()
+    return heavy_hitters_from_partials(partials, k, group_cols, spec)
 
 
 def estimate_counts(df: DataFrame, value_col: str, cms_blob: bytes,

@@ -108,3 +108,44 @@ def test_pages_job_cli(pages_dir, tmp_path):
     summary = json.loads(r.stdout.strip().splitlines()[-1])
     assert summary["days"] == 4 and summary["ran"] == 4
     assert os.path.exists(out / "_SUCCESS")
+
+
+def test_heavy_hitters_checkpoint_resume(spark, pages_dir, tmp_path):
+    """Checkpointed heavy hitters: resume == uninterrupted; estimates
+    sandwich the true counts (no input rescan at finalize)."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.checkpoint import HeavyHittersCheckpoint
+    from sketchlib.spark.specs import CmsSpec
+
+    df = (spark.read.parquet(pages_dir)
+          .withColumn("url_host", F.parse_url("url", F.lit("HOST"))))
+    days = _days(spark, pages_dir)
+
+    def src(day):
+        return df.filter(F.col("day") == day).select("url_host", "day")
+
+    full = HeavyHittersCheckpoint(str(tmp_path / "hh_full"), CmsSpec(),
+                                  "url_host", [], k=10)
+    full.run(spark, src, days)
+    want = {r["value"]: (r["est_count"], r["lower_bound"])
+            for r in full.result(spark).collect()}
+    assert len(want) == 10
+
+    part = HeavyHittersCheckpoint(str(tmp_path / "hh_part"), CmsSpec(),
+                                  "url_host", [], k=10)
+    part.run(spark, src, days[:2])
+    resumed = HeavyHittersCheckpoint(str(tmp_path / "hh_part"), CmsSpec(),
+                                     "url_host", [], k=10)
+    s = resumed.run(spark, src, days)
+    assert s["resumed"] and s["skipped"] == 2
+    got = {r["value"]: (r["est_count"], r["lower_bound"])
+           for r in resumed.result(spark).collect()}
+    assert got == want
+
+    exact = dict(df.groupBy("url_host").count().collect())
+    n = df.count()
+    import numpy as np
+    eps = np.e / (1 << 12)
+    for host, (est, lb) in got.items():
+        assert lb <= exact[host] <= est <= exact[host] + 3 * eps * n
