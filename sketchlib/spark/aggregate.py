@@ -579,10 +579,21 @@ def estimate_col(spec: HllSpec | None = None, sketch_col: str | Column = "sketch
 
 
 def sketch_agg(df: DataFrame, element_cols, group_cols: Sequence[str] = (),
-               spec: HllSpec | None = None, sketch_col: str = "sketch") -> DataFrame:
-    """Full two-stage aggregation -> one sketch blob per group."""
+               spec: HllSpec | None = None, sketch_col: str = "sketch",
+               tree_fanout: int | None = None) -> DataFrame:
+    """Full two-stage aggregation -> one sketch blob per group.
+
+    ``tree_fanout``: insert a salted pre-merge round (treeAggregate shape) —
+    use when #input partitions is large enough that a single group's
+    collect_list would gather thousands of blobs into one task (e.g. >1k
+    partitions with few groups)."""
     spec = spec or HllSpec()
     partials = build_partials(df, element_cols, group_cols, spec, sketch_col)
+    if tree_fanout:
+        from .skew import tree_merge_partials
+
+        return tree_merge_partials(partials, group_cols, spec, sketch_col,
+                                   fanout=tree_fanout, levels=1)
     return merge_partials(partials, group_cols, spec, sketch_col)
 
 
@@ -590,7 +601,7 @@ def distinct_count(df: DataFrame, element_cols, group_cols: Sequence[str] = (),
                    p: int = 14, hash_name: str = "murmur3",
                    estimate_name: str = "estimate",
                    spec: "HllSpec | None" = None,
-                   spec_factory=None) -> DataFrame:
+                   spec_factory=None, tree_fanout: int | None = None) -> DataFrame:
     """Approximate ``COUNT(DISTINCT element_cols...)`` per group via HLL (or
     any cardinality-estimating spec passed via ``spec``/``spec_factory``).
 
@@ -599,6 +610,6 @@ def distinct_count(df: DataFrame, element_cols, group_cols: Sequence[str] = (),
     """
     if spec is None:
         spec = spec_factory() if spec_factory is not None else HllSpec(p=p, hash_name=hash_name)
-    merged = sketch_agg(df, element_cols, group_cols, spec)
+    merged = sketch_agg(df, element_cols, group_cols, spec, tree_fanout=tree_fanout)
     cols = list(group_cols) + [estimate_col(spec).alias(estimate_name)]
     return merged.select(*cols)

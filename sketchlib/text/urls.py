@@ -1,0 +1,60 @@
+"""URL utilities for Common-Crawl-style pipelines — all JVM column
+expressions (whole-stage codegen; zero Python).
+
+Normalization here is the *dedup key* sense used by CC processing: two urls
+that normalize equal almost certainly point at the same resource. It is
+deliberately conservative (no path case-folding — paths are case-sensitive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# query parameters that never change the resource (tracking)
+TRACKING_PARAMS = ("utm_source", "utm_medium", "utm_campaign", "utm_term",
+                   "utm_content", "gclid", "fbclid", "msclkid", "mc_cid",
+                   "mc_eid")
+
+_SCHEME = r"[a-zA-Z][a-zA-Z0-9+.-]*"
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host, `www.` stripped."""
+    host = F.lower(F.parse_url(col, F.lit("HOST")))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def url_domain(col: Column) -> Column:
+    """Registrable-ish domain: last two host labels (heuristic — a full
+    public-suffix list would be bundled data in production)."""
+    return F.regexp_extract(url_host(col), r"([^.]+\.[^.]+)$", 1)
+
+
+def strip_tracking_params(col: Column) -> Column:
+    """Remove known tracking query parameters; repair separators."""
+    pat = "[?&](?:" + "|".join(TRACKING_PARAMS) + ")=[^&#]*"
+    out = F.regexp_replace(col, pat, "")
+    # if the '?' was consumed but params remain, promote the first '&'
+    has_amp_no_q = (~out.contains("?")) & out.contains("&")
+    repaired = F.regexp_replace(out, r"^([^&?]*)&", "$1?")
+    out = F.when(has_amp_no_q, repaired).otherwise(out)
+    # drop a dangling '?'
+    return F.regexp_replace(out, r"\?$", "")
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonical dedup key: lowercase scheme+host, strip www / default ports /
+    fragments / tracking params / trailing slash."""
+    u = F.trim(col)
+    scheme = F.lower(F.regexp_extract(u, f"^({_SCHEME})://", 1))
+    host = F.lower(F.regexp_extract(u, f"^{_SCHEME}://([^/?#]*)", 1))
+    rest = F.regexp_extract(u, f"^{_SCHEME}://[^/?#]*(.*)$", 1)
+    u = F.concat(scheme, F.lit("://"), host, rest)
+    u = F.regexp_replace(u, r"^(\w+://)www\.", "$1")
+    u = F.regexp_replace(u, r"^(\w+://[^/:?#]*):80(/|\?|$)", "$1$2")
+    u = F.regexp_replace(u, r"^(\w+://[^/:?#]*):443(/|\?|$)", "$1$2")
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = strip_tracking_params(u)
+    u = F.regexp_replace(u, r"/$", "")
+    return u

@@ -217,3 +217,39 @@ class TestMultimodal:
         df = spark.createDataFrame([(3500,)], "duration_ms long")
         [row] = df.select(frame_sample_plan(F.col("duration_ms"), 1000).alias("p")).collect()
         assert row["p"] == [0, 1000, 2000, 3000]
+
+
+class TestUrlUtils:
+    def test_normalize_url(self, spark):
+        from sketchlib.text.urls import normalize_url, url_domain, url_host
+
+        cases = [
+            ("HTTPS://WWW.Example.COM:443/Path/?utm_source=x&q=1#frag",
+             "https://example.com/Path/?q=1"),  # slash-before-query kept (conservative)
+            ("http://example.com:80/", "http://example.com"),
+            ("https://example.com/a/?utm_campaign=c", "https://example.com/a"),
+            ("https://sub.example.co/p?a=1&fbclid=zzz", "https://sub.example.co/p?a=1"),
+            ("https://example.com/p?gclid=1&b=2", "https://example.com/p?b=2"),
+            ("https://example.com", "https://example.com"),
+        ]
+        df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+        got = [r["n"] for r in df.select(normalize_url(F.col("url")).alias("n")).collect()]
+        for (u, want), g in zip(cases, got):
+            assert g == want, (u, g, want)
+
+        hd = spark.createDataFrame([("https://www.A.Sub.Example.COM/x",)], "url string")
+        [r] = hd.select(url_host(F.col("url")).alias("h"),
+                        url_domain(F.col("url")).alias("d")).collect()
+        assert r["h"] == "a.sub.example.com" and r["d"] == "example.com"
+
+    def test_normalize_is_dedup_stable(self, spark):
+        """Variants of the same resource collapse to one normalized key."""
+        from sketchlib.text.urls import normalize_url
+
+        variants = ["https://www.example.com/p/1",
+                    "https://example.com/p/1/",
+                    "HTTPS://EXAMPLE.com:443/p/1",
+                    "https://example.com/p/1?utm_source=tw"]
+        df = spark.createDataFrame([(u,) for u in variants], "url string")
+        n = df.select(normalize_url(F.col("url")).alias("k")).distinct().count()
+        assert n == 1
