@@ -40,10 +40,15 @@ from .specs import CmsSpec
 def heavy_hitters_partials(df: DataFrame, value_col: str,
                            group_cols: Sequence[str] = (),
                            spec: CmsSpec | None = None,
-                           n_cand: int = 80) -> DataFrame:
+                           n_cand: int = 80,
+                           weight_col: str | None = None) -> DataFrame:
     """Stage 1 only (one pass): mixed rows of per-partition candidates
     (``value``, ``local_count``) and partial CMS blobs (``cms``). Exposed so
-    checkpointed jobs can persist per-unit partials and resume."""
+    checkpointed jobs can persist per-unit partials and resume.
+
+    ``weight_col``: rank by SUM(weight) instead of row count (e.g. hosts by
+    total bytes) — the CMS becomes a weighted-frequency sketch, guarantees
+    unchanged (weights just scale the counters)."""
     group_cols = list(group_cols)
     spec = spec or CmsSpec()
 
@@ -60,16 +65,20 @@ def heavy_hitters_partials(df: DataFrame, value_col: str,
             pdf = pdf.dropna(subset=[value_col])
             if pdf.empty:
                 continue
+            if weight_col is None:
+                pdf = pdf.assign(__w=1)
+            else:
+                pdf = pdf.rename(columns={weight_col: "__w"})
             if group_cols:
-                vc = pdf.groupby(group_cols, sort=False, dropna=False)[value_col].value_counts()
-                # vc index: (group..., value) -> count; split per group
+                vc = (pdf.groupby(group_cols + [value_col], sort=False, dropna=False)
+                      ["__w"].sum())
                 frame = vc.reset_index(name="n")
                 for key, sub in frame.groupby(group_cols, sort=False, dropna=False):
                     kt = key if isinstance(key, tuple) else (key,)
                     s = pd.Series(sub["n"].to_numpy(), index=sub[value_col].to_numpy())
                     counts[kt] = s if kt not in counts else counts[kt].add(s, fill_value=0)
             else:
-                s = pdf[value_col].value_counts()
+                s = pdf.groupby(value_col, sort=False)["__w"].sum()
                 counts[()] = s if () not in counts else counts[()].add(s, fill_value=0)
         if not counts:
             return
@@ -85,7 +94,9 @@ def heavy_hitters_partials(df: DataFrame, value_col: str,
             out_rows.append(list(key) + [None, None, spec.to_bytes(cms)])
         yield pd.DataFrame(out_rows, columns=group_cols + ["value", "local_count", "cms"])
 
-    return df.select(*dict.fromkeys(group_cols + [value_col])).mapInPandas(build, part_schema)
+    needed = list(dict.fromkeys(group_cols + [value_col]
+                                + ([weight_col] if weight_col else [])))
+    return df.select(*needed).mapInPandas(build, part_schema)
 
 
 def heavy_hitters_from_partials(partials: DataFrame,
@@ -136,7 +147,8 @@ def heavy_hitters_from_partials(partials: DataFrame,
 
 def heavy_hitters(df: DataFrame, value_col: str, k: int = 20,
                   group_cols: Sequence[str] = (), spec: CmsSpec | None = None,
-                  candidates_per_partition: int | None = None) -> DataFrame:
+                  candidates_per_partition: int | None = None,
+                  weight_col: str | None = None) -> DataFrame:
     """Approximate top-k most frequent ``value_col`` per group.
 
     Returns ``(group_cols..., value, est_count, lower_bound)`` with
@@ -145,7 +157,8 @@ def heavy_hitters(df: DataFrame, value_col: str, k: int = 20,
     """
     spec = spec or CmsSpec()
     n_cand = candidates_per_partition or max(4 * k, 64)
-    partials = heavy_hitters_partials(df, value_col, group_cols, spec, n_cand).persist()
+    partials = heavy_hitters_partials(df, value_col, group_cols, spec, n_cand,
+                                      weight_col=weight_col).persist()
     return heavy_hitters_from_partials(partials, k, group_cols, spec)
 
 

@@ -198,3 +198,21 @@ class TestSparkOps:
         assert types == {r["event_type"] for r in ev.select("event_type").distinct().collect()}
         for r in rows:
             assert r["lower_bound"] <= r["est_count"]
+
+
+def test_heavy_hitters_weighted(spark, sf_dir):
+    """Rank values by SUM(weight) (hosts-by-bytes shape)."""
+    from pyspark.sql import functions as F
+    from sketchlib.spark.heavy_hitters import heavy_hitters
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    hh = heavy_hitters(li, "l_suppkey", k=5,
+                       weight_col="l_quantity",
+                       spec=None, candidates_per_partition=64)
+    rows = hh.collect()
+    assert len(rows) == 5
+    exact = {r["l_suppkey"]: r["w"] for r in
+             li.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("w")).collect()}
+    for r in rows:
+        true = int(exact[r["value"]])
+        assert r["lower_bound"] <= true <= r["est_count"]
