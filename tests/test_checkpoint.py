@@ -149,3 +149,18 @@ def test_heavy_hitters_checkpoint_resume(spark, pages_dir, tmp_path):
     eps = np.e / (1 << 12)
     for host, (est, lb) in got.items():
         assert lb <= exact[host] <= est <= exact[host] + 3 * eps * n
+
+
+def test_pages_job_heavy_hosts_in_session(spark, pages_dir, tmp_path):
+    """pages_job building blocks for heavy-hosts (checkpoint -> top-k table),
+    without the subprocess cost."""
+    from sketchlib.jobs import pages_job as PJ
+
+    days = PJ.list_days(spark, pages_dir)
+    ck = PJ.make_checkpoint("heavy-hosts", str(tmp_path / "hh"))
+    ck.run(spark, PJ.day_source(spark, pages_dir, "heavy-hosts"), days)
+    out = PJ.finalize(spark, "heavy-hosts", ck)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert {"value", "est_count", "lower_bound"} <= set(out.columns)
+    assert all(r["lower_bound"] <= r["est_count"] for r in rows)
