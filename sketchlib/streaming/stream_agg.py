@@ -40,11 +40,13 @@ def streaming_sketch_agg(stream_df: DataFrame, element_cols, group_cols: Sequenc
     element_cols = list(element_cols)
     group_cols = list(group_cols)
 
+    est_type = getattr(spec, "estimate_type", T.LongType())
     out_schema = T.StructType(
         [stream_df.schema[g] for g in group_cols]
-        + [T.StructField("estimate", T.LongType()),
+        + [T.StructField("estimate", est_type),
            T.StructField("count_additions", T.LongType())]
     )
+    cast = float if isinstance(est_type, T.DoubleType) else int
 
     def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         if state.exists:
@@ -58,7 +60,7 @@ def streaming_sketch_agg(stream_df: DataFrame, element_cols, group_cols: Sequenc
                 spec.ingest(sketch, spec.prepare(pdf, element_cols))
         state.update((spec.to_bytes(sketch),))
         yield pd.DataFrame(
-            [list(key) + [int(spec.estimate(sketch)),
+            [list(key) + [cast(spec.estimate(sketch)),
                           int(getattr(sketch, "count_additions", 0))]],
             columns=group_cols + ["estimate", "count_additions"])
 

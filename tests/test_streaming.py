@@ -105,3 +105,31 @@ def test_streaming_count_additions(spark, tmp_path):
     out = _run_available_now(spark, src, ckpt, "stream_out3")
     [r] = out
     assert r["estimate"] == 10 and r["count_additions"] == 50
+
+
+def test_streaming_tdigest_median(spark, tmp_path):
+    """Any mergeable spec plugs into the streaming operator — t-digest
+    median per group, updated across micro-batches."""
+    from sketchlib.spark.specs import TDigestSpec
+    from sketchlib.streaming import streaming_sketch_agg
+
+    schema = T.StructType([
+        T.StructField("grp", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    src = str(tmp_path / "tdsrc")
+    os.makedirs(src, exist_ok=True)
+    rows = [("a", float(i)) for i in range(101)] + [("b", float(i * 10)) for i in range(11)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    collected = []
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = streaming_sketch_agg(stream, "v", ["grp"], TDigestSpec())
+    q = (agg.writeStream.foreachBatch(lambda df, _b: collected.extend(df.collect()))
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "tdckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["grp"]: r["estimate"] for r in collected}
+    assert abs(got["a"] - 50.0) <= 2.0
+    assert abs(got["b"] - 50.0) <= 10.0
