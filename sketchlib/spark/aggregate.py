@@ -89,15 +89,25 @@ def hash_arrow_columns(batch, cols: Sequence[str], hash_name: str = "murmur3") -
 
 def arrow_group_codes(batch, group_cols: Sequence[str]) -> tuple[np.ndarray, tuple]:
     """Per-row group codes + unique-key *column arrays* from Arrow dictionary
-    encoding — vectorized factorize, zero per-key Python."""
+    encoding — vectorized factorize, zero per-key Python.
+
+    NULL group keys get a dedicated dictionary slot (mirroring the pandas
+    path's ``factorize(use_na_sentinel=False)``): ``dictionary_encode`` emits
+    null *indices* for null values, which would otherwise cast to INT64_MIN
+    and silently fold the NULL group into an arbitrary real group."""
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     idx_arrays = []
     dicts = []
     for c in group_cols:
         enc = pc.dictionary_encode(batch.column(c))
-        idx_arrays.append(enc.indices.to_numpy(zero_copy_only=False).astype(np.int64))
-        dicts.append(enc.dictionary)
+        idx, d = enc.indices, enc.dictionary
+        if idx.null_count:
+            idx = pc.fill_null(idx, len(d))
+            d = pa.concat_arrays([d, pa.nulls(1, type=d.type)])
+        idx_arrays.append(idx.to_numpy(zero_copy_only=False).astype(np.int64))
+        dicts.append(d)
     codes = idx_arrays[0].copy()
     sizes = [len(d) for d in dicts]
     for idx, k in zip(idx_arrays[1:], sizes[1:]):
@@ -376,6 +386,15 @@ def build_partials(df: DataFrame, element_cols: Sequence[str] | str,
         [_group_field(df, g) for g in group_cols] + [T.StructField(sketch_col, T.BinaryType(), False)]
     )
 
+    def _arrow_out_schema():
+        """Arrow schema matching ``out_schema`` — the yielded batches are
+        built from pandas frames, where a NULL key in an int64/date group
+        column surfaces as NaN in a float64 array; from_pandas with an
+        explicit schema converts that back to a typed null."""
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(out_schema)
+
     def build_arrow(batches):
         """Arrow-native build (mapInArrow): element bytes are hashed straight
         from Arrow buffers; group keys factorize via dictionary encoding.
@@ -383,6 +402,7 @@ def build_partials(df: DataFrame, element_cols: Sequence[str] | str,
         row throughput of the pandas path on url-shaped data."""
         import pyarrow as pa
 
+        pa_schema = _arrow_out_schema()
         acc = _PairAccumulator(spec)
         for batch in batches:
             if batch.num_rows == 0:
@@ -406,7 +426,8 @@ def build_partials(df: DataFrame, element_cols: Sequence[str] | str,
                 key_cols = (np.zeros(1, dtype=np.int64),)
             acc.add_batch(local_codes, key_cols, prepared)
         for pdf in acc.finalize(group_cols, sketch_col):
-            yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+            yield pa.RecordBatch.from_pandas(pdf, schema=pa_schema,
+                                             preserve_index=False)
 
     def build_dedup(batches: Iterable[pd.DataFrame]):
         """Dedup-able sketches (HLL/Bloom): vectorized pair accumulation;
@@ -441,6 +462,7 @@ def build_partials(df: DataFrame, element_cols: Sequence[str] | str,
         vectorized."""
         import pyarrow as pa
 
+        pa_schema = _arrow_out_schema()
         sketches: dict[tuple, object] = {}
         for batch in batches:
             if batch.num_rows == 0:
@@ -478,7 +500,8 @@ def build_partials(df: DataFrame, element_cols: Sequence[str] | str,
         if sketches:
             rows = [list(k) + [spec.to_bytes(s)] for k, s in sketches.items()]
             pdf = pd.DataFrame(rows, columns=group_cols + [sketch_col])
-            yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+            yield pa.RecordBatch.from_pandas(pdf, schema=pa_schema,
+                                             preserve_index=False)
 
     def build_stream(batches: Iterable[pd.DataFrame]):
         """Generic streaming path: one live sketch per group, batch-ingested."""

@@ -145,3 +145,38 @@ def test_integer_element_hashing(spark):
     for k, est in got.items():
         n = len(range(int(k), 50_000, 7))
         assert abs(est - n) / n <= 10 * 0.008125
+
+
+def test_null_group_keys_own_group(spark):
+    """NULL group keys form their own group and never fold into a real one
+    (regression: Arrow dictionary_encode emits null indices that used to
+    cast to INT64_MIN and wrap into group 0)."""
+    rows = [("a", 1), ("a", 2), (None, 3), (None, 4), (None, 3), ("b", 5)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    got = {r["g"]: r["estimate"]
+           for r in distinct_count(df, "k", ["g"]).collect()}
+    assert got == {"a": 2, None: 2, "b": 1}
+
+
+def test_null_group_keys_integer_column(spark):
+    """Same, for an int64 group column — the decoded NULL key round-trips
+    through the Arrow output schema as a typed null, not NaN."""
+    rows = [(1, 1), (1, 2), (None, 3), (None, 4), (None, 3), (2, 5)]
+    df = spark.createDataFrame(rows, "g long, k long")
+    got = {r["g"]: r["estimate"]
+           for r in distinct_count(df, "k", ["g"]).collect()}
+    assert got == {1: 2, None: 2, 2: 1}
+
+
+def test_null_group_keys_stream_spec(spark):
+    """Non-dedup (stream) arrow path: NULL group keeps its own sketch."""
+    from sketchlib.spark.specs import TDigestSpec
+    from sketchlib.tdigest import TDigest
+
+    rows = [("a", 1.0), ("a", 2.0), (None, 3.0), (None, 4.0),
+            (None, 3.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    merged = sketch_agg(df, "v", ["g"], TDigestSpec())
+    got = {r["g"]: TDigest.from_bytes(bytes(r["sketch"])).quantile(0.5)
+           for r in merged.collect()}
+    assert got[None] == 3.0 and set(got) == {"a", None, "b"}
