@@ -177,12 +177,25 @@ def q_cms_top_suppliers_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cms_heavy_hitters_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 suppliers by row count (CMS + candidate union) —
-    estimates are sketch-valued, so this gets the rows-only check."""
+    """Heavy-hitter enumeration parity: every exact top-10 supplier must be
+    surfaced by the CMS+bounded-candidates enumeration (k=20 oversampling
+    absorbs CMS-overestimate reordering near the cut) with sound sandwich
+    bounds (lower_bound <= exact <= est_count)."""
+    from pyspark.sql import Window
+
     from sketchlib.spark.heavy_hitters import heavy_hitters
 
     li = _read(spark, sf_dir, "lineitem")
-    return heavy_hitters(li, "l_suppkey", k=10)
+    hh = heavy_hitters(li, "l_suppkey", k=20).withColumnRenamed("value", "l_suppkey")
+    exact = li.groupBy("l_suppkey").agg(F.count("*").alias("exact_count"))
+    w = Window.orderBy(F.desc("exact_count"), F.asc("l_suppkey"))
+    top = (exact.withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") <= 10).drop("__rn"))
+    j = top.join(hh, "l_suppkey", "left")
+    rank_ok = (F.col("est_count").isNotNull()
+               & (F.col("lower_bound") <= F.col("exact_count"))
+               & (F.col("exact_count") <= F.col("est_count"))).alias("rank_ok")
+    return j.select("l_suppkey", "exact_count", rank_ok)
 
 
 def _quantile_rank_bound(df: DataFrame, value_col: str, group_cols: list[str],
@@ -517,8 +530,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY l_suppkey "
             "ORDER BY exact_count DESC, l_suppkey LIMIT 10"
         ),
-        # cms_heavy_hitters_suppliers: intentionally no oracle (sketch-valued
-        # estimates are not ANSI-SQL-expressible) -> rows-only check
+        "cms_heavy_hitters_suppliers": (
+            "SELECT l_suppkey, COUNT(*) AS exact_count, TRUE AS rank_ok "
+            "FROM lineitem GROUP BY l_suppkey "
+            "ORDER BY exact_count DESC, l_suppkey LIMIT 10"
+        ),
         "tdigest_event_value_quantiles": (
             "SELECT event_type, q, TRUE AS within_bound "
             "FROM (SELECT DISTINCT event_type FROM events), "

@@ -1,4 +1,4 @@
-"""Heavy hitters via count-min sketch + per-partition candidate generation.
+"""Heavy hitters via count-min sketch + bounded per-partition candidates.
 
 Classic two-part design (Cormode & Muthukrishnan 2005 §4; same shape as
 Spark's own ``countMinSketch``-based frequent-items): the CMS alone cannot
@@ -6,21 +6,32 @@ Spark's own ``countMinSketch``-based frequent-items): the CMS alone cannot
 emits each partition's locally-frequent values as candidates:
 
 * stage 1 (``mapInPandas``, one pass): per (group, partition) a partial CMS
-  over all values **and** the top ``candidates_per_partition`` values by local
-  exact count. Any value with global frequency >= N/C appears in the local
-  top-C of at least one partition that holds >= its fair share, so the
-  candidate union covers the true heavy hitters with standard oversampling.
-* stage 2: CMS partials merge cell-wise (JVM collect_list + vectorized UDF);
-  candidate local counts sum exactly (plain ``groupBy().sum()`` — their sum is
-  a *lower* bound on the true count since non-top-C occurrences are dropped).
-* stage 3 (cogrouped ``applyInPandas``, one pandas call per group): estimate
-  every candidate against the group's merged CMS (upper-biased, overcount
-  <= eps*N w.h.p.) and keep the top k by (estimate, value).
+  over all values **and** the top ``candidates_per_partition`` values by a
+  *bounded* Misra–Gries-style candidate tracker (capacity ``4*n_cand``):
+  every batch's per-value weight sums feed the CMS immediately (CMS cells
+  are additive, so per-batch adds equal one bulk add), and when the
+  candidate table exceeds ``2*cap`` entries it is compacted by subtracting
+  the (cap+1)-th largest count and dropping the non-positive remainder —
+  the vectorized decrement step of Misra–Gries / Space-Saving.  Executor
+  memory is therefore bounded by ``#groups x (2*cap rows + cms_size)``
+  regardless of how many distinct values the partition holds (urls at
+  100 TB).  Any value with global frequency >= N/n_cand is still locally
+  frequent in at least one partition holding >= its fair share, so the
+  candidate union covers the true heavy hitters with the standard
+  oversampling argument; the MG decrement only *undercounts* survivors, so
+  ``local_count`` stays a valid lower bound.
+* stage 2 (one shuffle, grouped ``applyInPandas``): per group, candidate
+  local counts sum exactly, CMS partials fold cell-wise, every candidate is
+  estimated against the merged CMS (upper-biased, overcount <= eps*N
+  w.h.p.), and the top k by (estimate, value) are kept.  One pass over the
+  partials — no persist/recompute, no cogroup.
 
 Scale notes: shuffle volume is ``#partitions x #groups x (cms_size + C rows)``
 — independent of input rows; the CMS at (w=4096, d=5) is 160 KB. Skewed
 values are exactly what the operator is for; they cost one candidate row per
-partition, not a shuffle hot key.
+partition, not a shuffle hot key.  A group's stage-2 task folds one CMS blob
+per input partition; at >=10k partitions pre-merge units via
+:class:`sketchlib.spark.checkpoint.HeavyHittersCheckpoint`.
 """
 
 from __future__ import annotations
@@ -33,8 +44,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .aggregate import _group_field, hash_series, merge_blobs_udf
+from .aggregate import _group_field, hash_series
 from .specs import CmsSpec
+
+
+def _int_weights(w: pd.Series) -> np.ndarray:
+    """Validate a weight column: non-negative integral values only.
+
+    Fractional weights used to be silently truncated by the int64 cast and
+    negative weights wrapped through uint64 in the CMS cells — reject both
+    loudly instead (weights are counts: bytes, occurrences, ...)."""
+    arr = w.to_numpy()
+    if np.issubdtype(arr.dtype, np.floating):
+        if not np.isfinite(arr).all():
+            raise ValueError("weight_col contains NaN/inf")
+        if (arr != np.rint(arr)).any():
+            raise ValueError("weight_col must hold integral values "
+                             "(fractional weights would be truncated)")
+        arr = arr.astype(np.int64)
+    else:
+        arr = arr.astype(np.int64)
+    if (arr < 0).any():
+        raise ValueError("weight_col must be non-negative")
+    return arr
+
+
+def _mg_update(cur: pd.Series | None, s: pd.Series, cap: int) -> pd.Series:
+    """Fold a batch's (value -> count) sums into the bounded candidate table.
+
+    Misra–Gries decrement, vectorized: past ``2*cap`` entries, subtract the
+    (cap+1)-th largest count and keep the positive remainder (<= cap rows).
+    Each survivor is undercounted by at most the sum of decrements, so the
+    counts remain lower bounds; the table never exceeds ``2*cap`` entries."""
+    cur = s if cur is None else cur.add(s, fill_value=0)
+    if len(cur) > 2 * cap:
+        a = cur.to_numpy()
+        thr = np.partition(a, len(a) - cap - 1)[len(a) - cap - 1]
+        cur = cur[a > thr] - thr
+    return cur
 
 
 def heavy_hitters_partials(df: DataFrame, value_col: str,
@@ -48,9 +95,16 @@ def heavy_hitters_partials(df: DataFrame, value_col: str,
 
     ``weight_col``: rank by SUM(weight) instead of row count (e.g. hosts by
     total bytes) — the CMS becomes a weighted-frequency sketch, guarantees
-    unchanged (weights just scale the counters)."""
+    unchanged (weights just scale the counters).  Weights must be
+    non-negative integers.
+
+    Candidate state is capacity-bounded (Misra–Gries decrement at
+    ``cap = max(4*n_cand, 256)``); the CMS absorbs the full stream, so
+    stage-2 estimates are unaffected — only ``local_count`` lower bounds
+    shrink for values that survive a compaction."""
     group_cols = list(group_cols)
     spec = spec or CmsSpec()
+    cap = max(4 * n_cand, 256)
 
     part_schema = T.StructType(
         [_group_field(df, g) for g in group_cols]
@@ -60,38 +114,46 @@ def heavy_hitters_partials(df: DataFrame, value_col: str,
     )
 
     def build(batches: Iterable[pd.DataFrame]):
-        counts: dict[tuple, pd.Series] = {}
+        cands: dict[tuple, pd.Series] = {}   # <= 2*cap entries per group
+        sketches: dict[tuple, object] = {}
+
+        def ingest(kt: tuple, s: pd.Series) -> None:
+            sk = sketches.get(kt)
+            if sk is None:
+                sk = spec.make()
+                sketches[kt] = sk
+            sk.add_hashes(hash_series(pd.Series(s.index), spec.hash_name),
+                          counts=s.to_numpy(dtype=np.int64))
+            cands[kt] = _mg_update(cands.get(kt), s, cap)
+
         for pdf in batches:
             pdf = pdf.dropna(subset=[value_col])
             if pdf.empty:
                 continue
             if weight_col is None:
-                pdf = pdf.assign(__w=1)
+                pdf = pdf.assign(__w=np.int64(1))
             else:
-                pdf = pdf.rename(columns={weight_col: "__w"})
+                pdf = pdf.assign(__w=_int_weights(pdf[weight_col]))
             if group_cols:
                 vc = (pdf.groupby(group_cols + [value_col], sort=False, dropna=False)
                       ["__w"].sum())
                 frame = vc.reset_index(name="n")
                 for key, sub in frame.groupby(group_cols, sort=False, dropna=False):
                     kt = key if isinstance(key, tuple) else (key,)
-                    s = pd.Series(sub["n"].to_numpy(), index=sub[value_col].to_numpy())
-                    counts[kt] = s if kt not in counts else counts[kt].add(s, fill_value=0)
+                    ingest(kt, pd.Series(sub["n"].to_numpy(dtype=np.int64),
+                                         index=sub[value_col].to_numpy()))
             else:
                 s = pdf.groupby(value_col, sort=False)["__w"].sum()
-                counts[()] = s if () not in counts else counts[()].add(s, fill_value=0)
-        if not counts:
+                ingest((), pd.Series(s.to_numpy(dtype=np.int64),
+                                     index=s.index.to_numpy()))
+        if not sketches:
             return
         out_rows = []
-        for key, s in counts.items():
-            values = pd.Series(s.index)
-            weights = s.to_numpy(dtype=np.int64)
-            cms = spec.make()
-            cms.add_hashes(hash_series(values, spec.hash_name), counts=weights)
-            top = s.sort_values(ascending=False, kind="stable").head(n_cand)
+        for key, sk in sketches.items():
+            top = cands[key].sort_values(ascending=False, kind="stable").head(n_cand)
             for v, c in top.items():
                 out_rows.append(list(key) + [v, int(c), None])
-            out_rows.append(list(key) + [None, None, spec.to_bytes(cms)])
+            out_rows.append(list(key) + [None, None, spec.to_bytes(sk)])
         yield pd.DataFrame(out_rows, columns=group_cols + ["value", "local_count", "cms"])
 
     needed = list(dict.fromkeys(group_cols + [value_col]
@@ -102,47 +164,56 @@ def heavy_hitters_partials(df: DataFrame, value_col: str,
 def heavy_hitters_from_partials(partials: DataFrame,
                                 k: int = 20, group_cols: Sequence[str] = (),
                                 spec: CmsSpec | None = None) -> DataFrame:
-    """Stages 2-3 over (possibly unioned-across-units) stage-1 partials."""
+    """Stage 2 over (possibly unioned-across-units) stage-1 partials: ONE
+    grouped ``applyInPandas`` pass that sums candidate lower bounds, folds
+    the group's CMS blobs cell-wise, point-estimates every candidate and
+    keeps the top k.  Consumes the partials exactly once (no persist)."""
     group_cols = list(group_cols)
     spec = spec or CmsSpec()
-    cms_rows = partials.filter(F.col("cms").isNotNull())
-    if group_cols:
-        merged_cms = (cms_rows.groupBy(*group_cols).agg(F.collect_list("cms").alias("__blobs"))
-                      .select(*group_cols, merge_blobs_udf(spec)("__blobs").alias("cms")))
-    else:
-        merged_cms = (cms_rows.agg(F.collect_list("cms").alias("__blobs"))
-                      .select(merge_blobs_udf(spec)("__blobs").alias("cms")))
 
-    cand = (partials.filter(F.col("value").isNotNull())
-            .groupBy(*(group_cols + ["value"]))
-            .agg(F.sum("local_count").alias("lower_bound")))
-
+    vtype = partials.schema["value"].dataType
     out_schema = T.StructType(
         [_group_field(partials, g) for g in group_cols]
-        + [T.StructField("value", partials.schema["value"].dataType, True),
+        + [T.StructField("value", vtype, True),
            T.StructField("est_count", T.LongType(), True),
            T.StructField("lower_bound", T.LongType(), True)]
     )
+    # the CMS marker rows carry NULL values, which promotes an integer value
+    # column to float64 in pandas — cast candidates back to the declared type
+    # so the point-query hashes the same bytes the build side hashed
+    _np_value = {"long": np.int64, "integer": np.int32, "short": np.int16,
+                 "byte": np.int8, "double": np.float64,
+                 "float": np.float32}.get(vtype.typeName())
 
-    def rank(cand_pdf: pd.DataFrame, cms_pdf: pd.DataFrame) -> pd.DataFrame:
-        if cand_pdf.empty or cms_pdf.empty:
+    def rank(pdf: pd.DataFrame) -> pd.DataFrame:
+        blobs = pdf["cms"].dropna()
+        cand = pdf[pdf["value"].notna()]
+        if blobs.empty or cand.empty:
             return pd.DataFrame(columns=[f.name for f in out_schema.fields])
-        cms = spec.from_bytes(bytes(cms_pdf["cms"].iloc[0]))
-        est = cms.estimate_hashes(hash_series(cand_pdf["value"], spec.hash_name))
-        cand_pdf = cand_pdf.assign(est_count=est.astype(np.int64))
-        cand_pdf = cand_pdf.sort_values(
-            ["est_count", "value"], ascending=[False, True], kind="stable").head(k)
-        return cand_pdf[[*group_cols, "value", "est_count", "lower_bound"]]
+        cms = spec.from_bytes(bytes(blobs.iloc[0]))
+        for b in blobs.iloc[1:]:
+            cms = spec.merge(cms, spec.from_bytes(bytes(b)))
+        lower = cand.groupby("value", sort=False)["local_count"].sum()
+        values = pd.Series(lower.index)
+        if _np_value is not None:
+            values = values.astype(_np_value)
+        est = cms.estimate_hashes(hash_series(values, spec.hash_name))
+        out = pd.DataFrame({"value": values.to_numpy(),
+                            "est_count": est.astype(np.int64),
+                            "lower_bound": lower.to_numpy(dtype=np.int64)})
+        out = out.sort_values(["est_count", "value"],
+                              ascending=[False, True], kind="stable").head(k)
+        for g in group_cols:
+            out[g] = pdf[g].iloc[0]
+        return out[[*group_cols, "value", "est_count", "lower_bound"]]
 
     if group_cols:
-        cog = cand.groupBy(*group_cols).cogroup(merged_cms.groupBy(*group_cols))
-        return cog.applyInPandas(lambda l, r: rank(l, r), out_schema)
-    cog = (cand.withColumn("__g", F.lit(1)).groupBy("__g")
-           .cogroup(merged_cms.withColumn("__g", F.lit(1)).groupBy("__g")))
+        return (partials.groupBy(*group_cols)
+                .applyInPandas(lambda pdf: rank(pdf), out_schema))
     schema_g = T.StructType([T.StructField("__g", T.IntegerType())] + list(out_schema))
-    return (cog.applyInPandas(
-        lambda l, r: rank(l.drop(columns="__g"), r.drop(columns="__g")).assign(__g=1),
-        schema_g).drop("__g"))
+    return (partials.withColumn("__g", F.lit(1)).groupBy("__g")
+            .applyInPandas(lambda pdf: rank(pdf).assign(__g=1), schema_g)
+            .drop("__g"))
 
 
 def heavy_hitters(df: DataFrame, value_col: str, k: int = 20,
@@ -158,20 +229,25 @@ def heavy_hitters(df: DataFrame, value_col: str, k: int = 20,
     spec = spec or CmsSpec()
     n_cand = candidates_per_partition or max(4 * k, 64)
     partials = heavy_hitters_partials(df, value_col, group_cols, spec, n_cand,
-                                      weight_col=weight_col).persist()
+                                      weight_col=weight_col)
     return heavy_hitters_from_partials(partials, k, group_cols, spec)
 
 
 def estimate_counts(df: DataFrame, value_col: str, cms_blob: bytes,
                     spec: CmsSpec | None = None,
                     est_name: str = "est_count") -> DataFrame:
-    """Point-query every row's value against one serialized CMS (closure-
-    captured; ~160 KB ships once per task like a broadcast var)."""
+    """Point-query every row's value against one serialized CMS.
+
+    The blob ships via ``sc.broadcast`` (torrent distribution, one copy per
+    executor) rather than the UDF closure — a right-sized 100 TB CMS/Bloom
+    can be GBs, and closures re-ship per task."""
     spec = spec or CmsSpec()
+    sc = df.sparkSession.sparkContext
+    blob_bc = sc.broadcast(cms_blob)
 
     @F.pandas_udf(T.LongType())
     def _est(values: pd.Series) -> pd.Series:
-        cms = spec.from_bytes(cms_blob)
+        cms = spec.from_bytes(blob_bc.value)
         return pd.Series(cms.estimate_hashes(hash_series(values, spec.hash_name)).astype(np.int64))
 
     return df.withColumn(est_name, _est(F.col(value_col)))

@@ -216,3 +216,49 @@ def test_heavy_hitters_weighted(spark, sf_dir):
     for r in rows:
         true = int(exact[r["value"]])
         assert r["lower_bound"] <= true <= r["est_count"]
+
+
+class TestBoundedCandidates:
+    def test_mg_update_bounded_and_lower_bound(self):
+        """Candidate table never exceeds 2*cap entries no matter how many
+        distinct values stream through, and surviving counts stay lower
+        bounds on the true counts (regression: stage 1 used to keep an
+        exact unbounded value->count dict)."""
+        import numpy as np
+        import pandas as pd
+        from sketchlib.spark.heavy_hitters import _mg_update
+
+        rng = np.random.default_rng(7)
+        cap = 64
+        cur = None
+        true = {}
+        for b in range(50):
+            # 20k fresh singletons per batch (1M distinct total) + 5 heavies
+            uniq = np.arange(b * 20_000, (b + 1) * 20_000)
+            heavy = rng.integers(0, 5, size=5_000) - 10  # ids -10..-6
+            vals, cnts = np.unique(np.concatenate([uniq, heavy]), return_counts=True)
+            s = pd.Series(cnts.astype(np.int64), index=vals)
+            for v, c in s.items():
+                true[v] = true.get(v, 0) + int(c)
+            cur = _mg_update(cur, s, cap)
+            assert len(cur) <= 2 * cap
+        # heavies survive and their counts are valid lower bounds
+        for hid in range(-10, -5):
+            assert hid in cur.index
+            assert 0 < cur[hid] <= true[hid]
+
+    def test_heavy_hitters_high_cardinality_partition(self, spark):
+        """End-to-end: a single partition with ~300k distinct values still
+        surfaces the true heavies with sound bounds."""
+        import numpy as np
+        from pyspark.sql import functions as F
+        from sketchlib.spark.heavy_hitters import heavy_hitters
+
+        uniq = spark.range(300_000).select(F.col("id").alias("v"))
+        heavy = (spark.range(40_000)
+                 .select((F.col("id") % 4 - 10).alias("v")))  # ids -10..-7, 10k each
+        df = uniq.union(heavy).coalesce(1)
+        hh = {r["value"]: r for r in heavy_hitters(df, "v", k=4).collect()}
+        assert set(hh) == {-10, -9, -8, -7}
+        for v, r in hh.items():
+            assert r["lower_bound"] <= 10_000 <= r["est_count"]
