@@ -79,6 +79,25 @@ class SketchCheckpoint:
 
     # -- build ------------------------------------------------------------------
 
+    def _partial_stats(self, spark: SparkSession, path: str,
+                       blob_col: str = "sketch") -> tuple[int, int]:
+        """(n_partials, n_input_rows) from the *written* partials — every
+        sketch blob carries ``count_additions`` (exactly the rows it
+        ingested), so lineage metrics cost one scan of the tiny partials
+        parquet instead of a second full scan of the unit's input."""
+        spec = self.spec
+
+        @F.pandas_udf("long")
+        def _adds(blobs):
+            return blobs.map(
+                lambda b: 0 if b is None
+                else int(spec.from_bytes(bytes(b)).count_additions))
+
+        row = (spark.read.parquet(path)
+               .agg(F.count("*").alias("n_partials"),
+                    F.sum(_adds(F.col(blob_col))).alias("n_rows")).first())
+        return int(row["n_partials"]), int(row["n_rows"] or 0)
+
     def run_unit(self, df_unit: DataFrame, unit: str) -> dict:
         """Build + persist stage-1 partials for one unit, then commit its
         lineage record. Safe to re-run a crashed unit (overwrite-then-commit)."""
@@ -87,12 +106,11 @@ class SketchCheckpoint:
                                   self.spec)
         path = self._unit_path(unit)
         partials.write.mode("overwrite").parquet(path)
-        stats = (df_unit.sparkSession.read.parquet(path)
-                 .agg(F.count("*").alias("n_partials")).first())
+        n_partials, n_rows = self._partial_stats(df_unit.sparkSession, path)
         record = {
             "unit": unit,
-            "n_partials": int(stats["n_partials"]),
-            "n_input_rows": df_unit.count(),
+            "n_partials": n_partials,
+            "n_input_rows": n_rows,
             "element_cols": self.element_cols,
             "group_cols": self.group_cols,
             "sketch": getattr(self.spec, "name", "sketch"),
@@ -150,12 +168,12 @@ class HeavyHittersCheckpoint(SketchCheckpoint):
                                           n_cand=max(4 * self.k, 64))
         path = self._unit_path(unit)
         partials.write.mode("overwrite").parquet(path)
-        stats = (df_unit.sparkSession.read.parquet(path)
-                 .agg(F.count("*").alias("n_partials")).first())
+        n_partials, n_rows = self._partial_stats(df_unit.sparkSession, path,
+                                                 blob_col="cms")
         record = {
             "unit": unit,
-            "n_partials": int(stats["n_partials"]),
-            "n_input_rows": df_unit.count(),
+            "n_partials": n_partials,
+            "n_input_rows": n_rows,
             "element_cols": [self.value_col],
             "group_cols": self.group_cols,
             "sketch": getattr(self.spec, "name", "sketch") + "+candidates",

@@ -64,9 +64,14 @@ def test_lineage_records(spark, pages_dir, tmp_path):
     ck.run(spark, _day_source(spark, pages_dir), days[:2])
     recs = ck.lineage()
     assert len(recs) == 2
+    src_fn = _day_source(spark, pages_dir)
     for rec in recs:
         assert rec["unit"] in days
-        assert rec["n_input_rows"] > 0
+        # lineage row count derives from the written partials'
+        # count_additions (no second input scan) and must equal the exact
+        # ingested (non-null element) row count
+        exact = src_fn(rec["unit"]).dropna(subset=["url"]).count()
+        assert rec["n_input_rows"] == exact
         assert rec["n_partials"] > 0
         assert rec["wall_sec"] >= 0
         assert rec["sketch"] == "hll"
