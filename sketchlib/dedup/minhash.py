@@ -4,10 +4,18 @@ Pipeline (Broder 1997 resemblance; Indyk–Motwani LSH banding):
 
 1. **shingles** — distinct word k-grams per doc, built JVM-side
    (``sequence``/``transform``/``array_distinct`` — no Python).
-2. **signatures** — one vectorized pandas UDF: Murmur3 each shingle once,
-   then n permutations via universal hashing ``(a*h + b) mod p`` evaluated as
-   an (n_shingles x n_hashes) numpy min-reduce. Arrow-batched; per-row Python
-   never touches a shingle.
+2. **signatures** — ``mapInArrow``: every shingle hashes once via Murmur3
+   straight from the Arrow list child buffers (zero per-shingle Python, no
+   pandas string materialization), then n permutations are applied as a
+   chunked (shingles x n_hashes) numpy min-reduce
+   (``np.minimum.reduceat`` over row boundaries) so peak matrix memory is
+   capped (~16 MB) no matter how many shingles a document has.
+   The permutation family is ``pi_i(h) = a_i * h + b_i  (mod 2^64)`` with
+   odd ``a_i`` — an affine *bijection* of Z_2^64 per hash index
+   (multiply-shift family, Dietzfelbinger et al.). It is approximately
+   min-wise, not perfectly min-wise independent; since every candidate pair
+   is verified with the exact Jaccard, the approximation affects recall
+   only, never precision.
 3. **banding** — signature split into b bands of r rows; docs sharing any
    band hash become candidates. P(candidate | J=s) = 1-(1-s^r)^b, so with
    r=4, b=32 a pair at s=0.7 is missed with p ~ 1.5e-4.
@@ -20,26 +28,28 @@ self-join explodes only within buckets; a band whose bucket exceeds
 ``max_bucket`` is dropped as a degenerate cluster guard (standard practice:
 an over-full bucket means near-identical boilerplate; pairs inside it are
 still found by their other bands with high probability). Deterministic: all
-hash seeds are fixed constants.
+hash seeds are fixed constants.  NULL texts yield NULL signatures and are
+excluded from banding.  ``near_dup_pairs`` recomputes the (JVM-only)
+shingle arrays for the verify join instead of persisting them — caching
+per-doc shingle arrays at 100 TB costs more than re-deriving them from the
+pruned text column.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..hashing import murmur3_64_flat, to_flat_bytes
-
-_MERSENNE61 = (1 << 61) - 1
+from ..hashing import murmur3_64_flat
 
 
 def _perm_params(n_hashes: int, seed: int = 0x5EED) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)  # fixed seed: signatures are normative
-    a = rng.integers(1, _MERSENNE61, size=n_hashes, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, _MERSENNE61, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    a = rng.integers(0, 1 << 63, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    a = (a << np.uint64(1)) | np.uint64(1)  # odd -> bijection of Z_2^64
+    b = rng.integers(0, 1 << 63, size=n_hashes, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
@@ -52,39 +62,94 @@ def shingles_col(text_col: Column, k: int = 3) -> Column:
         F.sequence(F.lit(0), n - k),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
     whole = F.array(F.concat_ws(" ", toks))
-    return F.array_distinct(F.when(n >= k, grams).otherwise(whole))
+    # NULL text -> NULL shingles (concat_ws would otherwise turn the NULL
+    # token array into a single "" shingle)
+    return F.when(text_col.isNotNull(),
+                  F.array_distinct(F.when(n >= k, grams).otherwise(whole)))
+
+
+#: cap on the (chunk_shingles x n_hashes) uint64 workspace
+_SIG_CHUNK_BYTES = 16 << 20
+
+
+def _min_sigs(hashes: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+              a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-row signature mins over contiguous hash segments, chunked so the
+    permutation matrix never exceeds ``_SIG_CHUNK_BYTES``.  ``starts``/
+    ``ends`` are the [start, end) hash offsets of each (non-empty) row."""
+    n_hashes = a.shape[0]
+    n_rows = starts.shape[0]
+    out = np.empty((n_rows, n_hashes), dtype=np.uint64)
+    max_shingles = max(1, _SIG_CHUNK_BYTES // (8 * n_hashes))
+    i = 0
+    with np.errstate(over="ignore"):
+        while i < n_rows:
+            j = int(np.searchsorted(starts, starts[i] + max_shingles, "left"))
+            j = min(max(j, i + 1), n_rows)
+            if j == i + 1 and ends[i] - starts[i] > max_shingles:
+                # one huge document: sub-chunk with a running min
+                acc = np.full(n_hashes, np.iinfo(np.uint64).max, dtype=np.uint64)
+                for lo in range(int(starts[i]), int(ends[i]), max_shingles):
+                    h = hashes[lo:min(lo + max_shingles, int(ends[i]))]
+                    vals = a[None, :] * h[:, None] + b[None, :]
+                    np.minimum(acc, vals.min(axis=0), out=acc)
+                out[i] = acc
+            else:
+                h = hashes[starts[i]:ends[j - 1]]
+                vals = a[None, :] * h[:, None] + b[None, :]
+                out[i:j] = np.minimum.reduceat(vals, starts[i:j] - starts[i],
+                                               axis=0)
+            i = j
+    return out
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_hashes: int = 128,
                        shingle_k: int = 3) -> DataFrame:
-    """(id_col, shingles, sig: array<bigint>[n_hashes]) per document."""
+    """(id_col, shingles, sig: array<bigint>[n_hashes]) per document.
+
+    Arrow-native: shingle bytes hash straight from the list child buffers;
+    the only per-row Python is the numpy segment bookkeeping.  NULL text
+    (-> NULL shingles) yields a NULL signature."""
     a, b = _perm_params(n_hashes)
+    sh = df.select(F.col(id_col),
+                   shingles_col(F.col(text_col), shingle_k).alias("shingles"))
+    out_schema = T.StructType(list(sh.schema.fields)
+                              + [T.StructField("sig", T.ArrayType(T.LongType()), True)])
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _sig(shingle_lists: pd.Series) -> pd.Series:
-        out = []
-        # flatten every row's shingles into one hash batch
-        lens = np.fromiter((len(s) for s in shingle_lists), dtype=np.int64,
-                           count=len(shingle_lists))
-        flat_vals = [sh.encode("utf-8") for row in shingle_lists for sh in row]
-        flat, offsets = to_flat_bytes(flat_vals)
-        hashes = murmur3_64_flat(flat, offsets)
-        bounds = np.zeros(len(shingle_lists) + 1, dtype=np.int64)
-        np.cumsum(lens, out=bounds[1:])
-        with np.errstate(over="ignore"):
-            for i in range(len(shingle_lists)):
-                h = hashes[bounds[i]:bounds[i + 1]]
-                if h.shape[0] == 0:
-                    out.append(None)
-                    continue
-                # universal hash into [0, 2^61-1): (a*h + b) mod p, vectorized
-                vals = (a[None, :] * h[:, None] + b[None, :]) % np.uint64(_MERSENNE61)
-                out.append(vals.min(axis=0).astype(np.int64).tolist())
-        return pd.Series(out)
+    def sign(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    sh = df.select(F.col(id_col), shingles_col(F.col(text_col), shingle_k).alias("shingles"))
-    return sh.withColumn("sig", _sig("shingles"))
+        from ..encoding import arrow_flat_bytes
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            col = batch.column("shingles")
+            lens = (pc.fill_null(pc.list_value_length(col), 0)
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+            bounds = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=bounds[1:])
+            flat_strings = pc.list_flatten(col)
+            flat, offsets = arrow_flat_bytes(flat_strings)
+            hashes = murmur3_64_flat(flat, offsets)
+            nz = np.nonzero(lens > 0)[0]
+            sig_rows = _min_sigs(hashes, bounds[nz], bounds[nz + 1], a, b)
+            counts = np.where(lens > 0, n_hashes, 0).astype(np.int32)
+            off32 = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(counts, out=off32[1:])
+            values = pa.array(sig_rows.reshape(-1).view(np.int64))
+            sig = pa.ListArray.from_arrays(
+                pa.array(off32, mask=np.append(lens == 0, False)),
+                values)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1), sig],
+                schema=pa.schema(list(batch.schema)
+                                 + [pa.field("sig", pa.list_(pa.int64()))]))
+
+    return sh.mapInArrow(sign, out_schema)
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
@@ -92,7 +157,7 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
     """Candidate (id_a < id_b) pairs sharing at least one LSH band bucket."""
     n_hashes_col = F.size("sig")
     rows_per_band = (n_hashes_col / bands).cast("int")
-    banded = sig_df.select(
+    banded = sig_df.filter(F.col("sig").isNotNull()).select(
         id_col,
         F.posexplode(
             F.transform(
@@ -117,10 +182,17 @@ def near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
                    threshold: float = 0.7, n_hashes: int = 128, bands: int = 32,
                    shingle_k: int = 3) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with exact word-shingle Jaccard >=
-    threshold, found via MinHash banding and verified exactly."""
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k).persist()
-    pairs = lsh_candidate_pairs(sig, id_col, bands)
-    sh = sig.select(F.col(id_col), "shingles")
+    threshold, found via MinHash banding and verified exactly.
+
+    The Python-side signature pass runs once (banding input); the verify
+    join re-derives the JVM-only shingle arrays instead of persisting them
+    (no cache to leak, and caching per-doc shingle arrays at 100 TB costs
+    more than recomputing them from the pruned text column)."""
+    base = df.filter(F.col(text_col).isNotNull())
+    sig = minhash_signatures(base, text_col, id_col, n_hashes, shingle_k)
+    pairs = lsh_candidate_pairs(sig.select(id_col, "sig"), id_col, bands)
+    sh = base.select(F.col(id_col),
+                     shingles_col(F.col(text_col), shingle_k).alias("shingles"))
     j = (pairs
          .join(sh.withColumnRenamed(id_col, "id_a")
                  .withColumnRenamed("shingles", "sh_a"), "id_a")

@@ -253,3 +253,45 @@ class TestUrlUtils:
         df = spark.createDataFrame([(u,) for u in variants], "url string")
         n = df.select(normalize_url(F.col("url")).alias("k")).distinct().count()
         assert n == 1
+
+
+class TestMinHashEdgeCases:
+    def test_null_text_yields_null_sig_and_no_crash(self, spark):
+        """NULL texts used to crash the signature UDF; now they produce a
+        NULL signature and never reach banding/verification."""
+        from sketchlib.dedup import near_dup_pairs
+        from sketchlib.dedup.minhash import minhash_signatures
+
+        rows = [(0, "the quick brown fox jumps over the dog"),
+                (1, None),
+                (2, "the quick brown fox jumps over the dog"),
+                (3, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sig = minhash_signatures(df).collect()
+        by_id = {r["doc_id"]: r["sig"] for r in sig}
+        assert by_id[1] is None and by_id[3] is None
+        assert by_id[0] == by_id[2] and len(by_id[0]) == 128
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in near_dup_pairs(df, threshold=0.9).collect()}
+        assert pairs == {(0, 2)}
+
+    def test_huge_doc_subchunked_signature_matches(self, spark):
+        """A document whose shingle count exceeds the chunk cap goes through
+        the running-min sub-chunk path and must produce the same signature
+        as the one-shot matrix path."""
+        import numpy as np
+        from sketchlib.dedup import minhash as M
+
+        rng = np.random.default_rng(3)
+        hashes = rng.integers(0, 1 << 63, size=5000, dtype=np.int64).astype(np.uint64)
+        a, b = M._perm_params(16)
+        starts = np.array([0], dtype=np.int64)
+        ends = np.array([5000], dtype=np.int64)
+        full = M._min_sigs(hashes, starts, ends, a, b)
+        old = M._SIG_CHUNK_BYTES
+        try:
+            M._SIG_CHUNK_BYTES = 16 * 8 * 64  # force max_shingles=64
+            small = M._min_sigs(hashes, starts, ends, a, b)
+        finally:
+            M._SIG_CHUNK_BYTES = old
+        assert (full == small).all()
