@@ -349,12 +349,29 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 3 over 64 bits, pigeonhole-exact
-    candidate recall) — simhash values are not SQL-expressible -> rows-only."""
+    """SimHash pigeonhole parity, machine-checked: the chunked-join pair set
+    must equal the brute-force Hamming pair set (computed Spark-side via a
+    crossJoin of the signatures — fine at gate scale), with identical
+    hamming distances.  Oracle states the invariant as literals."""
     from sketchlib.dedup import simhash_near_dup_pairs
+    from sketchlib.dedup.simhash import _popcount64, simhash_signatures
 
     docs = _read(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, max_hamming=3)
+    got = simhash_near_dup_pairs(docs, max_hamming=3)
+    sim = simhash_signatures(docs, "text", "doc_id")
+    a = sim.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    brute = (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("hamming_bf",
+                         _popcount64(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+             .filter(F.col("hamming_bf") <= 3).select("id_a", "id_b", "hamming_bf"))
+    j = got.join(brute, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("hamming").isNull(), 1).otherwise(0)).alias("n_missed"),
+        F.sum(F.when(F.col("hamming_bf").isNull(), 1).otherwise(0)).alias("n_extra"),
+        (F.sum(F.when(F.col("hamming") != F.col("hamming_bf"), 1).otherwise(0)) == 0
+         ).alias("distances_match"),
+        (F.count("*") > 0).alias("found_pairs"))
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,7 +486,10 @@ def _pipeline_oracles() -> dict[str, str]:
         "lang_id_distribution": lang_id,
         "dedup_exact_summary": dedup,
         "minhash_near_dup_pairs": minhash,
-        # simhash_near_dup_pairs: no oracle (simhash not SQL-expressible)
+        "simhash_near_dup_pairs": (
+            "SELECT CAST(0 AS BIGINT) AS n_missed, CAST(0 AS BIGINT) AS n_extra, "
+            "TRUE AS distances_match, TRUE AS found_pairs"
+        ),
         "ann_cosine_topk": ann,
     }
 

@@ -6,13 +6,20 @@ simhashes <=> cosine-similar token multisets.
 
 Candidate generation uses the Manku pigeonhole: split 64 bits into
 ``max_hamming + 1`` chunks — two docs within ``max_hamming`` bit flips MUST
-agree on at least one whole chunk (exact recall, no probabilistic miss).
-Join on (chunk_id, chunk_value), verify with a popcount of the XOR.
+agree on at least one whole chunk, so recall is exact *except* that a
+(chunk_id, chunk_value) bucket holding more than ``max_bucket`` docs is
+dropped as a degenerate-cluster guard (same trade-off as minhash banding:
+an over-full bucket means near-identical boilerplate, and a pair losing its
+only agreeing chunk to the guard is lost). Join on (chunk_id, chunk_value),
+verify with a popcount of the XOR.
 
-Vectorization: one pandas UDF computes simhashes for a whole Arrow batch —
-all tokens of all rows hashed in one Murmur3 call, bit matrix accumulated
-with ``np.add.reduceat`` per row. Everything downstream (chunking, join,
-popcount) is JVM-side column algebra.
+Tokenization is JVM-side (``split(lower(trim(text)), '\\s+')`` minus empty
+tokens — normative); Python never touches token strings on the near-dup
+path: ``simhash_signatures`` is ``mapInArrow`` and hashes token bytes
+straight from the Arrow list child buffers, accumulating the bit matrix
+with chunked ``np.add.reduceat``. ``simhash_col`` remains as a Column
+convenience for SQL pipelines (same tokens, pandas-materialized — use
+``simhash_signatures`` in bulk jobs).
 """
 
 from __future__ import annotations
@@ -27,31 +34,110 @@ from ..hashing import murmur3_64_flat, to_flat_bytes
 
 _BITS = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
+#: cap on the (chunk_tokens x 64) int32 bit-matrix workspace
+_BIT_CHUNK_BYTES = 16 << 20
+
+
+def _tokens_col(text_col: Column) -> Column:
+    """Whitespace tokens, lowercased, empty tokens removed (parity with
+    Python ``str.split()``); NULL text -> NULL."""
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def _simhash_rows(hashes: np.ndarray, starts: np.ndarray,
+                  ends: np.ndarray) -> np.ndarray:
+    """SimHash per row over contiguous token-hash segments, chunked so the
+    (tokens x 64) sign matrix stays under ``_BIT_CHUNK_BYTES``."""
+    n_rows = starts.shape[0]
+    out = np.zeros(n_rows, dtype=np.uint64)
+    max_tokens = max(1, _BIT_CHUNK_BYTES // (64 * 4))
+    i = 0
+    while i < n_rows:
+        j = int(np.searchsorted(starts, starts[i] + max_tokens, "left"))
+        j = min(max(j, i + 1), n_rows)
+        if j == i + 1 and ends[i] - starts[i] > max_tokens:
+            # one huge document: accumulate bit sums across sub-chunks
+            acc = np.zeros(64, dtype=np.int64)
+            for lo in range(int(starts[i]), int(ends[i]), max_tokens):
+                h = hashes[lo:min(lo + max_tokens, int(ends[i]))]
+                bits = ((h[:, None] & _BITS[None, :]) != 0).astype(np.int32) * 2 - 1
+                acc += bits.sum(axis=0)
+            out[i] = (acc > 0) @ _BITS
+        else:
+            h = hashes[starts[i]:ends[j - 1]]
+            bits = ((h[:, None] & _BITS[None, :]) != 0).astype(np.int32) * 2 - 1
+            sums = np.add.reduceat(bits, starts[i:j] - starts[i], axis=0)
+            out[i:j] = (sums > 0) @ _BITS
+        i = j
+    return out
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(id_col, simhash: long) per document — the bulk path.
+
+    ``mapInArrow``: JVM tokenization, token bytes hashed straight from the
+    Arrow list buffers. NULL/empty texts get simhash 0 (all-clear sign
+    vector), matching :func:`simhash_col`."""
+    src = df.select(F.col(id_col), _tokens_col(F.col(text_col)).alias("toks"))
+    out_schema = T.StructType([src.schema[id_col],
+                               T.StructField("simhash", T.LongType(), False)])
+
+    def sign(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..encoding import arrow_flat_bytes
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            col = batch.column("toks")
+            lens = (pc.fill_null(pc.list_value_length(col), 0)
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+            bounds = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=bounds[1:])
+            flat, offsets = arrow_flat_bytes(pc.list_flatten(col))
+            hashes = murmur3_64_flat(flat, offsets)
+            out = np.zeros(n, dtype=np.uint64)
+            nz = np.nonzero(lens > 0)[0]
+            if nz.shape[0]:
+                out[nz] = _simhash_rows(hashes, bounds[nz], bounds[nz + 1])
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(out.view(np.int64))],
+                schema=pa.schema([batch.schema.field(0),
+                                  pa.field("simhash", pa.int64(), False)]))
+
+    return src.mapInArrow(sign, out_schema)
+
 
 def simhash_col(text_col: str | Column) -> Column:
-    """64-bit SimHash of whitespace tokens (lowercased), as a signed long."""
+    """64-bit SimHash of whitespace tokens (lowercased), as a signed long.
+    Column-expression convenience (tokens materialize through pandas); use
+    :func:`simhash_signatures` for bulk jobs."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
 
     @F.pandas_udf(T.LongType())
-    def _simhash(texts: pd.Series) -> pd.Series:
-        token_lists = [str(t).lower().split() if t is not None else [] for t in texts]
-        lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
-                           count=len(token_lists))
-        flat_tokens = [tok.encode("utf-8") for row in token_lists for tok in row]
+    def _simhash(token_lists: pd.Series) -> pd.Series:
+        lens = np.fromiter(
+            (0 if t is None else len(t) for t in token_lists),
+            dtype=np.int64, count=len(token_lists))
+        flat_tokens = [tok.encode("utf-8")
+                       for row in token_lists if row is not None
+                       for tok in row]
         flat, offsets = to_flat_bytes(flat_tokens)
         hashes = murmur3_64_flat(flat, offsets)
-        # (n_tokens, 64) in {-1, +1}
-        bits = ((hashes[:, None] & _BITS[None, :]) != 0).astype(np.int32) * 2 - 1
         bounds = np.zeros(len(token_lists) + 1, dtype=np.int64)
         np.cumsum(lens, out=bounds[1:])
         out = np.zeros(len(token_lists), dtype=np.uint64)
-        nonempty = np.nonzero(lens > 0)[0]
-        if nonempty.shape[0]:
-            sums = np.add.reduceat(bits, bounds[nonempty], axis=0)
-            sig = (sums > 0) @ _BITS.astype(np.uint64)
-            out[nonempty] = sig
+        nz = np.nonzero(lens > 0)[0]
+        if nz.shape[0]:
+            out[nz] = _simhash_rows(hashes, bounds[nz], bounds[nz + 1])
         return pd.Series(out.astype(np.int64))
 
-    return _simhash(F.col(text_col) if isinstance(text_col, str) else text_col)
+    return _simhash(_tokens_col(c))
 
 
 def _popcount64(col: Column) -> Column:
@@ -62,12 +148,15 @@ def _popcount64(col: Column) -> Column:
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", max_hamming: int = 3,
                            max_bucket: int = 10_000) -> DataFrame:
-    """(id_a, id_b, hamming) for all pairs within ``max_hamming`` bits —
-    exact (pigeonhole chunking loses no pairs; buckets over ``max_bucket``
-    would only arise from degenerate constant columns)."""
+    """(id_a, id_b, hamming) for all pairs within ``max_hamming`` bits.
+
+    Recall is exact by the pigeonhole argument, except pairs whose *every*
+    agreeing chunk lands in a bucket larger than ``max_bucket`` (degenerate
+    boilerplate clusters) — raise ``max_bucket`` if exactness under such
+    clusters is required."""
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
-    sim = df.select(F.col(id_col), simhash_col(text_col).alias("simhash"))
+    sim = simhash_signatures(df, text_col, id_col)
     chunks = sim.select(
         id_col, "simhash",
         F.posexplode(F.array(*[
