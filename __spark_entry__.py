@@ -273,6 +273,27 @@ def q_hll_fnv1a_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                           estimate_name="distinct_suppliers")
 
 
+def q_hll_xxhash128_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third hash option — the reference's *default*
+    (CardinalityEstimator.cs:212: BitConverter.ToUInt64(XxHash128.Hash(x)),
+    vectorized in sketchlib/xxh3.py and pinned bit-exact to libxxhash);
+    direct-mode exactness is hash-independent -> plain COUNT DISTINCT."""
+    li = _read(spark, sf_dir, "lineitem")
+    return distinct_count(li, "l_suppkey", ["l_orderkey"], hash_name="xxhash128",
+                          estimate_name="distinct_suppliers")
+
+
+def q_hll_string_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct *string* elements through HLL — oracle-checks the normative
+    UTF-8 Add(string) encoding (CardinalityEstimator.cs:346-369) end-to-end
+    (documents.text includes multi-byte scripts); per (lang, source) the
+    distinct count stays in direct-count range at gate scale, so the
+    estimate is exact."""
+    docs = _read(spark, sf_dir, "documents")
+    return distinct_count(docs, "text", ["lang", "source"],
+                          estimate_name="distinct_texts")
+
+
 def q_hll_multicolumn_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite (l_suppkey, l_partkey) element per order — multi-column
     element hashing, exact in direct mode."""
@@ -401,6 +422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_per_event_type_bound": q_hll_users_per_event_type_bound,
         "hll_salted_tree_merge": q_hll_salted_tree_merge,
         "hll_fnv1a_distinct_exact": q_hll_fnv1a_distinct_exact,
+        "hll_xxhash128_distinct_exact": q_hll_xxhash128_distinct_exact,
+        "hll_string_distinct_exact": q_hll_string_distinct_exact,
         "hll_multicolumn_distinct_exact": q_hll_multicolumn_distinct_exact,
         "hll_checkpointed_users": q_hll_checkpointed_users,
         "bloom_membership": q_bloom_membership,
@@ -523,6 +546,14 @@ def oracle_sql() -> dict[str, str]:
         "hll_fnv1a_distinct_exact": (
             "SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS distinct_suppliers "
             "FROM lineitem GROUP BY l_orderkey"
+        ),
+        "hll_xxhash128_distinct_exact": (
+            "SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS distinct_suppliers "
+            "FROM lineitem GROUP BY l_orderkey"
+        ),
+        "hll_string_distinct_exact": (
+            "SELECT lang, source, COUNT(DISTINCT text) AS distinct_texts "
+            "FROM documents GROUP BY lang, source"
         ),
         "hll_multicolumn_distinct_exact": (
             "SELECT l_orderkey, COUNT(DISTINCT (l_suppkey::VARCHAR || '|' || "

@@ -293,7 +293,22 @@ def fnv1a_64_batch(values: Sequence[bytes]) -> np.ndarray:
     return fnv1a_64_flat(flat, offsets)
 
 
+def _xxh128_net(data: bytes) -> int:
+    from .xxh3 import xxh128_net
+
+    return xxh128_net(data)
+
+
+def _xxh128_net_flat(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    from .xxh3 import xxh128_net_flat
+
+    return xxh128_net_flat(flat, offsets)
+
+
 HASHES = {
     "murmur3": (murmur3_64, murmur3_64_flat),
     "fnv1a": (fnv1a_64, fnv1a_64_flat),
+    # the C# reference's *default*: BitConverter.ToUInt64(XxHash128.Hash(x))
+    # (CardinalityEstimator.cs:212) == byteswap64(high64 of XXH3-128)
+    "xxhash128": (_xxh128_net, _xxh128_net_flat),
 }
