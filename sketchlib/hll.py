@@ -192,34 +192,45 @@ class HllSketch:
         self.direct = None
         self._maybe_promote()
 
-    def _maybe_promote(self) -> None:
+    def _maybe_promote(self) -> bool:
         if self._is_sparse and int(np.count_nonzero(self._registers)) > self.sparse_max_elements:
             self._is_sparse = False
+            return True
+        return False
 
     # -- build ---------------------------------------------------------------
 
-    def add_hashes(self, hashes: np.ndarray) -> None:
+    def add_hashes(self, hashes: np.ndarray) -> bool:
         """Batch insert of element hashes (vectorized AddElementHash,
-        CardinalityEstimator.cs:755-788)."""
+        CardinalityEstimator.cs:755-788). Returns True iff the sketch state
+        changed — the reference's Add mutation-reporting contract
+        (CardinalityEstimator.cs:346-470, CardinalityEstimatorTests.cs:92-126),
+        batch-collapsed with OR."""
         h = np.ascontiguousarray(hashes, dtype=np.uint64)
         self.count_additions += int(h.shape[0])
         if h.shape[0] == 0:
-            return
+            return False
         if self.direct is not None:
+            before = self.direct.shape[0]
             self.direct = np.union1d(self.direct, h)
+            changed = self.direct.shape[0] > before
             if self.direct.shape[0] > DIRECT_COUNTER_MAX_ELEMENTS:
                 self._drop_direct()
-            return
+                return True
+            return changed
         idx = (h >> np.uint64(self.bits_for_hll)).astype(np.int64)
-        np.maximum.at(self._registers, idx, get_sigma_batch(h, self.bits_for_hll))
-        self._maybe_promote()
+        sig = get_sigma_batch(h, self.bits_for_hll)
+        changed = bool((sig > self._registers[idx]).any())
+        np.maximum.at(self._registers, idx, sig)
+        return self._maybe_promote() or changed
 
-    def add(self, *elements) -> None:
+    def add(self, *elements) -> bool:
         """Convenience scalar/list add of raw byte strings (tests only; the
-        Spark hot path hashes whole Arrow batches)."""
+        Spark hot path hashes whole Arrow batches). Returns True iff any
+        element changed the sketch (reference Add contract)."""
         vals = [e if isinstance(e, bytes) else str(e).encode("utf-8") for e in elements]
         flat, offsets = to_flat_bytes(vals)
-        self.add_hashes(murmur3_64_flat(flat, offsets))
+        return self.add_hashes(murmur3_64_flat(flat, offsets))
 
     # -- estimate ------------------------------------------------------------
 
@@ -392,7 +403,10 @@ class HllSketch:
             registers = np.frombuffer(blob, dtype=np.uint8, count=n, offset=off).copy()
             off += n
             sketch = cls(p=p, use_direct_counting=False, registers=registers, is_sparse=False)
-        if (major, minor) >= (2, 1):
+        # reference predicate is (major >= 2 AND minor >= 1) — NOT tuple
+        # order: a hypothetical v3.0 blob carries no count_additions
+        # (CardinalityEstimatorSerializer quirk, matched deliberately)
+        if major >= 2 and minor >= 1:
             (count_additions,) = struct.unpack_from("<Q", blob, off)
             sketch.count_additions = int(count_additions)
         return sketch

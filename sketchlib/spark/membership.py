@@ -36,15 +36,30 @@ def bloom_build_bytes(df: DataFrame, element_cols,
 
 def might_contain_udf(blob: bytes, cols: Sequence[str] | str,
                       spec: BloomSpec | None = None) -> Column:
-    """Boolean column: True = possibly in the filter, False = definitely not."""
+    """Boolean column: True = possibly in the filter, False = definitely not.
+
+    The blob ships via ``sc.broadcast`` (one torrent-distributed copy per
+    executor) instead of the UDF closure — a right-sized 100 TB filter is
+    GBs, and closures re-serialize per task."""
+    from pyspark.sql import SparkSession
+
     spec = spec or BloomSpec()
     if isinstance(cols, str):
         cols = [cols]
     cols = list(cols)
+    session = SparkSession.getActiveSession()
+    if session is not None:
+        blob_ref = session.sparkContext.broadcast(blob)
+
+        def load():  # captures only the broadcast handle, not the blob
+            return blob_ref.value
+    else:
+        def load():
+            return blob
 
     @F.pandas_udf(T.BooleanType())
     def _contains(*series: pd.Series) -> pd.Series:
-        bf = spec.from_bytes(blob)
+        bf = spec.from_bytes(load())
         pdf = pd.concat(series, axis=1)
         pdf.columns = cols
         return pd.Series(bf.contains_hashes(hash_columns(pdf, cols, spec.hash_name)))

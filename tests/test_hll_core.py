@@ -334,3 +334,34 @@ def test_set_algebra_estimates():
     assert abs(j - 10_000 / 30_000) < 0.05
     disjoint = hll_from_values([f"z{i}" for i in range(50)])
     assert intersection_estimate(a, disjoint) <= 600  # noise-clamped
+
+
+def test_add_reports_changed_reference_cases():
+    """Mirror of the reference's TestChanged
+    (CardinalityEstimatorTests.cs:92-126): Add returns whether the sketch
+    state mutated, across direct mode, the direct->sparse promotion, and
+    a no-op insert whose register rank is already covered."""
+    import struct
+
+    from sketchlib.hashing import murmur3_64
+    from sketchlib.hll import HllSketch
+
+    sk = HllSketch(p=14)
+
+    def add_int(i):
+        # reference Add(int): 4-byte little-endian Murmur3 (CardinalityEstimator.cs:376)
+        return sk.add_hashes(np.array([murmur3_64(struct.pack("<i", i))],
+                                      dtype=np.uint64))
+
+    assert sk.count_additions == 0
+    assert add_int(0) is True
+    assert add_int(0) is False
+    for i in range(1, 100):
+        assert add_int(i) is True
+    assert add_int(100) is True   # first change from direct count (promotion)
+    assert add_int(100) is False
+    assert add_int(101) is True
+    assert add_int(102) is True
+    assert add_int(0) is False
+    # element not present but the internal state doesn't change
+    assert add_int(116) is False
