@@ -395,6 +395,79 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") > 0).alias("found_pairs"))
 
 
+def q_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming HLL state: two ``availableNow`` passes over a
+    growing file source (restart resumes from the state-store checkpoint,
+    not a recount), final per-event_type estimate bound-checked vs exact.
+    The streaming estimate equals the batch estimate bit-for-bit because
+    the state is the same canonical sketch."""
+    import shutil
+
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".tmp_stream_gate")
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "user_id")
+    schema = ev.schema
+    collected: dict[str, int] = {}
+
+    def run_pass():
+        from sketchlib.streaming import streaming_distinct_count
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = streaming_distinct_count(stream, "user_id", ["event_type"])
+        q = (agg.writeStream
+             .foreachBatch(lambda bdf, _b: collected.update(
+                 {r["event_type"]: r["estimate"] for r in bdf.collect()}))
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    try:
+        ev.filter(F.col("user_id") % 2 == 0).write.mode("append").parquet(src)
+        run_pass()
+        ev.filter(F.col("user_id") % 2 == 1).write.mode("append").parquet(src)
+        run_pass()
+        est = spark.createDataFrame(
+            [(k, int(v)) for k, v in collected.items()],
+            "event_type string, estimate long")
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_users"))
+        return _bound_check(est, exact, ["event_type"], "exact_users")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end on a deterministic fake-image fixture
+    derived from doc_id: JVM-side header metadata (media_meta_col) + the
+    mapInPandas decode path (extract_media_features; stub codec — see
+    sketchlib/multimodal/media.py). width/height/n_bytes reconstruct in SQL,
+    so the oracle is exact."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from sketchlib.multimodal.media import (extract_media_features,
+                                            media_meta_col, pack_fake_image)
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    @F.pandas_udf(T.BinaryType())
+    def _payload(ids):
+        return ids.map(lambda i: pack_fake_image(16 + int(i) % 16,
+                                                 8 + int(i) % 8, int(i)))
+
+    media = docs.withColumn("payload", _payload("doc_id"))
+    feats = extract_media_features(media, "payload", "doc_id")  # decode path
+    meta = media.select("doc_id", media_meta_col("payload").alias("m"))
+    return (feats.join(meta, "doc_id")
+            .select("doc_id", "width", "height",
+                    F.col("m.n_bytes").alias("n_bytes")))
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for three fixed query vectors (deterministic
     total order: cosine desc, vec_id asc)."""
@@ -438,6 +511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_summary": q_dedup_exact_summary,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
+        "streaming_distinct_users": q_streaming_distinct_users,
+        "media_features": q_media_features,
         "ann_cosine_topk": q_ann_cosine_topk,
     }
 
@@ -509,6 +584,15 @@ def _pipeline_oracles() -> dict[str, str]:
         "lang_id_distribution": lang_id,
         "dedup_exact_summary": dedup,
         "minhash_near_dup_pairs": minhash,
+        "streaming_distinct_users": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
+            "TRUE AS within_bound FROM events GROUP BY event_type"
+        ),
+        "media_features": (
+            "SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS width, "
+            "CAST(8 + doc_id % 8 AS INT) AS height, "
+            "CAST(20 AS BIGINT) AS n_bytes FROM documents"
+        ),
         "simhash_near_dup_pairs": (
             "SELECT CAST(0 AS BIGINT) AS n_missed, CAST(0 AS BIGINT) AS n_extra, "
             "TRUE AS distances_match, TRUE AS found_pairs"
