@@ -53,19 +53,31 @@ def _perm_params(n_hashes: int, seed: int = 0x5EED) -> tuple[np.ndarray, np.ndar
     return a, b
 
 
+def _let(value: Column, body) -> Column:
+    """Poor man's let-binding: evaluate ``value`` once and reference it as a
+    lambda variable. Catalyst re-evaluates an expression on every reference
+    *inside* a higher-order-function lambda, so e.g. building k-grams with
+    ``slice(split(text), i, k)`` re-runs the split once per gram —
+    O(grams x text_len). Binding through a one-element transform makes it
+    O(text_len + grams)."""
+    return F.transform(F.array(value), body)[0]
+
+
 def shingles_col(text_col: Column, k: int = 3) -> Column:
     """Distinct word k-grams (lowercased), JVM-side. Docs with < k tokens get
     their whole token string as the single shingle."""
+    def build(t: Column) -> Column:
+        n = F.size(t)
+        grams = F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)))
+        whole = F.array(F.concat_ws(" ", t))
+        return F.array_distinct(F.when(n >= k, grams).otherwise(whole))
+
     toks = F.split(F.lower(F.trim(text_col)), r"\s+")
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    whole = F.array(F.concat_ws(" ", toks))
     # NULL text -> NULL shingles (concat_ws would otherwise turn the NULL
     # token array into a single "" shingle)
-    return F.when(text_col.isNotNull(),
-                  F.array_distinct(F.when(n >= k, grams).otherwise(whole)))
+    return F.when(text_col.isNotNull(), _let(toks, build))
 
 
 #: cap on the (chunk_shingles x n_hashes) uint64 workspace

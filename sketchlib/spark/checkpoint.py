@@ -79,12 +79,14 @@ class SketchCheckpoint:
 
     # -- build ------------------------------------------------------------------
 
-    def _partial_stats(self, spark: SparkSession, path: str,
-                       blob_col: str = "sketch") -> tuple[int, int]:
-        """(n_partials, n_input_rows) from the *written* partials — every
-        sketch blob carries ``count_additions`` (exactly the rows it
-        ingested), so lineage metrics cost one scan of the tiny partials
-        parquet instead of a second full scan of the unit's input."""
+    def _observed_write(self, partials: DataFrame, path: str,
+                        blob_col: str = "sketch") -> tuple[int, int]:
+        """Write the unit's partials and return (n_partials, n_input_rows)
+        observed *during the write job* — every sketch blob carries
+        ``count_additions`` (exactly the rows it ingested), so lineage
+        metrics cost zero extra jobs and zero extra input scans."""
+        from pyspark.sql import Observation
+
         spec = self.spec
 
         @F.pandas_udf("long")
@@ -93,10 +95,13 @@ class SketchCheckpoint:
                 lambda b: 0 if b is None
                 else int(spec.from_bytes(bytes(b)).count_additions))
 
-        row = (spark.read.parquet(path)
-               .agg(F.count("*").alias("n_partials"),
-                    F.sum(_adds(F.col(blob_col))).alias("n_rows")).first())
-        return int(row["n_partials"]), int(row["n_rows"] or 0)
+        obs = Observation()
+        observed = partials.observe(
+            obs, F.count(F.lit(1)).alias("n_partials"),
+            F.sum(_adds(F.col(blob_col))).alias("n_rows"))
+        observed.write.mode("overwrite").parquet(path)
+        got = obs.get
+        return int(got["n_partials"]), int(got["n_rows"] or 0)
 
     def run_unit(self, df_unit: DataFrame, unit: str) -> dict:
         """Build + persist stage-1 partials for one unit, then commit its
@@ -105,8 +110,7 @@ class SketchCheckpoint:
         partials = build_partials(df_unit, self.element_cols, self.group_cols,
                                   self.spec)
         path = self._unit_path(unit)
-        partials.write.mode("overwrite").parquet(path)
-        n_partials, n_rows = self._partial_stats(df_unit.sparkSession, path)
+        n_partials, n_rows = self._observed_write(partials, path)
         record = {
             "unit": unit,
             "n_partials": n_partials,
@@ -167,9 +171,8 @@ class HeavyHittersCheckpoint(SketchCheckpoint):
                                           self.group_cols, self.spec,
                                           n_cand=max(4 * self.k, 64))
         path = self._unit_path(unit)
-        partials.write.mode("overwrite").parquet(path)
-        n_partials, n_rows = self._partial_stats(df_unit.sparkSession, path,
-                                                 blob_col="cms")
+        n_partials, n_rows = self._observed_write(partials, path,
+                                                  blob_col="cms")
         record = {
             "unit": unit,
             "n_partials": n_partials,
