@@ -468,6 +468,27 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("m.n_bytes").alias("n_bytes")))
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH embedding near-dup (cosine_near_dup_pairs) end-to-end: union
+    the embeddings with deterministically scaled clones (vec_id + 1e6,
+    2x components — cosine exactly 1, so SRP signatures collide in every
+    table and recall is deterministic), find pairs at threshold 0.95, and
+    emit them with the cosine rounded to 6dp. The base table's own max
+    pairwise cosine is ~0.51, so the true pair set is exactly the 500
+    (orig, clone) pairs — fully reconstructible in SQL."""
+    from sketchlib.similarity.search import cosine_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"))
+    both = emb.union(clones)
+    pairs = cosine_near_dup_pairs(both, "embedding", "vec_id",
+                                  threshold=0.95, n_bits=16, n_tables=8)
+    return pairs.select("id_a", "id_b",
+                        F.round("cosine", 6).alias("cosine_r"))
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for three fixed query vectors (deterministic
     total order: cosine desc, vec_id asc)."""
@@ -513,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "streaming_distinct_users": q_streaming_distinct_users,
         "media_features": q_media_features,
+        "embedding_near_dup": q_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
     }
 
@@ -587,6 +609,10 @@ def _pipeline_oracles() -> dict[str, str]:
         "streaming_distinct_users": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
             "TRUE AS within_bound FROM events GROUP BY event_type"
+        ),
+        "embedding_near_dup": (
+            "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, "
+            "CAST(1.0 AS DOUBLE) AS cosine_r FROM embeddings"
         ),
         "media_features": (
             "SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS width, "
