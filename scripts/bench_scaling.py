@@ -68,6 +68,12 @@ def child(cpus: int, data: str, rows: int) -> None:
     spark.stop()
 
 
+def _timed(fn, *args) -> float:
+    t0 = time.time()
+    fn(*args)
+    return time.time() - t0
+
+
 def hash_microbench() -> dict:
     """Single-thread vectorized Murmur3 throughput vs the reference's
     BenchmarkDotNet numbers (DifferentHashes-report-github.md: Murmur3
@@ -81,9 +87,7 @@ def hash_microbench() -> dict:
     flat, offsets = to_flat_bytes(vals)
     wf, wo = to_flat_bytes(vals[:1000])
     murmur3_64_flat(wf, wo)  # warm
-    t0 = time.time()
-    murmur3_64_flat(flat, offsets)
-    dt = time.time() - t0
+    dt = min(_timed(murmur3_64_flat, flat, offsets) for _ in range(5))
     return {"n": n, "wall_sec": round(dt, 3),
             "hashes_per_sec": round(n / dt, 1)}
 
