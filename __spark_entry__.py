@@ -198,6 +198,58 @@ def q_cms_heavy_hitters_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
     return j.select("l_suppkey", "exact_count", rank_ok)
 
 
+def q_cms_weighted_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted heavy hitters (rank by SUM(l_quantity), the hosts-by-bytes
+    shape): exact weighted top-10 coverage + sandwich bounds, mirroring
+    cms_heavy_hitters_suppliers. Weights are validated non-negative
+    integral (sketchlib/spark/heavy_hitters.py:_int_weights)."""
+    from pyspark.sql import Window
+
+    from sketchlib.spark.heavy_hitters import heavy_hitters
+
+    li = _read(spark, sf_dir, "lineitem")
+    hh = (heavy_hitters(li, "l_suppkey", k=20, weight_col="l_quantity")
+          .withColumnRenamed("value", "l_suppkey"))
+    exact = li.groupBy("l_suppkey").agg(
+        F.sum("l_quantity").cast("long").alias("exact_weight"))
+    w = Window.orderBy(F.desc("exact_weight"), F.asc("l_suppkey"))
+    top = (exact.withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") <= 10).drop("__rn"))
+    j = top.join(hh, "l_suppkey", "left")
+    rank_ok = (F.col("est_count").isNotNull()
+               & (F.col("lower_bound") <= F.col("exact_weight"))
+               & (F.col("exact_weight") <= F.col("est_count"))).alias("rank_ok")
+    return j.select("l_suppkey", "exact_weight", rank_ok)
+
+
+def q_hll_intersection_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra: |A ∩ B| via inclusion-exclusion over the 'O' and 'F'
+    orderstatus customer sketches, checked within 6 sigma x (|A|+|B|+|A∪B|)
+    absolute (the standard error propagation for inclusion-exclusion —
+    sketchlib/hll.py:intersection_estimate)."""
+    from sketchlib.hll import HllSketch, intersection_estimate
+
+    orders = _read(spark, sf_dir, "orders")
+    spec = HllSpec()
+    per_status = {r["o_orderstatus"]: HllSketch.from_bytes(bytes(r["sketch"]))
+                  for r in sketch_agg(orders, "o_custkey",
+                                      ["o_orderstatus"], spec).collect()}
+    a, b = per_status["O"], per_status["F"]
+    est = intersection_estimate(a, b)
+    u = a.copy()
+    u.merge(b)
+    margin = 6 * _HLL_SIGMA_P14 * (a.count() + b.count() + u.count())
+    exact = (orders.filter(F.col("o_orderstatus") == "O")
+             .select("o_custkey").intersect(
+                 orders.filter(F.col("o_orderstatus") == "F")
+                 .select("o_custkey"))
+             .agg(F.count("*").alias("exact_intersection")))
+    return exact.select(
+        "exact_intersection",
+        (F.abs(F.lit(int(est)) - F.col("exact_intersection"))
+         <= F.greatest(F.lit(float(margin)), F.lit(2.0))).alias("within_bound"))
+
+
 def _quantile_rank_bound(df: DataFrame, value_col: str, group_cols: list[str],
                          probs: list[float], spec, margin: float = 0.05) -> DataFrame:
     """(group_cols..., q, within_bound): sketch quantile's rank distance to q
@@ -524,6 +576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_distinct_custkeys_bound": q_bloom_distinct_custkeys_bound,
         "cms_top_suppliers_bound": q_cms_top_suppliers_bound,
         "cms_heavy_hitters_suppliers": q_cms_heavy_hitters_suppliers,
+        "cms_weighted_top_suppliers": q_cms_weighted_top_suppliers,
+        "hll_intersection_bound": q_hll_intersection_bound,
         "tdigest_event_value_quantiles": q_tdigest_event_value_quantiles,
         "kll_price_quantiles": q_kll_price_quantiles,
         "tdigest_doc_length_quantiles": q_tdigest_doc_length_quantiles,
@@ -695,6 +749,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_suppkey, COUNT(*) AS exact_count, TRUE AS rank_ok "
             "FROM lineitem GROUP BY l_suppkey "
             "ORDER BY exact_count DESC, l_suppkey LIMIT 10"
+        ),
+        "cms_weighted_top_suppliers": (
+            "SELECT l_suppkey, CAST(SUM(l_quantity) AS BIGINT) AS exact_weight, "
+            "TRUE AS rank_ok FROM lineitem GROUP BY l_suppkey "
+            "ORDER BY exact_weight DESC, l_suppkey LIMIT 10"
+        ),
+        "hll_intersection_bound": (
+            "SELECT COUNT(*) AS exact_intersection, TRUE AS within_bound FROM ("
+            "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O' "
+            "INTERSECT "
+            "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')"
         ),
         "tdigest_event_value_quantiles": (
             "SELECT event_type, q, TRUE AS within_bound "
