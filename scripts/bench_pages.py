@@ -63,9 +63,19 @@ def main() -> int:
         return approx_quantiles(with_len, "text_len", [0.5, 0.9, 0.99],
                                 ["lang"], TDigestSpec()).count()
 
+    def q_distinct_urls_prehash():
+        return distinct_count(df, "url", ["lang", "day"], prehash64=True).count()
+
+    def q_distinct_lang_hosts_prehash():
+        with_host = df.withColumn("url_host", host)
+        return distinct_count(with_host, ["lang", "url_host"], ["lang", "day"],
+                              prehash64=True).count()
+
     queries = {
         "distinct_urls_per_lang_day": q_distinct_urls,
+        "distinct_urls_per_lang_day_prehash64": q_distinct_urls_prehash,
         "distinct_lang_host_per_lang_day": q_distinct_lang_hosts,
+        "distinct_lang_host_per_lang_day_prehash64": q_distinct_lang_hosts_prehash,
         "heavy_hitter_hosts_top20": q_heavy_hosts,
         "text_len_quantiles_per_lang": q_text_quantiles,
     }

@@ -53,18 +53,21 @@ def child(cpus: int, data: str, rows: int) -> None:
 
     df = spark.read.parquet(data)
     df.count()  # scan/page-cache warmup
-    walls = []
-    n_groups = 0
-    for _ in range(5):  # min-of-5: the sandbox VM has noisy-neighbor variance
-        t0 = time.time()
-        res = distinct_count(df, "url", ["lang", "day"])
-        n_groups = res.count()
-        walls.append(time.time() - t0)
-    wall = min(walls)
-    print(json.dumps({"cpus": cpus, "wall_sec": round(wall, 3),
-                      "walls": [round(w, 2) for w in walls],
-                      "docs_per_sec": round(rows / wall, 1),
-                      "n_groups": n_groups}))
+
+    def run(**kw):
+        walls, n_groups = [], 0
+        for _ in range(5):  # min-of-5: the sandbox VM has noisy-neighbor variance
+            t0 = time.time()
+            res = distinct_count(df, "url", ["lang", "day"], **kw)
+            n_groups = res.count()
+            walls.append(time.time() - t0)
+        wall = min(walls)
+        return {"wall_sec": round(wall, 3), "walls": [round(w, 2) for w in walls],
+                "docs_per_sec": round(rows / wall, 1), "n_groups": n_groups}
+
+    parity = run()               # murmur3 of raw element bytes (blob parity)
+    prehash = run(prehash64=True)  # JVM xxhash64 -> 8 bytes/row over Arrow
+    print(json.dumps({"cpus": cpus, **parity, "prehash": prehash}))
     spark.stop()
 
 
@@ -78,18 +81,19 @@ def hash_microbench() -> dict:
     """Single-thread vectorized Murmur3 throughput vs the reference's
     BenchmarkDotNet numbers (DifferentHashes-report-github.md: Murmur3
     4.7M adds/s, XxHash128 12.8M adds/s on an i7-8700)."""
-    import numpy as np
-
-    from sketchlib.hashing import murmur3_64_flat, to_flat_bytes
+    from sketchlib.hashing import HASHES, to_flat_bytes
 
     n = 2_000_000
     vals = [f"https://h{i % 997}.example.com/p/{i}".encode() for i in range(n)]
     flat, offsets = to_flat_bytes(vals)
     wf, wo = to_flat_bytes(vals[:1000])
-    murmur3_64_flat(wf, wo)  # warm
-    dt = min(_timed(murmur3_64_flat, flat, offsets) for _ in range(5))
-    return {"n": n, "wall_sec": round(dt, 3),
-            "hashes_per_sec": round(n / dt, 1)}
+    out = {"n": n}
+    for name in ("murmur3", "xxhash128"):
+        flat_fn = HASHES[name][1]
+        flat_fn(wf, wo)  # warm
+        dt = min(_timed(flat_fn, flat, offsets) for _ in range(5))
+        out[name] = {"wall_sec": round(dt, 3), "hashes_per_sec": round(n / dt, 1)}
+    return out
 
 
 def main() -> int:
@@ -118,18 +122,25 @@ def main() -> int:
         results[cpus] = json.loads(r.stdout.strip().splitlines()[-1])
 
     cl = sorted(results)
-    pairs = []
-    for lo, hi in zip(cl, cl[1:]):
-        speedup = results[lo]["wall_sec"] / results[hi]["wall_sec"]
-        ideal = hi / lo
-        pairs.append({"from": lo, "to": hi, "speedup": round(speedup, 3),
-                      "ideal": ideal, "efficiency": round(speedup / ideal, 3)})
+
+    def eff_pairs(wall_of):
+        pairs = []
+        for lo, hi in zip(cl, cl[1:]):
+            speedup = wall_of(results[lo]) / wall_of(results[hi])
+            ideal = hi / lo
+            pairs.append({"from": lo, "to": hi, "speedup": round(speedup, 3),
+                          "ideal": ideal, "efficiency": round(speedup / ideal, 3)})
+        return pairs
+
+    pairs = eff_pairs(lambda r: r["wall_sec"])
+    prehash_pairs = eff_pairs(lambda r: r["prehash"]["wall_sec"])
     hb = hash_microbench()
     summary = {
         "metric": "scaling_efficiency",
         "rows": args.rows,
         "levels": results,
         "pairs": pairs,
+        "prehash_pairs": prehash_pairs,
         "efficiency": pairs[0]["efficiency"] if pairs else None,
         "hash_microbench": hb,
     }
@@ -148,16 +159,29 @@ def write_report(s: dict) -> None:
         "urls), identical input at every parallelism level; fresh JVM per "
         "level. Machine: 32-core container, local mode.",
         "",
-        "| parallelism | wall (s) | docs/sec | groups |",
-        "|---|---|---|---|",
+        "Two modes of the same job: *parity* hashes raw element bytes with "
+        "Murmur3 in the Python stage (reference-blob parity); *prehash* "
+        "computes `xxhash64` inside JVM whole-stage codegen so only 8 "
+        "bytes/row cross the Arrow boundary (fingerprint-distinct; collision "
+        "undercount n/2^65 relative — 2.7e-8 at n=10^12, far below HLL's "
+        "0.81% bound).",
+        "",
+        "| parallelism | parity wall (s) | parity docs/sec | prehash wall (s) | prehash docs/sec | groups |",
+        "|---|---|---|---|---|---|",
     ]
     for cpus, r in sorted(s["levels"].items()):
+        ph = r["prehash"]
         lines.append(f"| local[{cpus}] | {r['wall_sec']} | "
-                     f"{r['docs_per_sec']:,.0f} | {r['n_groups']} |")
+                     f"{r['docs_per_sec']:,.0f} | {ph['wall_sec']} | "
+                     f"{ph['docs_per_sec']:,.0f} | {r['n_groups']} |")
     lines.append("")
     for p_ in s["pairs"]:
         lines.append(
-            f"**{p_['from']}→{p_['to']} cores: {p_['speedup']}x of ideal "
+            f"**parity {p_['from']}→{p_['to']} cores: {p_['speedup']}x of ideal "
+            f"{p_['ideal']}x → scaling efficiency {p_['efficiency']}**  ")
+    for p_ in s["prehash_pairs"]:
+        lines.append(
+            f"**prehash {p_['from']}→{p_['to']} cores: {p_['speedup']}x of ideal "
             f"{p_['ideal']}x → scaling efficiency {p_['efficiency']}**  ")
     lines += [
         "",
@@ -182,8 +206,12 @@ def write_report(s: dict) -> None:
         "XxHash128 12.8M adds/s, single thread.",
         "",
         f"Vectorized numpy Murmur3 x64_128 (this repo, single thread): "
-        f"**{s['hash_microbench']['hashes_per_sec']:,.0f} hashes/s** on "
-        f"{s['hash_microbench']['n']:,} ~30-byte urls.",
+        f"**{s['hash_microbench']['murmur3']['hashes_per_sec']:,.0f} hashes/s** "
+        f"on {s['hash_microbench']['n']:,} ~30-byte urls (min of 5; this VM "
+        "has heavy noisy-neighbor variance). XXH3-128 (`hash_name=\"xxhash128\"`, "
+        "the reference's default, bit-exact to libxxhash): "
+        f"**{s['hash_microbench']['xxhash128']['hashes_per_sec']:,.0f} "
+        "hashes/s** single thread on the same keys.",
         "",
         "_Regenerate: `python scripts/bench_scaling.py`_",
     ]

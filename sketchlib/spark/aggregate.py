@@ -158,10 +158,16 @@ class HllSpec:
     hash_dedup = True
 
     def __init__(self, p: int = 14, hash_name: str = "murmur3",
-                 use_direct_counting: bool = True) -> None:
+                 use_direct_counting: bool = True,
+                 prehashed: bool = False) -> None:
         self.p = p
         self.hash_name = hash_name
         self.use_direct_counting = use_direct_counting
+        #: the element column already IS the 64-bit element hash (computed
+        #: JVM-side, e.g. ``F.xxhash64``); ``prepare`` reinterprets the int64
+        #: values instead of encoding+hashing in Python.  See
+        #: :func:`build_partials` ``prehash64``.
+        self.prehashed = prehashed
 
     def make(self):
         return HllSketch(p=self.p, use_direct_counting=self.use_direct_counting)
@@ -186,9 +192,16 @@ class HllSpec:
                                                     count_additions))
 
     def prepare(self, pdf: pd.DataFrame, element_cols: Sequence[str]) -> np.ndarray:
+        if self.prehashed:
+            return np.ascontiguousarray(
+                pdf[element_cols[0]].to_numpy(np.int64)).view(np.uint64)
         return hash_columns(pdf, element_cols, self.hash_name)
 
     def prepare_arrow(self, batch, element_cols: Sequence[str]) -> np.ndarray:
+        if self.prehashed:
+            return np.ascontiguousarray(
+                batch.column(element_cols[0]).to_numpy(zero_copy_only=False)
+            ).view(np.uint64)
         return hash_arrow_columns(batch, element_cols, self.hash_name)
 
     def ingest(self, sketch: HllSketch, prepared: np.ndarray) -> None:
@@ -381,6 +394,23 @@ def build_partials(df: DataFrame, element_cols: Sequence[str] | str,
     element_cols = list(element_cols)
     group_cols = list(group_cols)
     spec = spec or HllSpec()
+
+    if getattr(spec, "prehashed", False):
+        # JVM-side prehash fast path: the element hash is computed inside
+        # whole-stage codegen (xxhash64) and only 8 bytes/row cross the
+        # Arrow boundary instead of the raw element bytes — this lifts the
+        # measured JVM->Python transfer ceiling ~4x on url-shaped data
+        # (BENCH/BASELINE.md).  Semantics: distinct over 64-bit fingerprints;
+        # expected collision undercount is n/2^65 relative (2.7e-8 at n=1e12),
+        # far below HLL's 1.04/sqrt(m) bound, but blobs are NOT mergeable
+        # with murmur3-of-raw-element sketches over the same column.
+        cond = None
+        for c in element_cols:
+            nn = F.col(c).isNotNull()
+            cond = nn if cond is None else cond & nn
+        df = (df.filter(cond)
+                .select(*group_cols, F.xxhash64(*element_cols).alias("__fp64")))
+        element_cols = ["__fp64"]
 
     out_schema = T.StructType(
         [_group_field(df, g) for g in group_cols] + [T.StructField(sketch_col, T.BinaryType(), False)]
@@ -624,15 +654,22 @@ def distinct_count(df: DataFrame, element_cols, group_cols: Sequence[str] = (),
                    p: int = 14, hash_name: str = "murmur3",
                    estimate_name: str = "estimate",
                    spec: "HllSpec | None" = None,
-                   spec_factory=None, tree_fanout: int | None = None) -> DataFrame:
+                   spec_factory=None, tree_fanout: int | None = None,
+                   prehash64: bool = False) -> DataFrame:
     """Approximate ``COUNT(DISTINCT element_cols...)`` per group via HLL (or
     any cardinality-estimating spec passed via ``spec``/``spec_factory``).
 
     HLL: exact (direct-count mode) for groups with <= 100 distinct elements;
     within 1.04/sqrt(2^p) relative std-error beyond (README.md:58).
+
+    ``prehash64=True`` computes the element hash JVM-side (``F.xxhash64``)
+    so only 8 bytes/row cross the Arrow boundary — the throughput path for
+    wide string elements at cluster scale.  Trade-offs documented at
+    :func:`build_partials`.
     """
     if spec is None:
-        spec = spec_factory() if spec_factory is not None else HllSpec(p=p, hash_name=hash_name)
+        spec = (spec_factory() if spec_factory is not None
+                else HllSpec(p=p, hash_name=hash_name, prehashed=prehash64))
     merged = sketch_agg(df, element_cols, group_cols, spec, tree_fanout=tree_fanout)
     cols = list(group_cols) + [estimate_col(spec).alias(estimate_name)]
     return merged.select(*cols)

@@ -180,3 +180,36 @@ def test_null_group_keys_stream_spec(spark):
     got = {r["g"]: TDigest.from_bytes(bytes(r["sketch"])).quantile(0.5)
            for r in merged.collect()}
     assert got[None] == 3.0 and set(got) == {"a", None, "b"}
+
+
+def test_prehash64_matches_exact_and_bound(urls_df):
+    """JVM-side xxhash64 prehash path: exact in direct range, bound beyond,
+    same group structure as the murmur3 path."""
+    got = {(r["lang"], r["day"]): r["estimate"]
+           for r in distinct_count(urls_df, "url", ["lang", "day"],
+                                   prehash64=True).collect()}
+    want = _exact(urls_df, "lang", "day")
+    assert set(got) == set(want)
+    for key, n in want.items():
+        if n <= 100:
+            assert got[key] == n, key
+        else:
+            assert abs(got[key] - n) / n <= 10 * 0.008125, (key, got[key], n)
+
+
+def test_prehash64_nulls_and_multicolumn(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", None), ("b", 2), (None, 3), ("b", 4)],
+        "k string, v long")
+    # rows with any NULL element are dropped, matching the murmur3 path
+    got = distinct_count(df, ["k", "v"], prehash64=True).collect()[0]["estimate"]
+    exact = df.na.drop().distinct().count()
+    assert got == exact == 3
+
+
+def test_prehash64_blob_is_valid_v31(urls_df):
+    spec = HllSpec(prehashed=True)
+    blob = sketch_agg(urls_df, "url", spec=spec).collect()[0]["sketch"]
+    sk = HllSketch.from_bytes(bytes(blob))
+    n = urls_df.select("url").distinct().count()
+    assert abs(sk.count() - n) / n <= 10 * 0.008125
