@@ -250,6 +250,44 @@ def q_hll_intersection_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
          <= F.greatest(F.lit(float(margin)), F.lit(2.0))).alias("within_bound"))
 
 
+def q_theta_set_algebra_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch set algebra (sketchlib/theta.py — Beyer et al. KMV,
+    Theta-Sketch Framework): |A ∩ B| and |A \\ B| over the 'O'/'F'
+    orderstatus customer sets, each computed directly on retained hash
+    samples so the error scales with the RESULT's witness count c
+    (RSE ≈ 1/sqrt(c)) — the principled fix for HLL inclusion-exclusion's
+    blowup on small intersections of large sets.  The reference has union
+    only (CardinalityEstimator.cs:615-685); this is a graft addition."""
+    import math
+
+    from sketchlib.spark.specs import ThetaSpec
+    from sketchlib.theta import ThetaSketch
+
+    orders = _read(spark, sf_dir, "orders")
+    spec = ThetaSpec(k=4096)
+    per_status = {r["o_orderstatus"]: ThetaSketch.from_bytes(bytes(r["sketch"]))
+                  for r in sketch_agg(orders, "o_custkey",
+                                      ["o_orderstatus"], spec).collect()}
+    a, b = per_status["O"], per_status["F"]
+    est_i, c_i = a.intersect_count(b)
+    est_d, c_d = a.a_not_b_count(b)
+    m_i = 6.0 / math.sqrt(max(c_i, 1))
+    m_d = 6.0 / math.sqrt(max(c_d, 1))
+
+    oo = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    ff = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    exact = (oo.intersect(ff).agg(F.count("*").alias("exact_intersection"))
+             .crossJoin(oo.distinct().exceptAll(ff.distinct())
+                        .agg(F.count("*").alias("exact_difference"))))
+    ei, ed = F.col("exact_intersection"), F.col("exact_difference")
+    return exact.select(
+        "exact_intersection", "exact_difference",
+        (F.abs(F.lit(int(est_i)) - ei)
+         <= F.greatest(ei * F.lit(m_i), F.lit(8.0))).alias("within_bound_i"),
+        (F.abs(F.lit(int(est_d)) - ed)
+         <= F.greatest(ed * F.lit(m_d), F.lit(8.0))).alias("within_bound_d"))
+
+
 def _quantile_rank_bound(df: DataFrame, value_col: str, group_cols: list[str],
                          probs: list[float], spec, margin: float = 0.05) -> DataFrame:
     """(group_cols..., q, within_bound): sketch quantile's rank distance to q
@@ -578,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters_suppliers": q_cms_heavy_hitters_suppliers,
         "cms_weighted_top_suppliers": q_cms_weighted_top_suppliers,
         "hll_intersection_bound": q_hll_intersection_bound,
+        "theta_set_algebra_bound": q_theta_set_algebra_bound,
         "tdigest_event_value_quantiles": q_tdigest_event_value_quantiles,
         "kll_price_quantiles": q_kll_price_quantiles,
         "tdigest_doc_length_quantiles": q_tdigest_doc_length_quantiles,
@@ -760,6 +799,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O' "
             "INTERSECT "
             "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')"
+        ),
+        "theta_set_algebra_bound": (
+            "SELECT "
+            "(SELECT COUNT(*) FROM ("
+            " SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'"
+            " INTERSECT"
+            " SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')"
+            ") AS exact_intersection, "
+            "(SELECT COUNT(*) FROM ("
+            " SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'"
+            " EXCEPT"
+            " SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')"
+            ") AS exact_difference, "
+            "TRUE AS within_bound_i, TRUE AS within_bound_d"
         ),
         "tdigest_event_value_quantiles": (
             "SELECT event_type, q, TRUE AS within_bound "

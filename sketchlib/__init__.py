@@ -27,5 +27,6 @@ from .cms import CountMinSketch  # noqa: F401
 from .hll import HllSketch  # noqa: F401
 from .kll import KllSketch  # noqa: F401
 from .tdigest import TDigest  # noqa: F401
+from .theta import ThetaSketch  # noqa: F401
 
 __version__ = "0.1.0"

@@ -10,4 +10,4 @@ from .aggregate import (  # noqa: F401
     merge_partials,
     sketch_agg,
 )
-from .specs import BloomSpec, CmsSpec, KllSpec, TDigestSpec  # noqa: F401
+from .specs import BloomSpec, CmsSpec, KllSpec, TDigestSpec, ThetaSpec  # noqa: F401

@@ -19,6 +19,7 @@ from ..bloom import BloomFilter
 from ..cms import CountMinSketch
 from ..kll import KllSketch
 from ..tdigest import TDigest
+from ..theta import ThetaSketch
 from .aggregate import hash_arrow_columns, hash_columns
 
 
@@ -174,3 +175,53 @@ class KllSpec(_QuantileSpecBase):
 
     def from_bytes(self, blob: bytes) -> KllSketch:
         return KllSketch.from_bytes(blob)
+
+
+class ThetaSpec:
+    """Theta/KMV distinct sketch: set semantics -> dedup-able stage 1, with
+    first-class intersection/difference (:mod:`sketchlib.theta`)."""
+
+    name = "theta"
+    hash_dedup = True
+    estimate_type = T.LongType()
+
+    def __init__(self, k: int = 4096, hash_name: str = "murmur3") -> None:
+        self.k = k
+        self.hash_name = hash_name
+
+    def make(self) -> ThetaSketch:
+        return ThetaSketch(k=self.k)
+
+    def prepare(self, pdf: pd.DataFrame, element_cols: Sequence[str]) -> np.ndarray:
+        return hash_columns(pdf, element_cols, self.hash_name)
+
+    def prepare_arrow(self, batch, element_cols: Sequence[str]) -> np.ndarray:
+        return hash_arrow_columns(batch, element_cols, self.hash_name)
+
+    def ingest(self, sketch: ThetaSketch, prepared: np.ndarray) -> None:
+        sketch.add_hashes(prepared)
+
+    def build_from_hashes(self, unique_hashes: np.ndarray,
+                          count_additions: int) -> ThetaSketch:
+        return ThetaSketch.from_unique_hashes(unique_hashes, k=self.k,
+                                              count_additions=count_additions)
+
+    def blob_from_hashes(self, sorted_unique_hashes: np.ndarray,
+                         count_additions: int) -> bytes:
+        # sorted unique hashes ARE the theta state: an O(k) slice, no object
+        return ThetaSketch.from_unique_hashes(
+            sorted_unique_hashes, k=self.k,
+            count_additions=count_additions).to_bytes()
+
+    def to_bytes(self, sketch: ThetaSketch) -> bytes:
+        return sketch.to_bytes()
+
+    def from_bytes(self, blob: bytes) -> ThetaSketch:
+        return ThetaSketch.from_bytes(blob)
+
+    def merge(self, a: ThetaSketch, b: ThetaSketch) -> ThetaSketch:
+        a.merge(b)
+        return a
+
+    def estimate(self, sketch: ThetaSketch) -> int:
+        return sketch.count()
