@@ -591,6 +591,23 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "vec_id", F.col("rnk").cast("int").alias("rnk"))
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (sketchlib/similarity/ivf.py): seeded spherical k-means
+    coarse quantizer, BLAS batch assignment, probed search.  Run at full
+    probe (nprobe == n_clusters) so the result is provably the exact top-5 —
+    the same DuckDB oracle as ann_cosine_topk; the partial-probe recall
+    trade-off is pinned in tests/test_ivf.py."""
+    from sketchlib.similarity.ivf import ivf_assign, ivf_topk, train_centroids
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, n_clusters=8, sample_rows=2000, seed=7)
+    assigned = ivf_assign(emb, cents)
+    qrows = emb.filter(F.col("vec_id").isin([0, 7, 21])).collect()
+    queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    res = ivf_topk(assigned, queries, cents, k=5, nprobe=8)
+    return res.select("query_id", "vec_id", F.col("rnk").cast("int").alias("rnk"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact distinct suppliers per order via HLL two-stage
     aggregation on sf0.001."""
@@ -629,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
     }
 
 
@@ -717,6 +735,7 @@ def _pipeline_oracles() -> dict[str, str]:
             "TRUE AS distances_match, TRUE AS found_pairs"
         ),
         "ann_cosine_topk": ann,
+        "ivf_ann_topk": ann,
     }
 
 
