@@ -62,7 +62,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": _sf_from_dir(SF_DIR),
+        "n_queries": len(timings),  # suite GREW across rounds: compare
+        "sec_per_query": round(total / max(len(timings), 1), 3),  # per-query,
+        "sf": _sf_from_dir(SF_DIR),  # not total wall, across rounds
         "cpus": int(CPUS),
     }))
     spark.stop()

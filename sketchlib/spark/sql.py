@@ -28,6 +28,7 @@ def register_sql_functions(spark: SparkSession) -> None:
     from ..hll import HllSketch
     from ..kll import KllSketch
     from ..tdigest import TDigest
+    from ..theta import ThetaSketch
 
     @F.pandas_udf(T.LongType())
     def hll_estimate(blobs: pd.Series) -> pd.Series:
@@ -78,6 +79,39 @@ def register_sql_functions(spark: SparkSession) -> None:
                           float(KllSketch.from_bytes(bytes(b)).quantile(float(q)))
                           for b, q in zip(blobs, qs)])
 
+    @F.pandas_udf(T.LongType())
+    def theta_estimate(blobs: pd.Series) -> pd.Series:
+        return pd.Series([None if b is None else
+                          ThetaSketch.from_bytes(bytes(b)).count()
+                          for b in blobs])
+
+    @F.pandas_udf(T.BinaryType())
+    def theta_merge_all(lists: pd.Series) -> pd.Series:
+        out = []
+        for blobs in lists:
+            merged = None
+            for b in blobs:
+                sk = ThetaSketch.from_bytes(bytes(b))
+                merged = sk if merged is None else merged.merge(sk)
+            out.append(None if merged is None else merged.to_bytes())
+        return pd.Series(out)
+
+    @F.pandas_udf(T.LongType())
+    def theta_intersect_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([
+            None if (x is None or y is None) else
+            ThetaSketch.from_bytes(bytes(x)).intersect_count(
+                ThetaSketch.from_bytes(bytes(y)))[0]
+            for x, y in zip(a, b)])
+
+    @F.pandas_udf(T.LongType())
+    def theta_a_not_b_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([
+            None if (x is None or y is None) else
+            ThetaSketch.from_bytes(bytes(x)).a_not_b_count(
+                ThetaSketch.from_bytes(bytes(y)))[0]
+            for x, y in zip(a, b)])
+
     spark.udf.register("hll_estimate", hll_estimate)
     spark.udf.register("hll_merge_all", hll_merge_all)
     spark.udf.register("hll_count_additions", hll_count_additions)
@@ -85,3 +119,7 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("cms_total", cms_total)
     spark.udf.register("tdigest_quantile", tdigest_quantile)
     spark.udf.register("kll_quantile", kll_quantile)
+    spark.udf.register("theta_estimate", theta_estimate)
+    spark.udf.register("theta_merge_all", theta_merge_all)
+    spark.udf.register("theta_intersect_estimate", theta_intersect_estimate)
+    spark.udf.register("theta_a_not_b_estimate", theta_a_not_b_estimate)

@@ -54,3 +54,41 @@ def test_quantile_sql(spark, sf_dir):
     lo, hi = ev.selectExpr("percentile(value, 0.42)", "percentile(value, 0.58)").first()
     assert lo <= td["m"] <= hi
     assert lo <= kl["m"] <= hi
+
+
+def test_theta_sql_set_algebra(spark, sf_dir):
+    from sketchlib.spark.aggregate import sketch_agg
+    from sketchlib.spark.specs import ThetaSpec
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sketch_agg(orders, "o_custkey", ["o_orderstatus"],
+               ThetaSpec(k=4096)).createOrReplaceTempView("tsk")
+    row = spark.sql("""
+        SELECT theta_estimate(a.sketch) AS est_a,
+               theta_intersect_estimate(a.sketch, b.sketch) AS est_i,
+               theta_a_not_b_estimate(a.sketch, b.sketch) AS est_d
+        FROM (SELECT sketch FROM tsk WHERE o_orderstatus = 'O') a,
+             (SELECT sketch FROM tsk WHERE o_orderstatus = 'F') b""").collect()[0]
+    oo = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    ff = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    n_a, n_i = oo.count(), oo.intersect(ff).count()
+    n_d = oo.exceptAll(ff).count()
+    assert abs(row["est_a"] - n_a) <= max(6 * 0.016 * n_a, 2)
+    assert abs(row["est_i"] - n_i) <= max(0.25 * n_i, 16)
+    assert abs(row["est_d"] - n_d) <= max(0.5 * max(n_d, 1), 16)
+
+
+def test_theta_merge_all_sql(spark, sf_dir):
+    from sketchlib.spark.aggregate import build_partials
+    from sketchlib.spark.specs import ThetaSpec
+    from sketchlib.theta import ThetaSketch
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    build_partials(orders.repartition(6), "o_custkey", (),
+                   ThetaSpec(k=1024)).createOrReplaceTempView("tpart")
+    blob = spark.sql(
+        "SELECT theta_merge_all(collect_list(sketch)) AS s FROM tpart"
+    ).collect()[0]["s"]
+    est = ThetaSketch.from_bytes(bytes(blob)).count()
+    n = orders.select("o_custkey").distinct().count()
+    assert abs(est - n) <= 6 / (1023 ** 0.5) * n + 2
