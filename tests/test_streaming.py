@@ -133,3 +133,29 @@ def test_streaming_tdigest_median(spark, tmp_path):
     got = {r["grp"]: r["estimate"] for r in collected}
     assert abs(got["a"] - 50.0) <= 2.0
     assert abs(got["b"] - 50.0) <= 10.0
+
+
+def test_streaming_theta_state(spark, tmp_path):
+    """ThetaSpec through applyInPandasWithState: incremental distinct across
+    micro-batches with O(k) state per group."""
+    from sketchlib.spark.specs import ThetaSpec
+    from sketchlib.streaming import streaming_sketch_agg
+
+    src = str(tmp_path / "src_theta")
+    ckpt = str(tmp_path / "ckpt_theta")
+    _write_chunk(spark, src, [(f"u{i}", "en") for i in range(300)], 0)
+    _write_chunk(spark, src, [(f"u{i}", "en") for i in range(200, 500)], 1)
+
+    collected = []
+
+    def sink(batch_df, _bid):
+        collected.extend(batch_df.collect())
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    agg = streaming_sketch_agg(stream, "url", ["lang"], ThetaSpec(k=1024))
+    q = (agg.writeStream.foreachBatch(sink).outputMode("update")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    final = {r["lang"]: r["estimate"] for r in collected}
+    assert final["en"] == 500  # below k -> exact
