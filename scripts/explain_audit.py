@@ -66,6 +66,18 @@ def main() -> None:
                    p.count("Exchange") <= 2))
     sections.append(("distinct_count(pages[lang=en], url, [lang, day])", p, checks))
 
+    # 1b. prehash fast path: hash computed JVM-side before Python stage
+    df = distinct_count(pages, "url", ["lang", "day"], prehash64=True)
+    p = plan_of(df)
+    checks = [("xxhash64 evaluated JVM-side (whole-stage codegen project)",
+               "xxhash64" in p),
+              ("raw url column never crosses to Python (only the 8-byte "
+               "fingerprint column feeds mapInArrow)",
+               "__fp64" in p),
+              ("one shuffle of blobs", p.count("Exchange") <= 2)]
+    sections.append(("distinct_count(pages, url, [lang, day], prehash64=True)",
+                     p, checks))
+
     # 2. many-groups aggregation over lineitem
     df = distinct_count(li, "l_suppkey", ["l_orderkey"])
     p = plan_of(df)
@@ -88,6 +100,25 @@ def main() -> None:
     checks = [("no cartesian product (bucketed band join)",
                "CartesianProduct" not in p)]
     sections.append(("near_dup_pairs(documents)", p, checks))
+
+    # 5. IVF probed search: cluster IN-filter present, no cartesian product
+    import numpy as np
+
+    from sketchlib.similarity.ivf import ivf_assign, ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rng = np.random.default_rng(3)
+    cents = rng.standard_normal((8, len(emb.select("embedding").first()[0])))
+    assigned = ivf_assign(emb, cents)
+    q0 = emb.limit(2).collect()
+    df = ivf_topk(assigned, [(r["vec_id"], list(r["embedding"])) for r in q0],
+                  cents, k=5, nprobe=2)
+    p = plan_of(df)
+    checks = [("probed-cluster IN filter present (partition-prunable when "
+               "written partitionBy(cluster_id))",
+               "cluster_id" in p and ("IN (" in p or "isin" in p or " IN " in p)),
+              ("no cartesian product", "CartesianProduct" not in p)]
+    sections.append(("ivf_topk(embeddings, nprobe=2)", p, checks))
 
     out = ["# BENCH/PLANS — physical-plan audit",
            "",
