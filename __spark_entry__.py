@@ -596,15 +596,18 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse quantizer, BLAS batch assignment, probed search.  Run at full
     probe (nprobe == n_clusters) so the result is provably the exact top-5 —
     the same DuckDB oracle as ann_cosine_topk; the partial-probe recall
-    trade-off is pinned in tests/test_ivf.py."""
-    from sketchlib.similarity.ivf import ivf_assign, ivf_topk, train_centroids
+    trade-off is pinned in tests/test_ivf.py.  Uses the in-scan assignment
+    path (no materialized cluster_id column): assignment + probe-mask +
+    cosine happen in ONE mapInPandas pass — the materialized
+    partitionBy(cluster_id) path with a pushed-down IN filter is covered in
+    tests/test_ivf.py."""
+    from sketchlib.similarity.ivf import ivf_topk, train_centroids
 
     emb = _read(spark, sf_dir, "embeddings")
     cents = train_centroids(emb, n_clusters=8, sample_rows=2000, seed=7)
-    assigned = ivf_assign(emb, cents)
     qrows = emb.filter(F.col("vec_id").isin([0, 7, 21])).collect()
     queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
-    res = ivf_topk(assigned, queries, cents, k=5, nprobe=8)
+    res = ivf_topk(emb, queries, cents, k=5, nprobe=8)
     return res.select("query_id", "vec_id", F.col("rnk").cast("int").alias("rnk"))
 
 

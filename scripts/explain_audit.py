@@ -118,7 +118,20 @@ def main() -> None:
                "written partitionBy(cluster_id))",
                "cluster_id" in p and ("IN (" in p or "isin" in p or " IN " in p)),
               ("no cartesian product", "CartesianProduct" not in p)]
-    sections.append(("ivf_topk(embeddings, nprobe=2)", p, checks))
+    sections.append(("ivf_topk(embeddings, nprobe=2) — materialized cluster_id",
+                     p, checks))
+
+    # in-scan assignment path (no materialized cluster_id column)
+    df2 = ivf_topk(emb, [(r["vec_id"], list(r["embedding"])) for r in q0],
+                   cents, k=5, nprobe=2)
+    p2 = plan_of(df2)
+    checks2 = [("single Python stage (assignment fused into the scan pass; "
+                "no ArrowEvalPython)", "ArrowEvalPython" not in p2
+                and p2.count("MapInPandas (") == 1),  # tree line only;
+               # formatted explain repeats each node in the detail section
+               ("no cartesian product", "CartesianProduct" not in p2)]
+    sections.append(("ivf_topk(embeddings, nprobe=2) — in-scan assignment",
+                     p2, checks2))
 
     out = ["# BENCH/PLANS — physical-plan audit",
            "",

@@ -107,9 +107,20 @@ def ivf_topk(assigned: DataFrame, queries: list[tuple],
 
     Returns (query_id, vec_id, cosine, rnk) — same shape as
     :func:`sketchlib.similarity.search.cosine_topk`, so recall is directly
-    measurable against the brute-force baseline. The cluster filter is a
-    pushed-down ``IN`` predicate: with the table written
-    ``partitionBy(cluster_col)`` it prunes whole partitions."""
+    measurable against the brute-force baseline.
+
+    Two input shapes:
+
+    * ``assigned`` already has ``cluster_col`` (a table materialized via
+      :func:`ivf_assign` + ``write.partitionBy(cluster_col)``): the probed
+      clusters become a pushed-down ``IN`` predicate that prunes whole
+      partitions — the 100 TB path.
+    * ``assigned`` has NO ``cluster_col``: assignment happens inside the
+      same ``mapInPandas`` batch as the scan (one BLAS matmul each). This
+      avoids the Catalyst duplicate-evaluation of an unmaterialized
+      assignment UDF referenced by both a Filter and a Project (one Python
+      pass instead of two), at the cost of scanning every row once —
+      correct for ad-hoc searches over unindexed tables."""
     cmat = _normalize(np.asarray(centroids, dtype=np.float64))
     nprobe = min(nprobe, cmat.shape[0])
     qids = [int(q) for q, _ in queries]
@@ -125,17 +136,34 @@ def ivf_topk(assigned: DataFrame, queries: list[tuple],
         T.StructField("cosine", T.DoubleType()),
     ])
 
+    has_cluster = cluster_col in assigned.columns
+    probed_set = set(probed)
+    # per-cluster boolean mask over queries, dense-indexed for in-scan assign
+    mask_of = np.zeros((cmat.shape[0], len(qids)), dtype=bool)
+    for c in probed:
+        mask_of[c] = probes_of[c]
+
     def scan(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
             mat = _normalize(np.asarray([np.asarray(v, dtype=np.float64)
                                          for v in pdf[vec_col]]))
+            if has_cluster:
+                cl = pdf[cluster_col].to_numpy()
+            else:
+                # assign in-scan: same batch, one extra (batch x clusters)
+                # matmul — no second Python pass over the table
+                cl = np.argmax(mat @ cmat.T, axis=1)
+                keep = np.fromiter((c in probed_set for c in cl),
+                                   dtype=bool, count=len(cl))
+                if not keep.any():
+                    continue
+                mat, cl = mat[keep], cl[keep]
+                pdf = pdf.iloc[keep]
             sims = mat @ qmat.T  # (batch, n_queries)
             # mask (row, query) pairs where the row's cluster isn't probed
-            cl = pdf[cluster_col].to_numpy()
-            mask = np.vstack([probes_of[c] for c in cl])
-            sims = np.where(mask, sims, -np.inf)
+            sims = np.where(mask_of[cl], sims, -np.inf)
             ids = pdf[id_col].to_numpy()
             out = []
             for j, qid in enumerate(qids):
@@ -149,8 +177,11 @@ def ivf_topk(assigned: DataFrame, queries: list[tuple],
                     out.append((qid, ids[i], float(col[i])))
             yield pd.DataFrame(out, columns=["query_id", id_col, "cosine"])
 
-    pruned = (assigned.filter(F.col(cluster_col).isin(probed))
-              .select(id_col, vec_col, cluster_col))
+    if has_cluster:
+        pruned = (assigned.filter(F.col(cluster_col).isin(probed))
+                  .select(id_col, vec_col, cluster_col))
+    else:
+        pruned = assigned.select(id_col, vec_col)
     local = pruned.mapInPandas(scan, schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return (local.withColumn("rnk", F.row_number().over(w))

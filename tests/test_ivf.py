@@ -81,6 +81,23 @@ def test_partial_probe_recall(vec_df, trained):
     assert np.mean(recalls) >= 0.9, recalls
 
 
+def test_inscan_assignment_matches_materialized(vec_df, trained):
+    """ivf_topk over a table WITHOUT cluster_id (in-scan assignment) returns
+    exactly what the materialized-assignment path returns, and its plan runs
+    a single Python stage (no duplicated assignment UDF eval)."""
+    cents, assigned = trained
+    qs = _queries(vec_df, n=6)
+    want = {(r["query_id"], r["rnk"]): r["vec_id"]
+            for r in ivf_topk(assigned, qs, cents, k=10, nprobe=3).collect()}
+    res = ivf_topk(vec_df, qs, cents, k=10, nprobe=3)
+    got = {(r["query_id"], r["rnk"]): r["vec_id"] for r in res.collect()}
+    assert got == want
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes both plans
+    assert "ArrowEvalPython" not in final  # no per-row assignment UDF at all
+    assert final.count("MapInPandas") == 1
+
+
 def test_train_raises_when_sample_too_small(spark):
     df = spark.createDataFrame([(0, [1.0, 0.0]), (1, [0.0, 1.0])],
                                "vec_id long, embedding array<double>")
