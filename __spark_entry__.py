@@ -617,6 +617,76 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_hll_distinct_suppliers_per_order(spark, "/root/testdata/sf0.001")
 
 
+def q_extract_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule per-row invariant (BASELINE.json input_hint): extracted
+    text per url must be byte-identical to the reference extraction.
+
+    Builds the frozen v1 html wrapper (sketchlib/data/pages.py wrap_html
+    layout) JVM-side from documents.text, then extracts it back with BOTH
+    the JVM whole-stage-codegen expression (extract_text_expr) and the
+    pure-Python reference extractor (extract_text_py) over the binary
+    column, comparing byte-for-byte against the original text.  The oracle
+    asserts every non-null doc round-trips exactly: all three counts equal
+    COUNT(*)."""
+    from pyspark.sql import types as T
+
+    from sketchlib.data.pages import (_HTML_PREFIX_1, _HTML_PREFIX_2,
+                                      _HTML_SUFFIX, extract_text_expr,
+                                      extract_text_py)
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    title = F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+    html = F.concat(F.lit(_HTML_PREFIX_1.decode("ascii")), title,
+                    F.lit(_HTML_PREFIX_2.decode("ascii")), F.col("text"),
+                    F.lit(_HTML_SUFFIX.decode("ascii"))).cast("binary")
+    with_html = docs.select("doc_id", "text", html.alias("html"))
+
+    @F.pandas_udf(T.StringType())
+    def _py_extract(h):
+        return h.map(lambda b: extract_text_py(bytes(b)))
+
+    txt = F.col("text").cast("binary")
+    checked = with_html.select(
+        (extract_text_expr(F.col("html")).cast("binary") == txt)
+        .alias("jvm_ok"),
+        (_py_extract(F.col("html")).cast("binary") == txt).alias("py_ok"))
+    return checked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("jvm_ok").cast("long")).alias("n_jvm_exact"),
+        F.sum(F.col("py_ok").cast("long")).alias("n_py_exact"))
+
+
+def q_url_normalize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC-style URL dedup keys (sketchlib/text/urls.py — pure JVM column
+    exprs).  Deterministic messy URLs built from doc_id exercise one
+    normalization rule per branch: uppercase scheme/host + www + default
+    port + tracking params (mod 0), :80 + trailing slash + fbclid (mod 1),
+    fragment (mod 2).  The oracle is the CLOSED-FORM expected key — ground
+    truth, not a SQL re-implementation of the regexes."""
+    from sketchlib.text.urls import normalize_url, url_domain, url_host
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 50).cast("string")
+    i = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 3
+    messy = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTPS://www.h"), k, F.lit(".example.com:443/path/"), i,
+            F.lit("?utm_source=x&q=1")))
+        .when(m == 1, F.concat(
+            F.lit("http://H"), k, F.lit(".EXAMPLE.com:80/p"), i,
+            F.lit("/?fbclid=abc")))
+        .otherwise(F.concat(
+            F.lit("https://h"), k, F.lit(".example.com/path/"), i,
+            F.lit("#frag"))))
+    u = docs.select("doc_id", messy.alias("u"))
+    return u.select(
+        "doc_id",
+        normalize_url(F.col("u")).alias("norm_url"),
+        url_host(F.col("u")).alias("host"),
+        url_domain(F.col("u")).alias("domain"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hll_distinct_suppliers_per_order": q_hll_distinct_suppliers_per_order,
@@ -647,6 +717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "streaming_distinct_users": q_streaming_distinct_users,
         "media_features": q_media_features,
+        "extract_text_parity": q_extract_text_parity,
+        "url_normalize_keys": q_url_normalize_keys,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -732,6 +804,20 @@ def _pipeline_oracles() -> dict[str, str]:
             "SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS width, "
             "CAST(8 + doc_id % 8 AS INT) AS height, "
             "CAST(20 AS BIGINT) AS n_bytes FROM documents"
+        ),
+        "extract_text_parity": (
+            "SELECT COUNT(*) AS n_docs, COUNT(*) AS n_jvm_exact, "
+            "COUNT(*) AS n_py_exact FROM documents WHERE text IS NOT NULL"
+        ),
+        "url_normalize_keys": (
+            "SELECT doc_id, CASE CAST(doc_id % 3 AS INT) "
+            "WHEN 0 THEN 'https://h' || (doc_id % 50) || '.example.com/path/' "
+            "|| doc_id || '?q=1' "
+            "WHEN 1 THEN 'http://h' || (doc_id % 50) || '.example.com/p' || doc_id "
+            "ELSE 'https://h' || (doc_id % 50) || '.example.com/path/' || doc_id "
+            "END AS norm_url, "
+            "'h' || (doc_id % 50) || '.example.com' AS host, "
+            "'example.com' AS domain FROM documents"
         ),
         "simhash_near_dup_pairs": (
             "SELECT CAST(0 AS BIGINT) AS n_missed, CAST(0 AS BIGINT) AS n_extra, "
