@@ -687,6 +687,22 @@ def q_url_normalize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_domain(F.col("u")).alias("domain"))
 
 
+def q_accuracy_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star verification loop as a library operator
+    (sketchlib/spark/audit.py): estimate AND exact distinct computed over a
+    deterministic sample of groups (l_orderkey % 37 == 0 — reproducible in
+    plain SQL), with a within-bound verdict at 3 sigma of HLL's published
+    1.04/sqrt(m) RSE.  The oracle recomputes the exact counts on the same
+    sample and asserts every audited group is within bound."""
+    from sketchlib.spark.audit import accuracy_audit
+
+    li = _read(spark, sf_dir, "lineitem")
+    audit = accuracy_audit(li, "l_suppkey", ["l_orderkey"],
+                           sample_pred=F.col("l_orderkey") % 37 == 0)
+    return (audit.select("l_orderkey", "exact_distinct", "within_bound")
+            .orderBy("l_orderkey"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hll_distinct_suppliers_per_order": q_hll_distinct_suppliers_per_order,
@@ -719,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "extract_text_parity": q_extract_text_parity,
         "url_normalize_keys": q_url_normalize_keys,
+        "accuracy_audit_sampled": q_accuracy_audit_sampled,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -808,6 +825,11 @@ def _pipeline_oracles() -> dict[str, str]:
         "extract_text_parity": (
             "SELECT COUNT(*) AS n_docs, COUNT(*) AS n_jvm_exact, "
             "COUNT(*) AS n_py_exact FROM documents WHERE text IS NOT NULL"
+        ),
+        "accuracy_audit_sampled": (
+            "SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS exact_distinct, "
+            "TRUE AS within_bound FROM lineitem WHERE l_orderkey % 37 = 0 "
+            "GROUP BY l_orderkey"
         ),
         "url_normalize_keys": (
             "SELECT doc_id, CASE CAST(doc_id % 3 AS INT) "
