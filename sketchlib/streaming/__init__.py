@@ -1,3 +1,5 @@
 """Structured Streaming sketch aggregation (stateful, incremental)."""
 
-from .stream_agg import streaming_distinct_count, streaming_sketch_agg  # noqa: F401
+from .stream_agg import (streaming_distinct_count,  # noqa: F401
+                         streaming_sketch_agg, windowed_distinct_count,
+                         windowed_sketch_agg)

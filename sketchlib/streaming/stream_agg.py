@@ -75,3 +75,95 @@ def streaming_distinct_count(stream_df: DataFrame, element_cols,
     from ..spark.aggregate import HllSpec
 
     return streaming_sketch_agg(stream_df, element_cols, group_cols, HllSpec(p=p))
+
+
+def windowed_sketch_agg(stream_df: DataFrame, element_cols, ts_col: str,
+                        window_duration: str, watermark_delay: str, spec,
+                        group_cols: Sequence[str] = (),
+                        output_mode: str = "update") -> DataFrame:
+    """Event-time tumbling-window sketch aggregation with BOUNDED state.
+
+    ``streaming_sketch_agg`` keeps one sketch per group forever — right for
+    all-time aggregates, wrong for per-window ones, where state would grow
+    linearly with stream lifetime.  This variant:
+
+    1. bounds late data with ``withWatermark(ts_col, watermark_delay)``
+       (rows older than the watermark are dropped before the state op);
+    2. makes the tumbling window struct part of the group key;
+    3. registers an ``EventTimeTimeout`` at each window's end, so once the
+       watermark passes a window, its state row is **removed** — state size
+       is O(open windows x groups) regardless of how long the stream runs.
+
+    Emits ``(window_start, window_end, group_cols..., estimate,
+    count_additions)`` every micro-batch that touches the window (update
+    mode).  The removal itself emits nothing: the last update already
+    carried the window's final value (watermark guarantees no later rows).
+    """
+    if isinstance(element_cols, str):
+        element_cols = [element_cols]
+    element_cols = list(element_cols)
+    group_cols = list(group_cols)
+
+    from pyspark.sql import functions as F
+
+    # NOTE: the event-time watermark rides on the window struct column's
+    # metadata — it must stay intact through the groupBy (flattening
+    # start/end would strip it and EventTimeTimeout would be rejected)
+    df = (stream_df
+          .withWatermark(ts_col, watermark_delay)
+          .withColumn("__w", F.window(ts_col, window_duration))
+          .select("__w", *group_cols, *element_cols))
+
+    est_type = getattr(spec, "estimate_type", T.LongType())
+    out_schema = T.StructType(
+        [T.StructField("window_start", T.TimestampType()),
+         T.StructField("window_end", T.TimestampType())]
+        + [df.schema[g] for g in group_cols]
+        + [T.StructField("estimate", est_type),
+           T.StructField("count_additions", T.LongType())]
+    )
+    cast = float if isinstance(est_type, T.DoubleType) else int
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            # watermark passed window_end: no further rows can arrive for
+            # this window (they'd be dropped as late) -> free the state
+            state.remove()
+            return
+        if state.exists:
+            (blob,) = state.get
+            sketch = spec.from_bytes(bytes(blob))
+        else:
+            sketch = spec.make()
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=element_cols)
+            if len(pdf):
+                spec.ingest(sketch, spec.prepare(pdf, element_cols))
+        state.update((spec.to_bytes(sketch),))
+        # the struct group key arrives as a mapping of field name -> value
+        window_start, window_end = key[0]["start"], key[0]["end"]
+        state.setTimeoutTimestamp(int(window_end.timestamp() * 1000))
+        yield pd.DataFrame(
+            [[window_start, window_end, *key[1:],
+              cast(spec.estimate(sketch)),
+              int(getattr(sketch, "count_additions", 0))]],
+            columns=(["window_start", "window_end"] + group_cols
+                     + ["estimate", "count_additions"]))
+
+    return (df.groupBy("__w", *group_cols)
+            .applyInPandasWithState(update, out_schema, _STATE_SCHEMA,
+                                    output_mode,
+                                    GroupStateTimeout.EventTimeTimeout))
+
+
+def windowed_distinct_count(stream_df: DataFrame, element_cols, ts_col: str,
+                            window_duration: str, watermark_delay: str,
+                            group_cols: Sequence[str] = (),
+                            p: int = 14) -> DataFrame:
+    """Per-window approximate COUNT(DISTINCT ...) with watermark-bounded
+    lateness and automatic state eviction for closed windows."""
+    from ..spark.aggregate import HllSpec
+
+    return windowed_sketch_agg(stream_df, element_cols, ts_col,
+                               window_duration, watermark_delay, HllSpec(p=p),
+                               group_cols)

@@ -213,3 +213,26 @@ def test_prehash64_blob_is_valid_v31(urls_df):
     sk = HllSketch.from_bytes(bytes(blob))
     n = urls_df.select("url").distinct().count()
     assert abs(sk.count() - n) / n <= 10 * 0.008125
+
+
+def test_rollup_bit_identical(spark):
+    """rollup_sketches: merging materialized finer-group sketches yields
+    byte-identical blobs to building directly from raw rows, at every level
+    (per-group and all-time) — the pre-aggregated rollup guarantee."""
+    from sketchlib.spark.aggregate import HllSpec, rollup_sketches, sketch_agg
+
+    rows = [(f"g{i % 3}", f"d{i % 5}", i % 400) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g1 string, g2 string, v long")
+    spec = HllSpec()
+
+    fine = sketch_agg(df, "v", ["g1", "g2"], spec)
+    rolled = rollup_sketches(fine, ["g1"], spec)
+    direct = sketch_agg(df, "v", ["g1"], spec)
+    got = {r["g1"]: bytes(r["sketch"]) for r in rolled.collect()}
+    want = {r["g1"]: bytes(r["sketch"]) for r in direct.collect()}
+    assert got == want
+
+    top = rollup_sketches(rolled, [], spec)
+    direct_top = sketch_agg(df, "v", [], spec)
+    assert bytes(top.collect()[0]["sketch"]) == \
+        bytes(direct_top.collect()[0]["sketch"])

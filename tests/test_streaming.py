@@ -159,3 +159,53 @@ def test_streaming_theta_state(spark, tmp_path):
     q.awaitTermination(120)
     final = {r["lang"]: r["estimate"] for r in collected}
     assert final["en"] == 500  # below k -> exact
+
+
+def test_windowed_state_eviction(spark, tmp_path):
+    """windowed_sketch_agg bounds state: once the watermark passes a
+    window's end, its state row is evicted (EventTimeTimeout), so state is
+    O(open windows), not O(stream lifetime)."""
+    from datetime import datetime
+
+    from sketchlib.streaming import windowed_distinct_count
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src = str(tmp_path / "evsrc")
+    os.makedirs(src, exist_ok=True)
+
+    collected = []
+
+    def run_pass():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = windowed_distinct_count(stream, "url", "ts", "1 hour",
+                                      "30 minutes")
+        q = (agg.writeStream
+             .foreachBatch(lambda bdf, _b: collected.extend(bdf.collect()))
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "evckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return q
+
+    rows1 = ([(f"https://a/{i}", datetime(2026, 1, 1, 0, 10)) for i in range(30)]
+             + [(f"https://b/{i}", datetime(2026, 1, 1, 1, 10)) for i in range(40)])
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    run_pass()
+    got1 = {r["window_start"].hour: r["estimate"] for r in collected}
+    assert got1 == {0: 30, 1: 40}
+
+    # second pass: hour-3 data pushes the watermark to 02:40, past the ends
+    # of windows 0 and 1 -> their state must be evicted; only window 3 stays
+    collected.clear()
+    rows2 = [(f"https://c/{i}", datetime(2026, 1, 1, 3, 10)) for i in range(20)]
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+    q = run_pass()
+    got2 = {r["window_start"].hour: r["estimate"] for r in collected}
+    assert got2 == {3: 20}  # eviction emits nothing; closed windows final
+
+    n_state = [p["stateOperators"][0]["numRowsTotal"]
+               for p in (q.recentProgress or []) if p.get("stateOperators")]
+    assert n_state and n_state[-1] == 1, n_state
