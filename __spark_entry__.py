@@ -701,6 +701,26 @@ def q_url_normalize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_domain(F.col("u")).alias("domain"))
 
 
+def q_sql_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-string surface (sketchlib/spark/sql.py): stage-1 partials built by
+    the Python API become a temp view; the merge + estimate run in plain
+    spark.sql via registered vectorized UDFs (hll_merge_all / hll_estimate
+    inside a collect_list aggregate).  Direct-count mode -> exact, so the
+    oracle is plain COUNT(DISTINCT)."""
+    from sketchlib.spark.aggregate import HllSpec, build_partials
+    from sketchlib.spark.sql import register_sql_functions
+
+    register_sql_functions(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    partials = build_partials(li, "l_suppkey", ["l_orderkey"], HllSpec())
+    partials.createOrReplaceTempView("gate_hll_partials")
+    return spark.sql(
+        "SELECT l_orderkey, "
+        "hll_estimate(hll_merge_all(collect_list(sketch))) "
+        "AS distinct_suppliers "
+        "FROM gate_hll_partials GROUP BY l_orderkey")
+
+
 def q_hll_rollup_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-aggregated rollup (sketchlib/spark/aggregate.py rollup_sketches):
     per-(event_type, day) HLL sketches merge up to per-event_type WITHOUT
@@ -781,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize_keys": q_url_normalize_keys,
         "accuracy_audit_sampled": q_accuracy_audit_sampled,
         "hll_rollup_bound": q_hll_rollup_bound,
+        "sql_hll_distinct": q_sql_hll_distinct,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -871,6 +892,10 @@ def _pipeline_oracles() -> dict[str, str]:
         "extract_text_parity": (
             "SELECT COUNT(*) AS n_docs, COUNT(*) AS n_jvm_exact, "
             "COUNT(*) AS n_py_exact FROM documents WHERE text IS NOT NULL"
+        ),
+        "sql_hll_distinct": (
+            "SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS distinct_suppliers "
+            "FROM lineitem GROUP BY l_orderkey"
         ),
         "hll_rollup_bound": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "

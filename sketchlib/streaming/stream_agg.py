@@ -80,7 +80,8 @@ def streaming_distinct_count(stream_df: DataFrame, element_cols,
 def windowed_sketch_agg(stream_df: DataFrame, element_cols, ts_col: str,
                         window_duration: str, watermark_delay: str, spec,
                         group_cols: Sequence[str] = (),
-                        output_mode: str = "update") -> DataFrame:
+                        output_mode: str = "update",
+                        slide_duration: str | None = None) -> DataFrame:
     """Event-time tumbling-window sketch aggregation with BOUNDED state.
 
     ``streaming_sketch_agg`` keeps one sketch per group forever — right for
@@ -98,6 +99,10 @@ def windowed_sketch_agg(stream_df: DataFrame, element_cols, ts_col: str,
     count_additions)`` every micro-batch that touches the window (update
     mode).  The removal itself emits nothing: the last update already
     carried the window's final value (watermark guarantees no later rows).
+
+    ``slide_duration`` turns the tumbling window into a sliding one
+    (``F.window``'s slide): each row then feeds every overlapping window's
+    sketch; eviction still fires per window as the watermark passes its end.
     """
     if isinstance(element_cols, str):
         element_cols = [element_cols]
@@ -111,7 +116,8 @@ def windowed_sketch_agg(stream_df: DataFrame, element_cols, ts_col: str,
     # start/end would strip it and EventTimeTimeout would be rejected)
     df = (stream_df
           .withWatermark(ts_col, watermark_delay)
-          .withColumn("__w", F.window(ts_col, window_duration))
+          .withColumn("__w", F.window(ts_col, window_duration,
+                                      slide_duration or window_duration))
           .select("__w", *group_cols, *element_cols))
 
     est_type = getattr(spec, "estimate_type", T.LongType())

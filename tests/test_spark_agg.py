@@ -236,3 +236,24 @@ def test_rollup_bit_identical(spark):
     direct_top = sketch_agg(df, "v", [], spec)
     assert bytes(top.collect()[0]["sketch"]) == \
         bytes(direct_top.collect()[0]["sketch"])
+
+
+def test_rollup_spec_agnostic_tdigest(spark):
+    """rollup_sketches works for any mergeable spec: t-digest per-(g1,g2)
+    digests roll up to per-g1 with quantiles matching a direct build."""
+    from sketchlib.spark.aggregate import rollup_sketches, sketch_agg
+    from sketchlib.spark.quantiles import quantiles_col
+    from sketchlib.spark.specs import TDigestSpec
+
+    rows = [(f"g{i % 2}", f"d{i % 4}", float(i % 1000)) for i in range(8000)]
+    df = spark.createDataFrame(rows, "g1 string, g2 string, v double")
+    spec = TDigestSpec()
+    fine = sketch_agg(df, "v", ["g1", "g2"], spec)
+    rolled = rollup_sketches(fine, ["g1"], spec)
+    direct = sketch_agg(df, "v", ["g1"], spec)
+    got = {r["g1"]: r["q"][0] for r in rolled.select(
+        "g1", quantiles_col(spec, [0.5]).alias("q")).collect()}
+    want = {r["g1"]: r["q"][0] for r in direct.select(
+        "g1", quantiles_col(spec, [0.5]).alias("q")).collect()}
+    for g in got:
+        assert abs(got[g] - want[g]) <= 25.0, (g, got[g], want[g])

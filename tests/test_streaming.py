@@ -209,3 +209,35 @@ def test_windowed_state_eviction(spark, tmp_path):
     n_state = [p["stateOperators"][0]["numRowsTotal"]
                for p in (q.recentProgress or []) if p.get("stateOperators")]
     assert n_state and n_state[-1] == 1, n_state
+
+
+def test_windowed_sliding(spark, tmp_path):
+    """slide_duration: each row feeds every overlapping window's sketch."""
+    from datetime import datetime
+
+    from sketchlib.spark.aggregate import HllSpec
+    from sketchlib.streaming import windowed_sketch_agg
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src = str(tmp_path / "slsrc")
+    os.makedirs(src, exist_ok=True)
+    # 20 urls at 00:40 -> in windows [00:00,01:00) and [00:30,01:30)
+    rows = [(f"https://a/{i}", datetime(2026, 1, 1, 0, 40)) for i in range(20)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    collected = []
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = windowed_sketch_agg(stream, "url", "ts", "1 hour", "30 minutes",
+                              HllSpec(), slide_duration="30 minutes")
+    q = (agg.writeStream
+         .foreachBatch(lambda bdf, _b: collected.extend(bdf.collect()))
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "slckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["window_start"].hour, r["window_start"].minute): r["estimate"]
+           for r in collected}
+    assert got == {(0, 0): 20, (0, 30): 20}
