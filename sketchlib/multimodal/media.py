@@ -136,3 +136,96 @@ def frame_sample_plan(duration_ms_col: Column, every_ms: int = 1000) -> Column:
     """JVM-side frame-sampling plan: array of timestamps to decode. The
     decode stage then touches only these offsets."""
     return F.sequence(F.lit(0), duration_ms_col.cast("long"), F.lit(every_ms))
+
+
+# deterministic fake video container: magic | w | h | duration_ms | seed
+_FAKE_VMAGIC = b"FVID"
+
+
+def pack_fake_video(width: int, height: int, duration_ms: int,
+                    seed: int) -> bytes:
+    """Deterministic stand-in video payload (tests + fixtures)."""
+    return _FAKE_VMAGIC + struct.pack("<iiqq", width, height, duration_ms,
+                                      seed)
+
+
+def _le_int64(bin_col: Column, pos: int) -> Column:
+    b = [F.conv(F.hex(F.substring(bin_col, pos + i, 1)), 16, 10).cast("long")
+         for i in range(8)]
+    out = b[0]
+    for i in range(1, 8):
+        out = out + b[i] * F.lit(1 << (8 * i)).cast("long")
+    return out.cast("long")
+
+
+def video_meta_col(payload_col: str | Column) -> Column:
+    """Metadata struct for the fake video container — JVM byte ops only."""
+    c = F.col(payload_col) if isinstance(payload_col, str) else payload_col
+    header_ok = F.substring(c, 1, 4) == F.lit(_FAKE_VMAGIC)
+    return F.struct(
+        F.lit("video").alias("kind"),
+        F.when(header_ok, F.lit("fake-v1")).otherwise(F.lit("unknown")).alias("codec"),
+        F.when(header_ok, _le_int32(c, 5)).alias("width"),
+        F.when(header_ok, _le_int32(c, 9)).alias("height"),
+        F.when(header_ok, _le_int64(c, 13)).alias("duration_ms"),
+        F.length(c).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_frame_stub(payload: bytes, ts_ms: int) -> np.ndarray:
+    """STUB frame decoder: deterministic fake pixels from (seed, ts_ms).
+
+    A production build seeks the container to ``ts_ms`` and decodes one
+    frame (e.g. via PyAV); signature and error contract are final."""
+    if payload[:4] != _FAKE_VMAGIC:
+        raise ValueError("unknown video codec")
+    width, height, duration_ms, seed = struct.unpack_from("<iiqq", payload, 4)
+    if not 0 <= ts_ms <= duration_ms:
+        raise ValueError("timestamp beyond duration")
+    rng = np.random.default_rng((seed << 20) ^ ts_ms)
+    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def sample_frames(df: DataFrame, payload_col: str = "payload",
+                  id_col: str = "media_id",
+                  every_ms: int = 1000) -> DataFrame:
+    """Frame sampling end-to-end: one output row per sampled frame —
+    ``(id, ts_ms, width, height, mean_luma)``.
+
+    Scale shape: the timestamp plan is computed JVM-side
+    (:func:`frame_sample_plan` over the header duration — no decode), and
+    the video payload enters Python ONCE per video (the plan rides along as
+    an array column; exploding timestamps before the decode stage would
+    copy the payload once per frame row).  The decode stub touches only the
+    planned offsets — exactly how a seek-based real decoder behaves."""
+    out_schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ])
+    meta = video_meta_col(payload_col)
+    planned = df.select(
+        id_col, payload_col,
+        frame_sample_plan(meta["duration_ms"], every_ms).alias("__plan"))
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = []
+            for mid, payload, plan in zip(pdf[id_col], pdf[payload_col],
+                                          pdf["__plan"]):
+                if plan is None:  # bad header -> no duration -> skip video
+                    continue
+                payload = bytes(payload)
+                for ts in plan:
+                    try:
+                        frame = decode_frame_stub(payload, int(ts))
+                    except ValueError:
+                        continue
+                    h, w = frame.shape[:2]
+                    rows.append((mid, int(ts), int(w), int(h),
+                                 float(frame.mean())))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return planned.mapInPandas(run, out_schema)

@@ -218,6 +218,36 @@ class TestMultimodal:
         [row] = df.select(frame_sample_plan(F.col("duration_ms"), 1000).alias("p")).collect()
         assert row["p"] == [0, 1000, 2000, 3000]
 
+    def test_sample_frames_end_to_end(self, spark):
+        """One row per planned frame; payload enters Python once per video;
+        bad-magic payloads are skipped, not fatal."""
+        from sketchlib.multimodal.media import (pack_fake_video,
+                                                sample_frames, video_meta_col)
+
+        rows = [(0, pack_fake_video(8, 4, 2500, 7)),
+                (1, pack_fake_video(4, 4, 900, 8)),
+                (2, b"JUNKJUNKJUNK")]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+
+        meta = {r["media_id"]: r["m"] for r in
+                df.select("media_id", video_meta_col("payload").alias("m")).collect()}
+        assert meta[0]["width"] == 8 and meta[0]["duration_ms"] == 2500
+        assert meta[2]["codec"] == "unknown" and meta[2]["duration_ms"] is None
+
+        frames = sample_frames(df, every_ms=1000).collect()
+        got = {}
+        for r in frames:
+            got.setdefault(r["media_id"], []).append(r["ts_ms"])
+        assert sorted(got[0]) == [0, 1000, 2000]
+        assert sorted(got[1]) == [0]
+        assert 2 not in got
+        # deterministic stub: same (payload, ts) -> same frame stats
+        luma = {(r["media_id"], r["ts_ms"]): r["mean_luma"] for r in frames}
+        luma2 = {(r["media_id"], r["ts_ms"]): r["mean_luma"]
+                 for r in sample_frames(df, every_ms=1000).collect()}
+        assert luma == luma2
+        assert all(0 <= v <= 255 for v in luma.values())
+
 
 class TestUrlUtils:
     def test_normalize_url(self, spark):
