@@ -701,6 +701,37 @@ def q_url_normalize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_domain(F.col("u")).alias("domain"))
 
 
+def q_hll_rolling_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-day rolling distinct users per event_type from DAILY HLL
+    sketches (sketchlib/spark/aggregate.py rolling_merge) — the
+    continuous-aggregate pattern: the raw table is scanned once to build
+    daily sketches; every rolling window is a blob merge.  Bound-checked
+    per (event_type, day) against exact; the oracle recomputes the exact
+    rolling distinct in SQL."""
+    from sketchlib.spark.aggregate import (HllSpec, estimate_col,
+                                           rolling_merge, sketch_agg)
+
+    spec = HllSpec()
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("int").alias("dayno"),
+        "user_id")
+    daily = sketch_agg(ev, "user_id", ["event_type", "dayno"], spec)
+    rolled = rolling_merge(daily, "dayno", 3, spec, ["event_type"])
+    est = rolled.select("event_type", "dayno",
+                        estimate_col(spec).alias("estimate"))
+    anchors = ev.select("event_type", "dayno").distinct()
+    e2 = ev.withColumnRenamed("dayno", "d2")
+    exact = (anchors.join(e2, "event_type")
+             .filter((F.col("d2") <= F.col("dayno"))
+                     & (F.col("d2") > F.col("dayno") - 3))
+             .groupBy("event_type", "dayno")
+             .agg(F.countDistinct("user_id").alias("exact_users")))
+    return (_bound_check(est, exact, ["event_type", "dayno"], "exact_users")
+            .orderBy("event_type", "dayno"))
+
+
 def q_sql_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-string surface (sketchlib/spark/sql.py): stage-1 partials built by
     the Python API become a temp view; the merge + estimate run in plain
@@ -802,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "accuracy_audit_sampled": q_accuracy_audit_sampled,
         "hll_rollup_bound": q_hll_rollup_bound,
         "sql_hll_distinct": q_sql_hll_distinct,
+        "hll_rolling_distinct_bound": q_hll_rolling_distinct_bound,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -896,6 +928,17 @@ def _pipeline_oracles() -> dict[str, str]:
         "sql_hll_distinct": (
             "SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS distinct_suppliers "
             "FROM lineitem GROUP BY l_orderkey"
+        ),
+        "hll_rolling_distinct_bound": (
+            "WITH ev AS (SELECT event_type, "
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) AS dayno, "
+            "user_id FROM events), "
+            "days AS (SELECT DISTINCT event_type, dayno FROM ev) "
+            "SELECT d.event_type, d.dayno, "
+            "COUNT(DISTINCT e.user_id) AS exact_users, TRUE AS within_bound "
+            "FROM days d JOIN ev e ON e.event_type = d.event_type "
+            "AND e.dayno BETWEEN d.dayno - 2 AND d.dayno "
+            "GROUP BY d.event_type, d.dayno ORDER BY d.event_type, d.dayno"
         ),
         "hll_rollup_bound": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "

@@ -635,6 +635,40 @@ def rollup_sketches(sketch_df: DataFrame, to_group_cols: Sequence[str],
     return merge_partials(sketch_df, list(to_group_cols), spec, sketch_col)
 
 
+def rolling_merge(sketch_df: DataFrame, order_col: str, window: int,
+                  spec: HllSpec | None = None,
+                  group_cols: Sequence[str] = (),
+                  sketch_col: str = "sketch") -> DataFrame:
+    """Rolling union over the trailing ``window`` units of an integer-ordered
+    sketch table: output row (groups..., o) carries the merge of sketches
+    for order values in ``(o - window, o]`` — e.g. 7-day rolling distinct
+    users from a *daily* sketch table, no raw-input rescan.
+
+    Union-only sketches (HLL/Theta/Bloom/CMS) can't subtract, so the
+    classic streaming trick (add new day, remove old) is unavailable;
+    instead each daily sketch is *contributed* to the ≤``window`` rolling
+    rows it participates in (a JVM ``sequence``+``explode`` of blob rows —
+    ``window × groups × units`` blobs, kilobytes each) and each rolling row
+    fold-merges its contributions.  One shuffle of blobs, same as any
+    rollup; associativity makes the result bit-identical to building each
+    window from raw rows.  Output rows are kept only for order values that
+    actually exist in the input (trailing windows anchored at absent units
+    would double-report).
+
+    ``order_col`` must be integer-like (for dates, pass e.g.
+    ``F.datediff(day, lit(epoch))`` first)."""
+    spec = spec or HllSpec()
+    group_cols = list(group_cols)
+    contrib = sketch_df.select(
+        *group_cols,
+        F.explode(F.sequence(F.col(order_col),
+                             F.col(order_col) + window - 1)).alias(order_col),
+        sketch_col)
+    anchors = sketch_df.select(*group_cols, order_col).distinct()
+    contrib = contrib.join(anchors, on=group_cols + [order_col], how="leftsemi")
+    return merge_partials(contrib, group_cols + [order_col], spec, sketch_col)
+
+
 def estimate_col(spec: HllSpec | None = None, sketch_col: str | Column = "sketch") -> Column:
     """Scalar estimate as a vectorized pandas UDF over sketch blobs (one blob
     per group — Python cost is per-group, not per-row)."""

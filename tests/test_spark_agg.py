@@ -257,3 +257,24 @@ def test_rollup_spec_agnostic_tdigest(spark):
         "g1", quantiles_col(spec, [0.5]).alias("q")).collect()}
     for g in got:
         assert abs(got[g] - want[g]) <= 25.0, (g, got[g], want[g])
+
+
+def test_rolling_merge_bit_identical(spark):
+    """rolling_merge: each trailing-window sketch is byte-identical to one
+    built directly from the raw rows of that window; anchors exist only for
+    units present in the input."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.aggregate import (HllSpec, rolling_merge, sketch_agg)
+
+    rows = [("a", d, d * 1000 + i) for d in (1, 2, 3, 5) for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, d int, v long")
+    spec = HllSpec()
+    daily = sketch_agg(df, "v", ["g", "d"], spec)
+    rolled = {(r["g"], r["d"]): bytes(r["sketch"])
+              for r in rolling_merge(daily, "d", 3, spec, ["g"]).collect()}
+    assert set(rolled) == {("a", 1), ("a", 2), ("a", 3), ("a", 5)}
+    for (_, anchor) in rolled:
+        win = df.filter((F.col("d") > anchor - 3) & (F.col("d") <= anchor))
+        want = bytes(sketch_agg(win, "v", ["g"], spec).collect()[0]["sketch"])
+        assert rolled[("a", anchor)] == want, anchor
