@@ -732,6 +732,23 @@ def q_hll_rolling_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type", "dayno"))
 
 
+def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-cleaning pipeline (sketchlib/jobs/corpus_job.py
+    clean_corpus) as one machine-checked query: per-doc keep/drop decisions
+    combining exact dedup (normalized fingerprint, lowest id wins) and
+    MinHash near-dedup (exact-verified Jaccard >= 0.8 among exact-dedup
+    survivors, higher id dropped), plus lang-id and token counts.  The
+    oracle recomputes every decision in SQL (min_quality=0 so the quality
+    heuristic, pinned elsewhere, stays out of the decision set)."""
+    from sketchlib.jobs.corpus_job import clean_corpus
+
+    docs = (_read(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()).select("doc_id", "text"))
+    m = clean_corpus(docs, min_quality=0)
+    return (m.select("doc_id", "keep", "drop_reason", "pred_lang",
+                     "n_chars", "n_bpe_tokens").orderBy("doc_id"))
+
+
 def q_sql_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-string surface (sketchlib/spark/sql.py): stage-1 partials built by
     the Python API become a temp view; the merge + estimate run in plain
@@ -834,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_rollup_bound": q_hll_rollup_bound,
         "sql_hll_distinct": q_sql_hll_distinct,
         "hll_rolling_distinct_bound": q_hll_rolling_distinct_bound,
+        "corpus_manifest": q_corpus_manifest,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -902,7 +920,49 @@ def _pipeline_oracles() -> dict[str, str]:
         "PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rnk FROM s) "
         "WHERE rnk <= 5"
     )
+    norm_frag = A.SQL_NORMALIZE.format(c="text")
+    lang_case = (
+        "CASE WHEN kana >= 2 THEN 'ja' WHEN cjk >= 2 THEN 'zh' "
+        "WHEN cyr >= 2 THEN 'ru' "
+        f"WHEN {g} <= 0 THEN 'unknown' "
+        f"WHEN s_en = {g} THEN 'en' WHEN s_de = {g} THEN 'de' "
+        f"WHEN s_es = {g} THEN 'es' ELSE 'fr' END")
+    corpus_manifest = (
+        "WITH norm AS (SELECT doc_id, text, "
+        f"{norm_frag} AS k FROM documents WHERE text IS NOT NULL), "
+        "keepers AS (SELECT k, MIN(doc_id) AS keep_id FROM norm GROUP BY k), "
+        "ex AS (SELECT n.doc_id, n.text, (n.doc_id <> kp.keep_id) AS is_exact "
+        "FROM norm n JOIN keepers kp USING (k)), "
+        "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN "
+        "list_distinct([(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) "
+        "for i in range(1, len(t) - 1)]) "
+        "ELSE [array_to_string(t, ' ')] END AS s "
+        "FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t "
+        "FROM ex WHERE NOT is_exact)), "
+        "near AS (SELECT DISTINCT b.doc_id AS id_b FROM sh a JOIN sh b "
+        "ON a.doc_id < b.doc_id "
+        "WHERE len(list_intersect(a.s, b.s))::DOUBLE / "
+        "len(list_distinct(a.s || b.s)) >= 0.8), "
+        "lang AS (SELECT doc_id, " + lang_case + " AS pred_lang FROM ("
+        "SELECT doc_id, "
+        "len(regexp_extract_all(text, '[぀-ヿ]')) AS kana, "
+        "len(regexp_extract_all(text, '[一-鿿]')) AS cjk, "
+        "len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS cyr, "
+        f"{A.sql_stopword_count('text', 'en')} AS s_en, "
+        f"{A.sql_stopword_count('text', 'de')} AS s_de, "
+        f"{A.sql_stopword_count('text', 'es')} AS s_es, "
+        f"{A.sql_stopword_count('text', 'fr')} AS s_fr FROM documents)) "
+        "SELECT e.doc_id, "
+        "(NOT e.is_exact AND nr.id_b IS NULL) AS keep, "
+        "CASE WHEN e.is_exact THEN 'exact_dup' "
+        "WHEN nr.id_b IS NOT NULL THEN 'near_dup' END AS drop_reason, "
+        "l.pred_lang, length(e.text) AS n_chars, "
+        f"{A.SQL_BPE_TOKENS.format(c='e.text')} AS n_bpe_tokens "
+        "FROM ex e LEFT JOIN near nr ON nr.id_b = e.doc_id "
+        "JOIN lang l USING (doc_id) ORDER BY e.doc_id"
+    )
     return {
+        "corpus_manifest": corpus_manifest,
         "text_stats": text_stats,
         "lang_id_distribution": lang_id,
         "dedup_exact_summary": dedup,

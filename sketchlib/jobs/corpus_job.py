@@ -1,0 +1,154 @@
+"""End-to-end training-data corpus cleaning, composed from sketchlib ops.
+
+Usage (spark-submit --py-files sketchlib.zip sketchlib/jobs/corpus_job.py):
+
+    python -m sketchlib.jobs.corpus_job \
+        --input /data/documents --output /out/manifest \
+        [--min-quality 3] [--jaccard 0.8] [--no-near-dup]
+
+One job, the standard LLM-corpus shape:
+
+1. **annotate** — lang-id, 0-10 quality bucket, token/char counts — all
+   JVM column expressions (whole-stage codegen, zero Python);
+2. **exact dedup** — normalized-text fingerprint, lowest doc_id wins
+   (8-byte key + id shuffle, text never shuffles);
+3. **near dedup** — MinHash+LSH banding with exact Jaccard verification;
+   of each surviving pair the higher doc_id is dropped;
+4. **quality filter** — docs below ``--min-quality`` are dropped;
+5. **manifest** — one row per input doc: ``(doc_id, keep, drop_reason,
+   pred_lang, quality, n_chars, n_bpe_tokens)``; a kept doc has
+   ``drop_reason = NULL``.  The manifest is a *decision log*, not a copy
+   of the corpus: at 100 TB you join it back to the documents table to
+   materialize the cleaned split, and every drop is attributable.
+
+Drop precedence (first match wins): exact_dup > near_dup > low_quality —
+an exact duplicate reports exact_dup even if also low quality, so
+rate accounting stays disjoint.
+
+The printed JSON summary carries disjoint drop counts plus an HLL distinct
+fingerprint estimate (corpus diversity) and total kept BPE tokens.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def annotate(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    from sketchlib.text.analysis import (bpe_token_count, lang_id,
+                                         quality_bucket)
+
+    c = F.col(text_col)
+    return docs.withColumns({
+        "pred_lang": lang_id(c),
+        "quality": quality_bucket(c),
+        "n_chars": F.length(c).cast("long"),
+        "n_bpe_tokens": bpe_token_count(c).cast("long"),
+    })
+
+
+def clean_corpus(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", min_quality: int = 3,
+                 near_dup: bool = True, jaccard: float = 0.8) -> DataFrame:
+    """Manifest DataFrame: (id, keep, drop_reason, pred_lang, quality,
+    n_chars, n_bpe_tokens) — one row per input doc."""
+    from sketchlib.dedup.exact import dedup_exact
+    from sketchlib.dedup.minhash import near_dup_pairs
+
+    ann = annotate(docs.select(id_col, text_col), text_col)
+
+    exact_survivors = dedup_exact(ann, text_col, id_col).select(
+        F.col(id_col).alias("__keep_id"))
+    ann = ann.join(exact_survivors,
+                   ann[id_col] == F.col("__keep_id"), "left")
+    ann = ann.withColumn("__exact_dup", F.col("__keep_id").isNull()) \
+             .drop("__keep_id")
+
+    if near_dup:
+        # near-dup runs on exact-dedup survivors only (exact dups would
+        # flood the LSH buckets with jaccard=1.0 pairs)
+        survivors = ann.filter(~F.col("__exact_dup")).select(id_col, text_col)
+        pairs = near_dup_pairs(survivors, text_col, id_col,
+                               threshold=jaccard)
+        near_losers = (pairs.select(F.col("id_b").alias("__near_id"))
+                       .distinct())
+        ann = (ann.join(near_losers, ann[id_col] == F.col("__near_id"),
+                        "left")
+               .withColumn("__near_dup", F.col("__near_id").isNotNull())
+               .drop("__near_id"))
+    else:
+        ann = ann.withColumn("__near_dup", F.lit(False))
+
+    reason = (F.when(F.col("__exact_dup"), F.lit("exact_dup"))
+              .when(F.col("__near_dup"), F.lit("near_dup"))
+              .when(F.col("quality") < min_quality, F.lit("low_quality")))
+    return ann.select(
+        id_col,
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"),
+        "pred_lang", "quality", "n_chars", "n_bpe_tokens")
+
+
+def summarize(manifest: DataFrame, docs: DataFrame, id_col: str,
+              text_col: str) -> dict:
+    """Disjoint drop accounting + corpus-diversity HLL over kept docs."""
+    from sketchlib.spark.aggregate import distinct_count
+    from sketchlib.text.analysis import fingerprint_key
+
+    counts = {r["drop_reason"] or "kept": r["n"] for r in
+              manifest.groupBy("drop_reason").agg(F.count("*").alias("n"))
+              .collect()}
+    kept_stats = (manifest.filter("keep")
+                  .agg(F.sum("n_bpe_tokens").alias("tok"),
+                       F.count("*").alias("n")).collect()[0])
+    kept_docs = (docs.join(manifest.filter("keep").select(id_col), id_col)
+                 .select(fingerprint_key(F.col(text_col)).alias("fp")))
+    [div] = distinct_count(kept_docs, "fp",
+                           estimate_name="distinct_fps").collect()
+    return {
+        "n_docs": sum(counts.values()),
+        "kept": counts.get("kept", 0),
+        "dropped_exact_dup": counts.get("exact_dup", 0),
+        "dropped_near_dup": counts.get("near_dup", 0),
+        "dropped_low_quality": counts.get("low_quality", 0),
+        "kept_bpe_tokens": int(kept_stats["tok"] or 0),
+        "kept_distinct_fingerprints_hll": int(div["distinct_fps"]),
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--min-quality", type=int, default=3)
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--no-near-dup", action="store_true")
+    ap.add_argument("--local-cpus", default=None)
+    args = ap.parse_args(argv)
+
+    from sketchlib.spark.session import build_session
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = build_session("corpus-clean", local_cpus=args.local_cpus)
+    docs = spark.read.parquet(args.input)
+    manifest = clean_corpus(docs, args.text_col, args.id_col,
+                            min_quality=args.min_quality,
+                            near_dup=not args.no_near_dup,
+                            jaccard=args.jaccard)
+    manifest.write.mode("overwrite").parquet(args.output)
+    manifest = spark.read.parquet(args.output)  # summarize the written file
+    print(json.dumps(summarize(manifest, docs, args.id_col, args.text_col)))
+    if not preexisting:  # don't tear down a session we merely joined
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
