@@ -732,6 +732,17 @@ def q_hll_rolling_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type", "dayno"))
 
 
+def q_hll_prehash_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster-throughput path: element hashed JVM-side (F.xxhash64)
+    so only 8 bytes/row cross the Arrow boundary (aggregate.py
+    build_partials prehash64).  Per-order groups stay in direct-count mode
+    -> exact modulo 64-bit fingerprint collisions (P ~ 1e-10 at this
+    scale), so the oracle is plain COUNT(DISTINCT)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return distinct_count(li, "l_suppkey", ["l_orderkey"], prehash64=True,
+                          estimate_name="distinct_suppliers")
+
+
 def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-cleaning pipeline (sketchlib/jobs/corpus_job.py
     clean_corpus) as one machine-checked query: per-doc keep/drop decisions
@@ -852,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_hll_distinct": q_sql_hll_distinct,
         "hll_rolling_distinct_bound": q_hll_rolling_distinct_bound,
         "corpus_manifest": q_corpus_manifest,
+        "hll_prehash_distinct_exact": q_hll_prehash_distinct_exact,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -986,6 +998,10 @@ def _pipeline_oracles() -> dict[str, str]:
             "COUNT(*) AS n_py_exact FROM documents WHERE text IS NOT NULL"
         ),
         "sql_hll_distinct": (
+            "SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS distinct_suppliers "
+            "FROM lineitem GROUP BY l_orderkey"
+        ),
+        "hll_prehash_distinct_exact": (
             "SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS distinct_suppliers "
             "FROM lineitem GROUP BY l_orderkey"
         ),

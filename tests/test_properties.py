@@ -131,3 +131,29 @@ def test_wire_roundtrips_exact(vals):
         rt = type(sk).from_bytes(sk.to_bytes())
         assert rt == sk
         assert rt.to_bytes() == sk.to_bytes()
+
+
+@given(elements, cut_seed)
+@settings(**SETTINGS)
+def test_theta_merge_equals_single_and_algebra(vals, seed):
+    """Theta/KMV: distributed union equals single-shot build bit-for-bit;
+    A∩A == A estimate; A\A == 0; estimates exact below k."""
+    from sketchlib.theta import ThetaSketch
+
+    hashes = _hashes(vals)
+    single = ThetaSketch(k=256)
+    single.add_hashes(hashes)
+    merged = ThetaSketch(k=256)
+    for part in _random_split(hashes, seed):
+        p = ThetaSketch(k=256)
+        p.add_hashes(part)
+        merged.merge(p)
+    assert merged.to_bytes() == single.to_bytes()
+
+    n_distinct = np.unique(hashes).shape[0]
+    if n_distinct < 256:  # below k the KMV sample is the whole set
+        assert single.count() == n_distinct
+    inter_est, _c = single.intersect_count(merged)
+    assert inter_est == single.count()
+    anb_est, _c = single.a_not_b_count(merged)
+    assert anb_est == 0
