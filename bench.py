@@ -53,6 +53,12 @@ def main() -> None:
     _identity = F.pandas_udf(lambda s: s, "long")
     (spark.range(int(CPUS) * 4).repartition(int(CPUS))
      .select(_identity("id").alias("x")).selectExpr("sum(x)").collect())
+    # mapInArrow/applyInPandas are separate eval modes with their own
+    # worker/codegen warm-up cost — touch each once
+    (spark.range(int(CPUS) * 4).repartition(int(CPUS))
+     .mapInArrow(lambda it: it, "id long").count())
+    (spark.range(64).withColumn("g", F.col("id") % 4).groupBy("g")
+     .applyInPandas(lambda pdf: pdf, "id long, g long").count())
     # ...and the Structured Streaming machinery (query planner + state
     # store classes), ~10 s of one-time JVM classloading otherwise billed
     # to the first streaming query

@@ -8,6 +8,10 @@ from .aggregate import (  # noqa: F401
     distinct_count,
     estimate_col,
     merge_partials,
+    rolling_merge,
+    rollup_sketches,
     sketch_agg,
 )
+from .audit import accuracy_audit, audit_summary  # noqa: F401
+from .bucketing import colocated_join, write_bucketed  # noqa: F401
 from .specs import BloomSpec, CmsSpec, KllSpec, TDigestSpec, ThetaSpec  # noqa: F401
