@@ -166,7 +166,16 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
                         bands: int = 32, max_bucket: int = 1000) -> DataFrame:
-    """Candidate (id_a < id_b) pairs sharing at least one LSH band bucket."""
+    """Candidate (id_a < id_b) pairs sharing at least one LSH band bucket.
+
+    Shape: ONE pass computes band buckets, ONE shuffle groups ids per
+    (band, bucket), and pairs are generated JVM-side inside each bucket
+    array.  (A self-join of the banded table would re-execute the whole
+    upstream subtree — including the Python signature pass — once per join
+    side; collect-then-expand reads it once.)  Buckets larger than
+    ``max_bucket`` are dropped whole (degenerate boilerplate clusters; the
+    size filter doubles as the pair-explosion bound: <= max_bucket^2/2
+    pairs per bucket)."""
     n_hashes_col = F.size("sig")
     rows_per_band = (n_hashes_col / bands).cast("int")
     banded = sig_df.filter(F.col("sig").isNotNull()).select(
@@ -177,17 +186,21 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
                 lambda bnd: F.xxhash64(F.slice("sig", bnd * rows_per_band + 1,
                                                rows_per_band)))
         ).alias("band", "bucket"))
-    # degenerate-bucket guard: one window pass (no extra join stage)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band", "bucket")
-    banded = (banded.withColumn("__n", F.count("*").over(w))
-              .filter(F.col("__n") <= max_bucket).drop("__n"))
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    return (a.join(b, ["band", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+    buckets = (banded.groupBy("band", "bucket")
+               .agg(F.collect_list(id_col).alias("__ids"))
+               .filter((F.size("__ids") >= 2)
+                       & (F.size("__ids") <= max_bucket))
+               # materialize the sorted array as an attribute: referencing
+               # array_sort(...) as an expression inside the pair lambdas
+               # would re-sort per evaluation
+               .select(F.array_sort("__ids").alias("__ids")))
+    # per-element expansion: one output row per (bucket, i) with the <= m
+    # ids after position i — bounded row size even for max-size buckets
+    lhs = buckets.select("__ids", F.posexplode("__ids").alias("__i", "id_a"))
+    rest = F.slice(
+        "__ids", F.col("__i") + 2,
+        F.greatest(F.size("__ids") - F.col("__i") - 1, F.lit(0)))
+    return (lhs.select("id_a", F.explode(rest).alias("id_b")).distinct())
 
 
 def near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

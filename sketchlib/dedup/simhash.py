@@ -166,18 +166,34 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
             .bitwiseAND(F.lit((1 << chunk_bits) - 1))
             for i in range(n_chunks)
         ])).alias("chunk_id", "chunk_val"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("chunk_id", "chunk_val")
-    chunks = (chunks.withColumn("__n", F.count("*").over(w))
-              .filter(F.col("__n") <= max_bucket).drop("__n"))
-    a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
-                      "chunk_id", "chunk_val")
-    b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
-                      "chunk_id", "chunk_val")
-    pairs = (a.join(b, ["chunk_id", "chunk_val"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "sh_a", "sh_b").distinct())
+    # collect-then-expand (not a self-join, which would re-execute the
+    # Python signature pass once per join side): one shuffle groups
+    # (id, simhash) per chunk bucket, pairs expand JVM-side per bucket;
+    # the size filter is both the degenerate-cluster guard and the
+    # pair-explosion bound
+    buckets = (chunks
+               .groupBy("chunk_id", "chunk_val")
+               .agg(F.collect_list(F.struct(F.col(id_col).alias("i"),
+                                            F.col("simhash").alias("s")))
+                    .alias("__rows"))
+               .filter((F.size("__rows") >= 2)
+                       & (F.size("__rows") <= max_bucket))
+               # materialize sorted (struct sort: id first -> id_a < id_b);
+               # an array_sort expression referenced inside the pair lambda
+               # would re-sort per evaluation
+               .select(F.array_sort("__rows").alias("__rows")))
+    # per-element expansion: one row per (bucket, i) with the <= m partners
+    # after position i — bounded row size even for max-size buckets
+    lhs = buckets.select("__rows", F.posexplode("__rows").alias("__i", "__ra"))
+    rest = F.slice(
+        "__rows", F.col("__i") + 2,
+        F.greatest(F.size("__rows") - F.col("__i") - 1, F.lit(0)))
+    pairs = (lhs.select(F.col("__ra")["i"].alias("id_a"),
+                        F.col("__ra")["s"].alias("sh_a"),
+                        F.explode(rest).alias("__rb"))
+             .select("id_a", F.col("__rb")["i"].alias("id_b"),
+                     "sh_a", F.col("__rb")["s"].alias("sh_b"))
+             .distinct())
     ham = _popcount64(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
     return (pairs.select("id_a", "id_b", ham)
             .filter(F.col("hamming") <= max_hamming))
