@@ -459,6 +459,21 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(docs, threshold=0.8, n_hashes=128, bands=32)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: MinHash near-dup pairs -> distributed
+    connected components (Kiveris et al. alternating large-star/small-star)
+    -> per-cluster (component=min id, size, id checksum).  The oracle
+    recomputes exact-Jaccard pairs and components via a recursive CTE."""
+    from sketchlib.dedup import near_dup_pairs
+    from sketchlib.dedup.clusters import cluster_summary
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, threshold=0.8, n_hashes=128, bands=32)
+    return (cluster_summary(pairs)
+            .orderBy("component")
+            .select("component", "size", "id_checksum"))
+
+
 def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pigeonhole parity, machine-checked: the chunked-join pair set
     must equal the brute-force Hamming pair set (computed Spark-side via a
@@ -853,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_distribution": q_lang_id_distribution,
         "dedup_exact_summary": q_dedup_exact_summary,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "streaming_distinct_users": q_streaming_distinct_users,
         "media_features": q_media_features,
@@ -979,6 +995,23 @@ def _pipeline_oracles() -> dict[str, str]:
         "lang_id_distribution": lang_id,
         "dedup_exact_summary": dedup,
         "minhash_near_dup_pairs": minhash,
+        "dedup_clusters": (
+            f"WITH RECURSIVE sh AS ({shingles}), "
+            "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.s, b.s))::DOUBLE / "
+            "len(list_distinct(a.s || b.s)) >= 0.8), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "walk(id, comp) AS ("
+            "SELECT u, u FROM edges "
+            "UNION "
+            "SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id), "
+            "comp AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id) "
+            "SELECT component, COUNT(*) AS size, "
+            "CAST(SUM(id) AS BIGINT) AS id_checksum "
+            "FROM comp GROUP BY component ORDER BY component"
+        ),
         "streaming_distinct_users": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
             "TRUE AS within_bound FROM events WHERE user_id % 7 = 0 "

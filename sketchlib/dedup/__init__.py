@@ -1,6 +1,12 @@
 """Deduplication operators for training-data pipelines: exact (fingerprint
 groupBy), MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup."""
 
+from .clusters import (  # noqa: F401
+    assign_clusters,
+    cluster_summary,
+    connected_components,
+    dedup_near_keep,
+)
 from .exact import dedup_exact, duplicate_groups  # noqa: F401
 from .minhash import (  # noqa: F401
     lsh_candidate_pairs,

@@ -137,7 +137,7 @@ def test_wire_roundtrips_exact(vals):
 @settings(**SETTINGS)
 def test_theta_merge_equals_single_and_algebra(vals, seed):
     """Theta/KMV: distributed union equals single-shot build bit-for-bit;
-    A∩A == A estimate; A\A == 0; estimates exact below k."""
+    A∩A == A estimate; A minus A == 0; estimates exact below k."""
     from sketchlib.theta import ThetaSketch
 
     hashes = _hashes(vals)
