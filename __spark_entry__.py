@@ -474,6 +474,46 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("component", "size", "id_checksum"))
 
 
+def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) document cap — the 'max N docs per host' corpus
+    balancing step.  Exact oracle: QUALIFY row_number() <= cap in DuckDB.
+    Exercises the per-partition combiner (precap=True) against the window's
+    exact global selection."""
+    from sketchlib.sampling import cap_per_group
+
+    docs = _read(spark, sf_dir, "documents").repartition(8)
+    kept = cap_per_group(docs, ["lang", "source"], 3, ["doc_id"])
+    return kept.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+def q_hash_split_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split, machine-checked: every doc lands
+    in exactly one split, split fractions are within 6 sigma of the weights
+    (binomial), and the assignment is bit-identical under a different
+    partitioning — the growth/partition stability randomSplit lacks."""
+    import math
+
+    from sketchlib.sampling import hash_split
+
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    a = hash_split(docs, "doc_id", weights)
+    b = hash_split(docs.repartition(13), "doc_id", weights)
+    counts = {r["split"]: r["n"] for r in
+              a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n_total = sum(counts.values())
+    frac_ok = all(
+        abs(counts.get(s, 0) - w * n_total)
+        <= 6.0 * math.sqrt(max(w * (1 - w) * n_total, 1.0)) + 1
+        for s, w in weights.items())
+    mismatch = (a.join(b.withColumnRenamed("split", "split_b"), "doc_id")
+                .filter(F.col("split") != F.col("split_b")).count())
+    return spark.createDataFrame(
+        [(int(n_total), len(counts), bool(frac_ok), mismatch == 0)],
+        "n_total long, n_splits int, fractions_ok boolean, "
+        "partition_stable boolean")
+
+
 def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pigeonhole parity, machine-checked: the chunked-join pair set
     must equal the brute-force Hamming pair set (computed Spark-side via a
@@ -869,6 +909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_summary": q_dedup_exact_summary,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "per_source_cap": q_per_source_cap,
+        "hash_split_stable": q_hash_split_stable,
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "streaming_distinct_users": q_streaming_distinct_users,
         "media_features": q_media_features,
@@ -1011,6 +1053,16 @@ def _pipeline_oracles() -> dict[str, str]:
             "SELECT component, COUNT(*) AS size, "
             "CAST(SUM(id) AS BIGINT) AS id_checksum "
             "FROM comp GROUP BY component ORDER BY component"
+        ),
+        "per_source_cap": (
+            "SELECT doc_id, lang, source FROM documents "
+            "QUALIFY row_number() OVER "
+            "(PARTITION BY lang, source ORDER BY doc_id) <= 3 "
+            "ORDER BY doc_id"
+        ),
+        "hash_split_stable": (
+            "SELECT (SELECT COUNT(*) FROM documents) AS n_total, "
+            "3 AS n_splits, TRUE AS fractions_ok, TRUE AS partition_stable"
         ),
         "streaming_distinct_users": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "

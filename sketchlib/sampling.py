@@ -1,0 +1,132 @@
+"""Deterministic sampling operators for training-data pipelines: per-group
+document caps, reproducible train/val/test splits, and fixed-fraction
+subsampling — splits and samples are pure JVM column expressions (zero
+Python), the cap's optional combiner is Arrow-batched pandas; all are
+reproducible run-to-run regardless of partitioning.
+
+These are corpus-construction primitives the reference repo (a sketch
+library) does not ship but any 100 TB web-text pipeline needs next to
+dedup/quality filtering: cap the documents one host can contribute, carve a
+held-out set that never migrates between splits when the corpus grows, and
+cut reproducible subsamples for ablations.
+
+Scale notes:
+
+* :func:`cap_per_group` is the only one that shuffles (by the group key).
+  With ``precap=True`` a per-partition pre-cap runs first, bounding the
+  shuffled volume for a hub group to ``cap x n_partitions`` rows instead of
+  the group's full size — the standard distributed-top-k shape, exact
+  because a group's global first-``cap`` rows are a subset of the union of
+  its per-partition first-``cap`` rows.
+* :func:`hash_split` / :func:`sample_by_hash` are stateless per-row
+  projections/filters (``xxhash64`` inside whole-stage codegen): no shuffle,
+  no RNG state, stable under repartitioning, backfills, and re-runs —
+  unlike ``df.sample`` / ``randomSplit``, whose output depends on partition
+  layout and seed plumbing.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: hash-space bucket count for split/sample fractions; 1e6 buckets keeps the
+#: worst-case fraction granularity at 1e-6 while staying far from int64 bias
+_BUCKETS = 1_000_000
+
+
+def _as_list(cols) -> list:
+    return [cols] if isinstance(cols, str) else list(cols)
+
+
+def _bucket(key_cols: Sequence, salt: str) -> Column:
+    """Deterministic bucket in [0, _BUCKETS) from the key columns + salt.
+    ``pmod`` (not ``%``) so negative hashes land in-range."""
+    return F.pmod(F.xxhash64(F.lit(salt), *key_cols), F.lit(_BUCKETS))
+
+
+def cap_per_group(df: DataFrame, group_cols, cap: int, order_cols,
+                  precap: bool = True) -> DataFrame:
+    """Keep at most ``cap`` rows per group — the first ``cap`` in ascending
+    ``order_cols`` order (column *names*; add a computed column first for
+    custom orders, e.g. a negated quality score to keep the best, or a
+    ``xxhash64`` column for an unbiased deterministic per-group sample).
+    Exact and deterministic given a total order; break ties by including a
+    unique id in ``order_cols``.
+
+    ``precap=True`` inserts a per-input-partition combiner (``mapInPandas``,
+    Arrow-batched): each partition forwards at most ``cap`` rows per group,
+    so a hub group ships ``cap x n_partitions`` rows into the global window
+    shuffle instead of its full size — the distributed-top-k shape, exact
+    because a group's global first-``cap`` rows are a subset of the union of
+    its per-partition first-``cap`` rows.  Combiner memory is bounded by
+    ``cap x groups-per-partition`` rows."""
+    group_cols = _as_list(group_cols)
+    order_cols = _as_list(order_cols)
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    if precap:
+        import pandas as pd
+
+        def local_cap(batches):
+            carry: pd.DataFrame | None = None
+            for pdf in batches:
+                cur = pdf if carry is None else pd.concat(
+                    [carry, pdf], ignore_index=True)
+                # mergesort = stable, so equal-key rows keep arrival order
+                # and the carry never reorders under ties
+                carry = (cur.sort_values(order_cols, kind="mergesort")
+                         .groupby(group_cols, sort=False, dropna=False)
+                         .head(cap))
+            if carry is not None and len(carry):
+                yield carry
+
+        df = df.mapInPandas(local_cap, df.schema)
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap).drop("__rn"))
+
+
+def hash_split(df: DataFrame, key_cols, weights: dict[str, float],
+               split_col: str = "split", salt: str = "split-v1") -> DataFrame:
+    """Assign every row to exactly one named split by hashing ``key_cols``
+    — reproducible, partition-independent, and *stable under growth*: a row's
+    split depends only on its key, so new data never flips existing rows
+    between train and held-out (the property ``randomSplit`` lacks).
+
+    ``weights`` maps split name -> fraction; fractions must sum to 1 (±1e-9).
+    Rows with equal keys land in the same split (deduplicate first, or split
+    on a stable document id)."""
+    key_cols = _as_list(key_cols)
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    bucket = _bucket([F.col(c) for c in key_cols], salt)
+    expr = None
+    cum = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += w
+        cond = bucket < int(round(cum * _BUCKETS))
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    last = F.lit(items[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def sample_by_hash(df: DataFrame, key_cols, fraction: float,
+                   salt: str = "sample-v1") -> DataFrame:
+    """Deterministic ~``fraction`` subsample: keep rows whose key hashes into
+    the lowest ``fraction`` of bucket space.  Samples are *nested*: the 1%
+    sample is a subset of the 10% sample under the same salt — change the
+    salt for an independent draw."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    key_cols = _as_list(key_cols)
+    bucket = _bucket([F.col(c) for c in key_cols], salt)
+    return df.filter(bucket < int(round(fraction * _BUCKETS)))

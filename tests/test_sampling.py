@@ -1,0 +1,86 @@
+"""Deterministic sampling operators (sketchlib.sampling)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.sampling import cap_per_group, hash_split, sample_by_hash
+
+
+def _docs(spark, n=500, hosts=10):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % hosts).cast("string").alias("host"),
+        (F.col("id") * 37 % 101).alias("score"))
+
+
+def test_cap_per_group_exact_first_n(spark):
+    df = _docs(spark)
+    kept = cap_per_group(df, "host", 3, "doc_id")
+    rows = sorted((r["host"], r["doc_id"]) for r in kept.collect())
+    # first 3 doc_ids of host h are h, h+10, h+20
+    expect = sorted((str(h), h + 10 * i) for h in range(10) for i in range(3))
+    assert rows == expect
+
+
+def test_cap_partition_invariance_and_precap_equivalence(spark):
+    df = _docs(spark, n=1000)
+    a = cap_per_group(df.repartition(1), "host", 7, "doc_id", precap=True)
+    b = cap_per_group(df.repartition(13), "host", 7, "doc_id", precap=True)
+    c = cap_per_group(df.repartition(13), "host", 7, "doc_id", precap=False)
+    ra = sorted(r["doc_id"] for r in a.collect())
+    assert ra == sorted(r["doc_id"] for r in b.collect())
+    assert ra == sorted(r["doc_id"] for r in c.collect())
+
+
+def test_cap_smaller_groups_untouched(spark):
+    df = _docs(spark, n=15, hosts=10)  # hosts 0-4 have 2 docs, 5-9 have 1
+    kept = cap_per_group(df, "host", 5, "doc_id")
+    assert kept.count() == 15
+
+
+def test_cap_validates(spark):
+    with pytest.raises(ValueError):
+        cap_per_group(_docs(spark), "host", 0, "doc_id")
+
+
+def test_hash_split_partition_and_growth_stability(spark):
+    df = _docs(spark, n=2000)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = {r["doc_id"]: r["split"]
+          for r in hash_split(df, "doc_id", w).collect()}
+    s2 = {r["doc_id"]: r["split"]
+          for r in hash_split(df.repartition(17), "doc_id", w).collect()}
+    assert s1 == s2
+    # growth stability: the first 1000 docs keep their split when 1000 more
+    # arrive (computed above on the full 2000)
+    small = {r["doc_id"]: r["split"]
+             for r in hash_split(_docs(spark, n=1000), "doc_id", w).collect()}
+    assert all(s1[k] == v for k, v in small.items())
+    # every row assigned exactly one split; fractions in the right ballpark
+    counts = {k: sum(1 for v in s1.values() if v == k) for k in w}
+    assert sum(counts.values()) == 2000
+    assert 0.7 < counts["train"] / 2000 < 0.9
+
+
+def test_hash_split_validates(spark):
+    df = _docs(spark)
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"a": 1.5, "b": -0.5})
+
+
+def test_sample_by_hash_nested_and_deterministic(spark):
+    df = _docs(spark, n=5000)
+    s10 = {r["doc_id"] for r in sample_by_hash(df, "doc_id", 0.10).collect()}
+    s01 = {r["doc_id"] for r in sample_by_hash(df, "doc_id", 0.01).collect()}
+    again = {r["doc_id"]
+             for r in sample_by_hash(df.repartition(9), "doc_id", 0.10).collect()}
+    assert s01 <= s10          # nested
+    assert s10 == again        # partition-independent
+    assert 0.05 < len(s10) / 5000 < 0.15
+    other = {r["doc_id"]
+             for r in sample_by_hash(df, "doc_id", 0.10, salt="other").collect()}
+    assert other != s10        # independent draw under a different salt
+    assert sample_by_hash(df, "doc_id", 0.0).count() == 0
+    assert sample_by_hash(df, "doc_id", 1.0).count() == 5000
