@@ -477,8 +477,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) document cap — the 'max N docs per host' corpus
     balancing step.  Exact oracle: QUALIFY row_number() <= cap in DuckDB.
-    Exercises the per-partition combiner (precap=True) against the window's
-    exact global selection."""
+    The plan pre-caps map-side via Catalyst's Partial WindowGroupLimit
+    (rank-limit pushdown), so hub groups never ship whole."""
     from sketchlib.sampling import cap_per_group
 
     docs = _read(spark, sf_dir, "documents").repartition(8)

@@ -1,7 +1,6 @@
 """Deterministic sampling operators for training-data pipelines: per-group
 document caps, reproducible train/val/test splits, and fixed-fraction
-subsampling — splits and samples are pure JVM column expressions (zero
-Python), the cap's optional combiner is Arrow-batched pandas; all are
+subsampling — all pure JVM column expressions (zero Python) and all
 reproducible run-to-run regardless of partitioning.
 
 These are corpus-construction primitives the reference repo (a sketch
@@ -12,12 +11,11 @@ cut reproducible subsamples for ablations.
 
 Scale notes:
 
-* :func:`cap_per_group` is the only one that shuffles (by the group key).
-  With ``precap=True`` a per-partition pre-cap runs first, bounding the
-  shuffled volume for a hub group to ``cap x n_partitions`` rows instead of
-  the group's full size — the standard distributed-top-k shape, exact
-  because a group's global first-``cap`` rows are a subset of the union of
-  its per-partition first-``cap`` rows.
+* :func:`cap_per_group` is the only one that shuffles (by the group key),
+  and Catalyst's rank-limit pushdown (``WindowGroupLimit``, Spark >= 3.5)
+  pre-caps each map task's output to ``cap`` rows per group BEFORE the
+  exchange, bounding a hub group's shuffled volume to
+  ``cap x n_partitions`` rows — the distributed-top-k combiner, for free.
 * :func:`hash_split` / :func:`sample_by_hash` are stateless per-row
   projections/filters (``xxhash64`` inside whole-stage codegen): no shuffle,
   no RNG state, stable under repartitioning, backfills, and re-runs —
@@ -47,43 +45,24 @@ def _bucket(key_cols: Sequence, salt: str) -> Column:
     return F.pmod(F.xxhash64(F.lit(salt), *key_cols), F.lit(_BUCKETS))
 
 
-def cap_per_group(df: DataFrame, group_cols, cap: int, order_cols,
-                  precap: bool = True) -> DataFrame:
+def cap_per_group(df: DataFrame, group_cols, cap: int, order_cols) -> DataFrame:
     """Keep at most ``cap`` rows per group — the first ``cap`` in ascending
-    ``order_cols`` order (column *names*; add a computed column first for
-    custom orders, e.g. a negated quality score to keep the best, or a
-    ``xxhash64`` column for an unbiased deterministic per-group sample).
-    Exact and deterministic given a total order; break ties by including a
-    unique id in ``order_cols``.
+    ``order_cols`` order (add a computed column first for custom orders,
+    e.g. a negated quality score to keep the best, or a ``xxhash64`` column
+    for an unbiased deterministic per-group sample).  Exact and
+    deterministic given a total order; break ties by including a unique id
+    in ``order_cols``.
 
-    ``precap=True`` inserts a per-input-partition combiner (``mapInPandas``,
-    Arrow-batched): each partition forwards at most ``cap`` rows per group,
-    so a hub group ships ``cap x n_partitions`` rows into the global window
-    shuffle instead of its full size — the distributed-top-k shape, exact
-    because a group's global first-``cap`` rows are a subset of the union of
-    its per-partition first-``cap`` rows.  Combiner memory is bounded by
-    ``cap x groups-per-partition`` rows."""
+    Scale shape: Catalyst's rank-limit pushdown compiles
+    ``row_number() <= cap`` into a *Partial* ``WindowGroupLimit`` BEFORE the
+    shuffle (verify with ``.explain``), so each map task forwards at most
+    ``cap`` rows per group and a hub group ships ``cap x n_partitions`` rows
+    instead of its full size — the distributed-top-k combiner, entirely
+    JVM-side.  No hand-rolled per-partition pre-cap needed."""
     group_cols = _as_list(group_cols)
     order_cols = _as_list(order_cols)
     if cap < 1:
         raise ValueError("cap must be >= 1")
-    if precap:
-        import pandas as pd
-
-        def local_cap(batches):
-            carry: pd.DataFrame | None = None
-            for pdf in batches:
-                cur = pdf if carry is None else pd.concat(
-                    [carry, pdf], ignore_index=True)
-                # mergesort = stable, so equal-key rows keep arrival order
-                # and the carry never reorders under ties
-                carry = (cur.sort_values(order_cols, kind="mergesort")
-                         .groupby(group_cols, sort=False, dropna=False)
-                         .head(cap))
-            if carry is not None and len(carry):
-                yield carry
-
-        df = df.mapInPandas(local_cap, df.schema)
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= cap).drop("__rn"))

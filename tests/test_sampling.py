@@ -22,14 +22,26 @@ def test_cap_per_group_exact_first_n(spark):
     assert rows == expect
 
 
-def test_cap_partition_invariance_and_precap_equivalence(spark):
+def test_cap_partition_invariance(spark):
     df = _docs(spark, n=1000)
-    a = cap_per_group(df.repartition(1), "host", 7, "doc_id", precap=True)
-    b = cap_per_group(df.repartition(13), "host", 7, "doc_id", precap=True)
-    c = cap_per_group(df.repartition(13), "host", 7, "doc_id", precap=False)
+    a = cap_per_group(df.repartition(1), "host", 7, "doc_id")
+    b = cap_per_group(df.repartition(13), "host", 7, "doc_id")
     ra = sorted(r["doc_id"] for r in a.collect())
     assert ra == sorted(r["doc_id"] for r in b.collect())
-    assert ra == sorted(r["doc_id"] for r in c.collect())
+
+
+def test_cap_plan_has_partial_window_group_limit(spark):
+    """The scale property: Catalyst's rank-limit pushdown must pre-cap
+    map-side (Partial WindowGroupLimit BEFORE the exchange), so a hub
+    group ships cap x n_partitions rows, not its full size."""
+    df = _docs(spark, n=100)
+    kept = cap_per_group(df, "host", 3, "doc_id")
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    partial = plan.index("Partial")
+    assert "WindowGroupLimit" in plan[:partial + 30]
+    assert "Exchange" in plan
+    assert plan.index("Exchange") < partial  # printed top-down: Final
+    # WindowGroupLimit / Exchange / Partial WindowGroupLimit / scan
 
 
 def test_cap_smaller_groups_untouched(spark):
