@@ -76,17 +76,53 @@ def _signature(edges: DataFrame) -> tuple:
     return (row["n"], row["h"])
 
 
+def _driver_components(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: collect the edge list and run union-find with
+    path compression on the driver.  The near-dup edge list is typically
+    minuscule next to the corpus (only duplicate pairs appear), so this is
+    the same size-based decision as a broadcast join — and it replaces
+    ~4 shuffle stages per star round with one collect."""
+    spark = edges.sparkSession
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        u, v = r["u"], r["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = min(ru, rv), max(ru, rv)
+            parent[hi] = lo
+    out = [(n, find(n)) for n in parent]
+    schema = edges.select(F.col("u").alias("id"),
+                          F.col("v").alias("component")).schema
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(pairs: DataFrame, src_col: str = "id_a",
                          dst_col: str = "id_b",
-                         max_iters: int = 16) -> DataFrame:
+                         max_iters: int = 16,
+                         driver_threshold: int = 1_000_000) -> DataFrame:
     """Map every node appearing in ``pairs`` to its component id (the
     component's minimum node id).  Returns ``(id, component)`` — one row per
     distinct node, including component roots (mapped to themselves).
 
-    ``pairs`` rows with NULL endpoints or self-loops are ignored.  Raises if
-    the edge set has not reached a fixed point within ``max_iters``
-    alternating rounds (the published bound is O(log^2 n) rounds; near-dup
-    graphs converge in a handful)."""
+    ``pairs`` rows with NULL endpoints or self-loops are ignored.  Edge
+    lists at or below ``driver_threshold`` edges solve on the driver
+    (union-find over a ~16 MB collect — the broadcast-join size decision);
+    larger graphs run the distributed star rounds.  Raises if the edge set
+    has not reached a fixed point within ``max_iters`` alternating rounds
+    (the published bound is O(log^2 n) rounds; near-dup graphs converge in
+    a handful)."""
     edges = (pairs
              .select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
              .filter(F.col("u").isNotNull() & F.col("v").isNotNull()
@@ -97,6 +133,8 @@ def connected_components(pairs: DataFrame, src_col: str = "id_a",
     if prev[0] == 0:
         return edges.select(F.col("u").alias("id"),
                             F.col("v").alias("component"))
+    if prev[0] <= driver_threshold:
+        return _driver_components(edges)
     for _ in range(max_iters):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         sig = _signature(edges)

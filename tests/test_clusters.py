@@ -38,34 +38,40 @@ def _exact_components(edges, nodes=None):
     return {n: find(n) if n in parent else n for n in allnodes}
 
 
-def _run(spark, edges):
+def _run(spark, edges, **kw):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["id"]: r["component"]
-           for r in connected_components(df).collect()}
+           for r in connected_components(df, **kw).collect()}
     return got
 
 
-def test_chain_worst_case_diameter(spark):
+@pytest.mark.parametrize("thresh", [0, 1_000_000],
+                         ids=["distributed", "driver"])
+def test_chain_worst_case_diameter(spark, thresh):
     # a 64-node path is the adversarial case for label propagation; the
     # star algorithm must still collapse it in O(log^2 n) rounds
     edges = [(i, i + 1) for i in range(63)]
-    got = _run(spark, edges)
+    got = _run(spark, edges, driver_threshold=thresh)
     assert got == {i: 0 for i in range(64)}
 
 
-def test_multiple_components_and_ordering(spark):
+@pytest.mark.parametrize("thresh", [0, 1_000_000],
+                         ids=["distributed", "driver"])
+def test_multiple_components_and_ordering(spark, thresh):
     edges = [(5, 3), (3, 9), (20, 21), (40, 41), (41, 42), (42, 40)]
-    got = _run(spark, edges)
+    got = _run(spark, edges, driver_threshold=thresh)
     expect = _exact_components(edges)
     assert got == expect
     assert got[9] == 3 and got[21] == 20 and got[42] == 40
 
 
-def test_randomized_vs_union_find(spark):
+@pytest.mark.parametrize("thresh", [0, 1_000_000],
+                         ids=["distributed", "driver"])
+def test_randomized_vs_union_find(spark, thresh):
     rng = random.Random(7)
     edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
     edges = [(u, v) for u, v in edges if u != v]
-    got = _run(spark, edges)
+    got = _run(spark, edges, driver_threshold=thresh)
     assert got == _exact_components(edges)
 
 
@@ -97,4 +103,4 @@ def test_cluster_summary(spark):
 def test_nonconvergence_guard(spark):
     df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(RuntimeError):
-        connected_components(df, max_iters=0)
+        connected_components(df, max_iters=0, driver_threshold=0)
