@@ -599,6 +599,61 @@ def q_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-occurrence dedup (dropDuplicatesWithinWatermark on
+    JVM state): two availableNow passes over a growing file source; keys
+    repeated across chunks are suppressed by checkpoint-recovered state.
+    With the watermark spanning the whole table, kept rows per event_type
+    == exact COUNT(DISTINCT user_id) — the oracle is exact SQL."""
+    import shutil
+
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".tmp_stream_dedup_gate")
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+
+    ev = (_read(spark, sf_dir, "events")
+          # watermarks require session-tz TIMESTAMP, the table stores NTZ
+          .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                  "event_type", "user_id")
+          .filter(F.col("user_id") % 7 == 0))
+    schema = ev.schema
+    kept: list = []
+
+    def run_pass():
+        from sketchlib.streaming import streaming_dedup
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        dd = streaming_dedup(stream, "ts", watermark="87600 hours",
+                             key_cols=["event_type", "user_id"])
+        q = (dd.writeStream
+             .foreachBatch(lambda bdf, _b: kept.extend(
+                 bdf.select("event_type", "user_id").collect()))
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        (ev.filter(F.col("event_id") % 2 == 0)
+         .coalesce(2).write.mode("append").parquet(src))
+        run_pass()
+        (ev.filter(F.col("event_id") % 2 == 1)
+         .coalesce(2).write.mode("append").parquet(src))
+        run_pass()
+        out = spark.createDataFrame(
+            [(r["event_type"], r["user_id"]) for r in kept],
+            "event_type string, user_id long")
+        return (out.groupBy("event_type")
+                .agg(F.count("*").alias("n_first_seen"))
+                .orderBy("event_type"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end on a deterministic fake-image fixture
     derived from doc_id: JVM-side header metadata (media_meta_col) + the
@@ -913,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_stable": q_hash_split_stable,
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "streaming_distinct_users": q_streaming_distinct_users,
+        "streaming_dedup_events": q_streaming_dedup_events,
         "media_features": q_media_features,
         "extract_text_parity": q_extract_text_parity,
         "url_normalize_keys": q_url_normalize_keys,
@@ -1068,6 +1124,11 @@ def _pipeline_oracles() -> dict[str, str]:
             "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
             "TRUE AS within_bound FROM events WHERE user_id % 7 = 0 "
             "GROUP BY event_type"
+        ),
+        "streaming_dedup_events": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n_first_seen "
+            "FROM events WHERE user_id % 7 = 0 "
+            "GROUP BY event_type ORDER BY event_type"
         ),
         "embedding_near_dup": (
             "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, "
