@@ -474,6 +474,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("component", "size", "id_checksum"))
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C method): flag corpus docs
+    sharing any normalized word 5-gram with an 'eval set' (docs with
+    doc_id % 97 == 0 stand in for a benchmark).  n_hits = the doc's distinct
+    grams found in the eval set.  Eval grams broadcast; the corpus is
+    scanned once, never shuffled.  Exact string-n-gram oracle in DuckDB."""
+    from sketchlib.text import contamination_report
+
+    docs = _read(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    return (contamination_report(docs, eval_df, n=5)
+            .orderBy("doc_id")
+            .select("doc_id", "n_hits"))
+
+
 def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) document cap — the 'max N docs per host' corpus
     balancing step.  Exact oracle: QUALIFY row_number() <= cap in DuckDB.
@@ -965,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
         "per_source_cap": q_per_source_cap,
+        "decontamination": q_decontamination,
         "hash_split_stable": q_hash_split_stable,
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "streaming_distinct_users": q_streaming_distinct_users,
@@ -1109,6 +1125,20 @@ def _pipeline_oracles() -> dict[str, str]:
             "SELECT component, COUNT(*) AS size, "
             "CAST(SUM(id) AS BIGINT) AS id_checksum "
             "FROM comp GROUP BY component ORDER BY component"
+        ),
+        "decontamination": (
+            "WITH tok AS (SELECT doc_id, "
+            "regexp_split_to_array(lower(trim(text)), '\\s+') AS t "
+            "FROM documents WHERE text IS NOT NULL), "
+            "grams AS (SELECT doc_id, CASE WHEN len(t) >= 5 THEN "
+            "list_distinct([(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' "
+            "|| t[i+3] || ' ' || t[i+4]) for i in range(1, len(t) - 3)]) "
+            "ELSE [array_to_string(t, ' ')] END AS gs FROM tok), "
+            "eg AS (SELECT DISTINCT unnest(gs) AS g FROM grams "
+            "WHERE doc_id % 97 = 0), "
+            "dg AS (SELECT doc_id, unnest(gs) AS g FROM grams) "
+            "SELECT doc_id, COUNT(*) AS n_hits FROM dg JOIN eg USING (g) "
+            "GROUP BY doc_id ORDER BY doc_id"
         ),
         "per_source_cap": (
             "SELECT doc_id, lang, source FROM documents "

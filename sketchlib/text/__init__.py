@@ -11,3 +11,8 @@ from .analysis import (  # noqa: F401
     stopword_count,
     ws_token_count,
 )
+from .decontaminate import (  # noqa: F401
+    contamination_report,
+    decontaminate,
+    ngram_hash_col,
+)

@@ -1,0 +1,72 @@
+"""Benchmark decontamination: flag and drop corpus documents that overlap an
+evaluation set by shared word n-grams.
+
+The published method (GPT-3, Brown et al. 2020, appendix C; likewise PaLM
+and Llama data notes): a training document is contaminated if it shares any
+normalized 13-gram with the eval set.  Spark-first shape:
+
+* n-grams, normalization, and hashing are pure JVM column expressions
+  (``split`` → ``transform(sequence(...))`` → ``xxhash64`` inside
+  whole-stage codegen) — no Python anywhere;
+* the eval side is tiny (benchmark suites are MBs), so its distinct gram
+  hashes ship as a **broadcast** hash join — the corpus is scanned once,
+  never shuffled; only matching (doc, gram) rows (a vanishing fraction)
+  reach the per-doc aggregation;
+* gram hashes are 64-bit — a corpus×eval false-flag needs an xxhash64
+  collision (~(corpus_grams x eval_grams)/2^64; immaterial at 100 TB).
+
+Documents shorter than ``n`` tokens fall back to a whole-text gram
+(mirroring :func:`sketchlib.dedup.minhash.shingles_col`) so short docs are
+still comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ngram_hash_col(text_col: Column | str, n: int = 13) -> Column:
+    """``array<long>`` of xxhash64 over the text's normalized word
+    ``n``-grams (lowercased, whitespace-tokenized); whole-text fallback
+    below ``n`` tokens.  Pure JVM."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    t = F.split(F.lower(F.trim(col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.xxhash64(F.array_join(F.slice(t, i, n), " ")))
+    whole = F.array(F.xxhash64(F.array_join(t, " ")))
+    return F.when(F.size(t) >= n, grams).otherwise(whole)
+
+
+def contamination_report(corpus: DataFrame, eval_df: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         eval_text_col: str | None = None,
+                         n: int = 13) -> DataFrame:
+    """Per contaminated corpus document: ``(id_col, n_hits)`` where
+    ``n_hits`` is the number of the doc's DISTINCT n-grams that appear
+    anywhere in the eval set.  Clean documents do not appear."""
+    etc = eval_text_col or text_col
+    eval_grams = (eval_df
+                  .filter(F.col(etc).isNotNull())
+                  .select(F.explode(ngram_hash_col(etc, n)).alias("__g"))
+                  .distinct())
+    doc_grams = (corpus
+                 .filter(F.col(text_col).isNotNull())
+                 .select(id_col,
+                         F.explode(F.array_distinct(
+                             ngram_hash_col(text_col, n))).alias("__g")))
+    return (doc_grams.join(F.broadcast(eval_grams), "__g")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_hits")))
+
+
+def decontaminate(corpus: DataFrame, eval_df: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  eval_text_col: str | None = None,
+                  n: int = 13) -> DataFrame:
+    """Corpus minus every document sharing at least one ``n``-gram with the
+    eval set (left-anti join against the contamination report)."""
+    hits = contamination_report(corpus, eval_df, text_col, id_col,
+                                eval_text_col, n)
+    return corpus.join(hits.select(id_col), id_col, "left_anti")
