@@ -474,6 +474,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("component", "size", "id_checksum"))
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition/quality heuristics (Rae et al. 2021 A1.1) as pure
+    JVM column expressions: integer numerator/denominator counts plus the
+    keep decision (word-count floor relaxed to 20 for the synthetic docs).
+    Every count and the boolean reproduce exactly in DuckDB."""
+    from sketchlib.text.gopher import gopher_keep, gopher_stats
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    stats = docs.select("doc_id", *gopher_stats(F.col("text")))
+    return (stats.select("*", gopher_keep(min_words=20))
+            .orderBy("doc_id"))
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix-C method): flag corpus docs
     sharing any normalized word 5-gram with an 'eval set' (docs with
@@ -496,9 +509,11 @@ def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank-limit pushdown), so hub groups never ship whole."""
     from sketchlib.sampling import cap_per_group
 
-    docs = _read(spark, sf_dir, "documents").repartition(8)
+    docs = (_read(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "source")  # prune before the shuffle
+            .repartition(8))
     kept = cap_per_group(docs, ["lang", "source"], 3, ["doc_id"])
-    return kept.select("doc_id", "lang", "source").orderBy("doc_id")
+    return kept.orderBy("doc_id")
 
 
 def q_hash_split_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -981,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "per_source_cap": q_per_source_cap,
         "decontamination": q_decontamination,
+        "gopher_quality": q_gopher_quality,
         "hash_split_stable": q_hash_split_stable,
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "streaming_distinct_users": q_streaming_distinct_users,
@@ -1125,6 +1141,38 @@ def _pipeline_oracles() -> dict[str, str]:
             "SELECT component, COUNT(*) AS size, "
             "CAST(SUM(id) AS BIGINT) AS id_checksum "
             "FROM comp GROUP BY component ORDER BY component"
+        ),
+        "gopher_quality": (
+            "WITH base AS (SELECT doc_id, text, "
+            "regexp_split_to_array(trim(text), '\\s+') AS w, "
+            "list_filter(regexp_split_to_array(text, '\\n'), "
+            "x -> trim(x) <> '') AS ln FROM documents "
+            "WHERE text IS NOT NULL), "
+            "cnt AS (SELECT doc_id, "
+            "CAST(len(w) AS BIGINT) AS n_words, "
+            "CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) "
+            "AS total_word_chars, "
+            "CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) "
+            "AS BIGINT) AS n_alpha_words, "
+            "CAST(len(regexp_split_to_array(text, '#')) - 1 "
+            "+ len(regexp_split_to_array(text, '\\.\\.\\.')) - 1 AS BIGINT) "
+            "AS n_symbols, "
+            "CAST(len(ln) AS BIGINT) AS n_lines, "
+            "CAST(len(list_distinct(list_transform(ln, x -> trim(x)))) "
+            "AS BIGINT) AS n_distinct_lines, "
+            "CAST(len(list_filter(ln, x -> regexp_matches(trim(x), "
+            "'^[-*•]'))) AS BIGINT) AS n_bullet_lines, "
+            "CAST(len(list_filter(ln, x -> regexp_matches(trim(x), "
+            "'\\.\\.\\.$'))) AS BIGINT) AS n_ellipsis_lines FROM base) "
+            "SELECT *, (n_words >= 20 AND n_words <= 100000 "
+            "AND total_word_chars / n_words >= 3.0 "
+            "AND total_word_chars / n_words <= 10.0 "
+            "AND n_symbols / n_words <= 0.1 "
+            "AND n_alpha_words / n_words >= 0.8 "
+            "AND (n_lines = 0 OR (n_bullet_lines / n_lines <= 0.9 "
+            "AND n_ellipsis_lines / n_lines <= 0.3 "
+            "AND (n_lines - n_distinct_lines) / n_lines <= 0.3))) AS keep "
+            "FROM cnt ORDER BY doc_id"
         ),
         "decontamination": (
             "WITH tok AS (SELECT doc_id, "

@@ -1,0 +1,100 @@
+"""Gopher-style repetition and quality heuristics (Rae et al. 2021,
+"Scaling Language Models: ... Gopher", appendix A1.1 — the published
+web-text filtering rules used by most LLM corpus pipelines since).
+
+Everything is a pure JVM column expression (split / transform / filter /
+aggregate inside whole-stage codegen — no Python, no shuffle): the stats are
+per-row projections, so the filter composes with any scan at full scan
+throughput and Catalyst prunes every other column.
+
+To keep results engine-exact (and DuckDB-oracle-able bit-for-bit) the stat
+columns are integer COUNTS — numerators and denominators — not ratios; the
+keep/drop rule derives its ratios from those same integers, so the boolean
+is reproducible across engines too (identical IEEE operands -> identical
+comparison).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Gopher A1.1 thresholds (published values; word-count bounds relaxed per
+#: caller via parameters)
+MIN_WORDS = 50
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MAX_SYMBOL_WORD_RATIO = 0.1
+MAX_BULLET_LINE_FRAC = 0.9
+MAX_ELLIPSIS_LINE_FRAC = 0.3
+MIN_ALPHA_WORD_FRAC = 0.8
+MAX_DUP_LINE_FRAC = 0.3
+
+
+def _words(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def _lines(col: Column) -> Column:
+    return F.filter(F.split(col, r"\n"),
+                    lambda ln: F.trim(ln) != F.lit(""))
+
+
+def gopher_stats(col: Column) -> list[Column]:
+    """Integer count columns: n_words, total_word_chars, n_alpha_words,
+    n_symbols (``#`` occurrences + ``...`` runs), n_lines,
+    n_distinct_lines, n_bullet_lines, n_ellipsis_lines."""
+    w = _words(col)
+    ln = _lines(col)
+    return [
+        F.size(w).cast("long").alias("n_words"),
+        F.aggregate(w, F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.length(x)).alias("total_word_chars"),
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+         .cast("long").alias("n_alpha_words"),
+        (F.size(F.split(col, "#")) - 1
+         + F.size(F.split(col, r"\.\.\.")) - 1
+         ).cast("long").alias("n_symbols"),
+        F.size(ln).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(F.transform(ln, F.trim)))
+         .cast("long").alias("n_distinct_lines"),
+        F.size(F.filter(ln, lambda x: F.trim(x).rlike(r"^[-*•]")))
+         .cast("long").alias("n_bullet_lines"),
+        F.size(F.filter(ln, lambda x: F.trim(x).rlike(r"\.\.\.$")))
+         .cast("long").alias("n_ellipsis_lines"),
+    ]
+
+
+def gopher_keep(min_words: int = MIN_WORDS, max_words: int = MAX_WORDS) -> Column:
+    """Boolean keep decision over the :func:`gopher_stats` columns (apply
+    after selecting them).  Ratios derive from the integer counts, so the
+    decision reproduces bit-for-bit in any engine computing the same
+    divisions."""
+    n_words = F.col("n_words")
+    mean_wl = F.col("total_word_chars") / n_words
+    return (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (mean_wl >= MIN_MEAN_WORD_LEN) & (mean_wl <= MAX_MEAN_WORD_LEN)
+        & (F.col("n_symbols") / n_words <= MAX_SYMBOL_WORD_RATIO)
+        & (F.col("n_alpha_words") / n_words >= MIN_ALPHA_WORD_FRAC)
+        & ((F.col("n_lines") == 0)
+           | ((F.col("n_bullet_lines") / F.col("n_lines")
+               <= MAX_BULLET_LINE_FRAC)
+              & (F.col("n_ellipsis_lines") / F.col("n_lines")
+                 <= MAX_ELLIPSIS_LINE_FRAC)
+              & ((F.col("n_lines") - F.col("n_distinct_lines"))
+                 / F.col("n_lines") <= MAX_DUP_LINE_FRAC)))
+    ).alias("keep")
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text",
+                  min_words: int = MIN_WORDS,
+                  max_words: int = MAX_WORDS) -> DataFrame:
+    """Rows of ``df`` passing the Gopher quality rules (original columns
+    preserved; stats computed transiently)."""
+    stats = df.select("*", *gopher_stats(F.col(text_col)))
+    kept = stats.filter(gopher_keep(min_words, max_words))
+    return kept.drop("n_words", "total_word_chars", "n_alpha_words",
+                     "n_symbols", "n_lines", "n_distinct_lines",
+                     "n_bullet_lines", "n_ellipsis_lines")

@@ -1,0 +1,51 @@
+"""Gopher repetition/quality heuristics (sketchlib.text.gopher)."""
+
+from pyspark.sql import functions as F
+
+from sketchlib.text.gopher import gopher_filter, gopher_keep, gopher_stats
+
+
+def _stats(spark, text):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = df.select(*gopher_stats(F.col("text"))).collect()[0]
+    return row.asDict()
+
+
+def test_counts(spark):
+    s = _stats(spark, "alpha beta 123 gamma# ...\nline two\nline two\n- item")
+    assert s["n_words"] == 11
+    assert s["n_alpha_words"] == 8  # '123', '...' and '-' have no alpha
+    assert s["n_symbols"] == 2      # one '#', one '...'
+    assert s["n_lines"] == 4
+    assert s["n_distinct_lines"] == 3  # 'line two' repeats
+    assert s["n_bullet_lines"] == 1
+    assert s["n_ellipsis_lines"] == 1
+
+
+def test_empty_lines_ignored(spark):
+    s = _stats(spark, "one\n\n\ntwo")
+    assert s["n_lines"] == 2 and s["n_distinct_lines"] == 2
+
+
+def test_filter_rules(spark):
+    good = " ".join(f"word{i}" for i in range(80))
+    too_short = "just a few words here"
+    symbol_heavy = " ".join("#tag" for _ in range(80))
+    repeated = "\n".join(["same line"] * 50) + "\n" + " ".join(
+        f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(0, good), (1, too_short), (2, symbol_heavy), (3, repeated)],
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in gopher_filter(df).collect())
+    assert kept == [0]
+    # relaxing the word floor admits the short doc
+    kept2 = sorted(r["doc_id"]
+                   for r in gopher_filter(df, min_words=3).collect())
+    assert 1 in kept2
+
+
+def test_filter_preserves_schema(spark):
+    df = spark.createDataFrame([(0, " ".join(["ok"] * 60), "en")],
+                               "doc_id long, text string, lang string")
+    out = gopher_filter(df)
+    assert out.columns == ["doc_id", "text", "lang"]
