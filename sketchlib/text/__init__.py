@@ -15,4 +15,6 @@ from .decontaminate import (  # noqa: F401
     contamination_report,
     decontaminate,
     ngram_hash_col,
+    ngram_hashes_from_tokens,
+    tokens_col,
 )

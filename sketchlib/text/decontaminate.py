@@ -26,17 +26,45 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def ngram_hash_col(text_col: Column | str, n: int = 13) -> Column:
-    """``array<long>`` of xxhash64 over the text's normalized word
-    ``n``-grams (lowercased, whitespace-tokenized); whole-text fallback
-    below ``n`` tokens.  Pure JVM."""
+def tokens_col(text_col: Column | str) -> Column:
+    """Normalized word tokens: lowercase, whitespace-split."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
-    t = F.split(F.lower(F.trim(col)), r"\s+")
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def ngram_hashes_from_tokens(t: Column, n: int = 13) -> Column:
+    """``array<long>`` of 64-bit hashes over a *materialized* token-array
+    column's ``n``-grams — each gram hash is ``xxhash64`` of the n token
+    strings as a tuple (no per-gram string concatenation); whole-text
+    fallback below ``n`` tokens.  Token-tuple equality == joined-string
+    equality because tokens contain no whitespace.
+
+    ``t`` MUST be a bound column (``.withColumn``/``select`` the token
+    array first): Catalyst does not eliminate common subexpressions inside
+    higher-order-function lambdas, so an inline ``split`` here would be
+    re-evaluated for every element access — measured 30x slower."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(t) - (n - 1)),
-        lambda i: F.xxhash64(F.array_join(F.slice(t, i, n), " ")))
+        lambda i: F.xxhash64(*[F.element_at(t, i + k) for k in range(n)]))
     whole = F.array(F.xxhash64(F.array_join(t, " ")))
     return F.when(F.size(t) >= n, grams).otherwise(whole)
+
+
+def ngram_hash_col(text_col: Column | str, n: int = 13) -> Column:
+    """Convenience inline form (tokenize + gram-hash in one expression).
+    Fine for tests/small data; hot paths should materialize
+    :func:`tokens_col` first and use :func:`ngram_hashes_from_tokens` —
+    see that docstring for the subexpression-elimination trap."""
+    return ngram_hashes_from_tokens(tokens_col(text_col), n)
+
+
+def _gram_rows(df: DataFrame, text_col: str, n: int, extra_cols: list):
+    base = (df.filter(F.col(text_col).isNotNull())
+            .select(*extra_cols, tokens_col(text_col).alias("__t")))
+    return base.select(
+        *extra_cols,
+        F.explode(F.array_distinct(
+            ngram_hashes_from_tokens(F.col("__t"), n))).alias("__g"))
 
 
 def contamination_report(corpus: DataFrame, eval_df: DataFrame,
@@ -47,15 +75,8 @@ def contamination_report(corpus: DataFrame, eval_df: DataFrame,
     ``n_hits`` is the number of the doc's DISTINCT n-grams that appear
     anywhere in the eval set.  Clean documents do not appear."""
     etc = eval_text_col or text_col
-    eval_grams = (eval_df
-                  .filter(F.col(etc).isNotNull())
-                  .select(F.explode(ngram_hash_col(etc, n)).alias("__g"))
-                  .distinct())
-    doc_grams = (corpus
-                 .filter(F.col(text_col).isNotNull())
-                 .select(id_col,
-                         F.explode(F.array_distinct(
-                             ngram_hash_col(text_col, n))).alias("__g")))
+    eval_grams = _gram_rows(eval_df, etc, n, []).distinct()
+    doc_grams = _gram_rows(corpus, text_col, n, [id_col])
     return (doc_grams.join(F.broadcast(eval_grams), "__g")
             .groupBy(id_col)
             .agg(F.count("*").alias("n_hits")))
