@@ -133,6 +133,51 @@ def main() -> None:
     sections.append(("ivf_topk(embeddings, nprobe=2) — in-scan assignment",
                      p2, checks2))
 
+    # 6. per-group cap: Catalyst rank-limit pushdown pre-caps map-side
+    from sketchlib.sampling import cap_per_group, hash_split
+
+    df = cap_per_group(docs.select("doc_id", "lang", "source"),
+                       ["lang", "source"], 3, ["doc_id"])
+    p = plan_of(df)
+    checks = [("map-side pre-cap: Partial WindowGroupLimit appears (before "
+               "the exchange), so hub groups ship cap x partitions rows",
+               "WindowGroupLimit" in p and "Partial" in p),
+              ("one shuffle", p.count("Exchange") <= 2),
+              ("no Python stage", "Python" not in p and "MapIn" not in p)]
+    sections.append(("cap_per_group(documents, [lang, source], 3)", p, checks))
+
+    # 7. decontamination: eval grams broadcast; corpus never shuffled
+    from sketchlib.text import contamination_report
+
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    df = contamination_report(docs, eval_df, n=5)
+    p = plan_of(df)
+    checks = [("eval gram set ships as a broadcast (no shuffle of corpus "
+               "gram rows into the join)",
+               "BroadcastExchange" in p or "BroadcastHashJoin" in p),
+              ("no sort-merge join on the gram column", "SortMergeJoin" not in p),
+              ("no cartesian product", "CartesianProduct" not in p),
+              ("no Python stage (JVM n-gram hashing)",
+               "Python" not in p and "MapIn" not in p)]
+    sections.append(("contamination_report(documents, eval, n=5)", p, checks))
+
+    # 8. gopher filter + hash split: pure per-row projections — zero
+    # exchanges, zero Python
+    from sketchlib.text.gopher import gopher_filter
+
+    p = plan_of(gopher_filter(docs, min_words=20))
+    checks = [("no shuffle (per-row projection/filter composes with the scan)",
+               "Exchange" not in p),
+              ("no Python stage", "Python" not in p and "MapIn" not in p)]
+    sections.append(("gopher_filter(documents)", p, checks))
+
+    p = plan_of(hash_split(docs.select("doc_id"), "doc_id",
+                           {"train": 0.8, "val": 0.1, "test": 0.1}))
+    checks = [("no shuffle", "Exchange" not in p),
+              ("no Python stage", "Python" not in p and "MapIn" not in p),
+              ("split derives from xxhash64 in-plan", "xxhash64" in p)]
+    sections.append(("hash_split(documents, 80/10/10)", p, checks))
+
     out = ["# BENCH/PLANS — physical-plan audit",
            "",
            "Generated by `python scripts/explain_audit.py`. Each section is "
