@@ -479,10 +479,11 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM column expressions: integer numerator/denominator counts plus the
     keep decision (word-count floor relaxed to 20 for the synthetic docs).
     Every count and the boolean reproduce exactly in DuckDB."""
-    from sketchlib.text.gopher import gopher_keep, gopher_stats
+    from sketchlib.text.gopher import gopher_keep, with_gopher_stats
 
-    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    stats = docs.select("doc_id", *gopher_stats(F.col("text")))
+    docs = (_read(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()).select("doc_id", "text"))
+    stats = with_gopher_stats(docs).drop("text")
     return (stats.select("*", gopher_keep(min_words=20))
             .orderBy("doc_id"))
 

@@ -71,6 +71,31 @@ def main() -> int:
         return distinct_count(with_host, ["lang", "url_host"], ["lang", "day"],
                               prehash64=True).count()
 
+    # corpus-pipeline operators (round 2): quality filter, decontamination,
+    # split assignment, per-host caps — full-table scans over the text/url
+    # columns, reported as docs/sec like the sketch queries
+    from sketchlib.sampling import cap_per_group, hash_split
+    from sketchlib.text import contamination_report
+    from sketchlib.text.gopher import gopher_filter
+
+    def q_gopher_filter():
+        return gopher_filter(df.select("url", "text"), min_words=10).count()
+
+    def q_decontamination():
+        eval_df = (df.filter(F.xxhash64("url") % 997 == 0)
+                   .select("text"))  # ~0.1% of docs stand in for a benchmark
+        return contamination_report(df.select("url", "text"), eval_df,
+                                    id_col="url", n=13).count()
+
+    def q_hash_split():
+        return (hash_split(df.select("url"), "url",
+                           {"train": 0.9, "val": 0.05, "test": 0.05})
+                .groupBy("split").count().count())
+
+    def q_host_cap():
+        with_host = df.select("url", "lang", host.alias("url_host"))
+        return cap_per_group(with_host, ["url_host"], 100, ["url"]).count()
+
     queries = {
         "distinct_urls_per_lang_day": q_distinct_urls,
         "distinct_urls_per_lang_day_prehash64": q_distinct_urls_prehash,
@@ -78,6 +103,10 @@ def main() -> int:
         "distinct_lang_host_per_lang_day_prehash64": q_distinct_lang_hosts_prehash,
         "heavy_hitter_hosts_top20": q_heavy_hosts,
         "text_len_quantiles_per_lang": q_text_quantiles,
+        "gopher_filter": q_gopher_filter,
+        "decontamination_vs_0.1pct_eval": q_decontamination,
+        "hash_split_90_5_5": q_hash_split,
+        "host_cap_100": q_host_cap,
     }
     results = {}
     for name, fn in queries.items():

@@ -59,12 +59,28 @@ def ngram_hash_col(text_col: Column | str, n: int = 13) -> Column:
 
 
 def _gram_rows(df: DataFrame, text_col: str, n: int, extra_cols: list):
+    """(extra_cols..., __g) — one row per distinct gram hash per doc.
+
+    Hot-path formulation: every token string is xxhash64'd exactly ONCE
+    into an int64 array (a long 13-gram would otherwise re-hash each token
+    string up to 13 times); each gram is then ``xxhash64`` of its n token
+    *hashes*.  A cross-token hash collision merging two different grams
+    needs an xxhash64 collision (2^-64 per distinct-token pair) — far
+    below the doc-level flagging noise floor."""
     base = (df.filter(F.col(text_col).isNotNull())
             .select(*extra_cols, tokens_col(text_col).alias("__t")))
-    return base.select(
-        *extra_cols,
-        F.explode(F.array_distinct(
-            ngram_hashes_from_tokens(F.col("__t"), n))).alias("__g"))
+    hashed = base.select(
+        *extra_cols, "__t",
+        F.transform(F.col("__t"), lambda x: F.xxhash64(x)).alias("__th"))
+    th = F.col("__th")
+    grams = F.when(
+        F.size(th) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(th) - (n - 1)),
+            lambda i: F.xxhash64(*[F.element_at(th, i + k) for k in range(n)]))
+    ).otherwise(F.array(F.xxhash64(F.array_join(F.col("__t"), " "))))
+    return hashed.select(
+        *extra_cols, F.explode(F.array_distinct(grams)).alias("__g"))
 
 
 def contamination_report(corpus: DataFrame, eval_df: DataFrame,
