@@ -488,6 +488,20 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition (Gopher A1.1 second half): top 2-gram and
+    duplicate 5-gram character mass per doc, via the documented
+    mapInPandas escalation (per-doc argmax isn't expressible as column
+    ops without a corpus shuffle).  Integer counts + derived keep boolean
+    reproduce exactly in DuckDB."""
+    from sketchlib.text.repetition import repetition_keep, repetition_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return (repetition_stats(docs)
+            .select("*", repetition_keep())
+            .orderBy("doc_id"))
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix-C method): flag corpus docs
     sharing any normalized word 5-gram with an 'eval set' (docs with
@@ -998,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_source_cap": q_per_source_cap,
         "decontamination": q_decontamination,
         "gopher_quality": q_gopher_quality,
+        "repetition_stats": q_repetition_stats,
         "hash_split_stable": q_hash_split_stable,
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "streaming_distinct_users": q_streaming_distinct_users,
@@ -1142,6 +1157,42 @@ def _pipeline_oracles() -> dict[str, str]:
             "SELECT component, COUNT(*) AS size, "
             "CAST(SUM(id) AS BIGINT) AS id_checksum "
             "FROM comp GROUP BY component ORDER BY component"
+        ),
+        "repetition_stats": (
+            "WITH tok AS (SELECT doc_id, CAST(length(text) AS BIGINT) "
+            "AS n_chars, regexp_split_to_array(lower(trim(text)), '\\s+') "
+            "AS t FROM documents WHERE text IS NOT NULL), "
+            "g2 AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] "
+            "for i in range(1, len(t))]) AS g FROM tok), "
+            "c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 "
+            "GROUP BY doc_id, g), "
+            "n2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams "
+            "FROM c2 GROUP BY doc_id), "
+            "top2 AS (SELECT doc_id, CAST(c AS BIGINT) AS top_2gram_count, "
+            "CAST(length(g) AS BIGINT) AS top_2gram_len FROM ("
+            "SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY c DESC, g) AS rn FROM c2) WHERE rn = 1), "
+            "g5 AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || "
+            "t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] "
+            "for i in range(1, len(t) - 3)]) AS g FROM tok), "
+            "c5 AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 "
+            "GROUP BY doc_id, g), "
+            "a5 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_5grams, "
+            "CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN length(g) * c END), 0) "
+            "AS BIGINT) AS dup_5gram_chars FROM c5 GROUP BY doc_id) "
+            "SELECT tok.doc_id, n_chars, "
+            "COALESCE(n_2grams, 0) AS n_2grams, "
+            "COALESCE(top_2gram_count, 0) AS top_2gram_count, "
+            "COALESCE(top_2gram_len, 0) AS top_2gram_len, "
+            "COALESCE(n_5grams, 0) AS n_5grams, "
+            "COALESCE(dup_5gram_chars, 0) AS dup_5gram_chars, "
+            "(n_chars = 0 OR ("
+            "COALESCE(top_2gram_count, 0) * COALESCE(top_2gram_len, 0) "
+            "/ n_chars <= 0.20 "
+            "AND COALESCE(dup_5gram_chars, 0) / n_chars <= 0.15)) AS keep "
+            "FROM tok LEFT JOIN n2 USING (doc_id) "
+            "LEFT JOIN top2 USING (doc_id) LEFT JOIN a5 USING (doc_id) "
+            "ORDER BY doc_id"
         ),
         "gopher_quality": (
             "WITH base AS (SELECT doc_id, text, "
