@@ -212,11 +212,25 @@ def near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     The Python-side signature pass runs once (banding input); the verify
     join re-derives the JVM-only shingle arrays instead of persisting them
     (no cache to leak, and caching per-doc shingle arrays at 100 TB costs
-    more than recomputing them from the pruned text column)."""
+    more than recomputing them from the pruned text column).
+
+    Scale shape of the verify join: the shingle recomputation is restricted
+    to candidate ids via a broadcast semi-join *before* deriving the
+    shingle arrays — candidates are typically <<1% of docs, so without the
+    prefilter the verify side would re-shingle the whole corpus twice.
+    Referencing ``pairs`` again for the id set does NOT re-run the Python
+    signature pass: ``pairs`` ends in shuffles (bucket groupBy + distinct),
+    and Spark's ReuseExchange rule serves every reference of the id-set
+    subtree and the main pair chain from the same shuffle files (asserted
+    in ``tests/test_pipeline_ops.py``)."""
     base = df.filter(F.col(text_col).isNotNull())
     sig = minhash_signatures(base, text_col, id_col, n_hashes, shingle_k)
     pairs = lsh_candidate_pairs(sig.select(id_col, "sig"), id_col, bands)
-    sh = base.select(F.col(id_col),
+    cand_ids = (pairs.select(F.col("id_a").alias(id_col))
+                .union(pairs.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    cand = base.join(F.broadcast(cand_ids), id_col, "semi")
+    sh = cand.select(F.col(id_col),
                      shingles_col(F.col(text_col), shingle_k).alias("shingles"))
     j = (pairs
          .join(sh.withColumnRenamed(id_col, "id_a")

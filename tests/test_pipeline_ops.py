@@ -114,6 +114,23 @@ class TestDedup:
         assert (0, 2) in got  # one-word change
         assert not any(11 in p for p in got)
 
+    def test_minhash_verify_prefilters_candidates(self, spark, docs_df):
+        """The verify join must re-shingle only candidate docs: both
+        verify-side scans sit behind a left-semi join on the candidate-id
+        set, and the executed (AQE-final) plan serves the candidate-id
+        subtree from the pair shuffle via ReusedExchange — i.e. the Python
+        signature pass runs once, not once per reference."""
+        from sketchlib.dedup import near_dup_pairs
+
+        p = near_dup_pairs(docs_df, threshold=0.5, n_hashes=64, bands=16)
+        p.collect()  # drive AQE to the final plan on p's own QueryExecution
+        plan = p._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "isFinalPlan=true" in final
+        assert final.count("LeftSemi") == 2  # one per verify side (sh_a, sh_b)
+        # candidate-id union reads the pair-distinct shuffle twice via reuse
+        assert final.count("ReusedExchange") >= 2
+
     def test_minhash_candidates_superset_of_true_pairs(self, spark, docs_df):
         """Banding recall: every pair above threshold must surface as a
         candidate (checked exhaustively on this corpus)."""
