@@ -22,6 +22,8 @@ def main() -> int:
     ap.add_argument("--data", default=os.path.join(REPO, ".benchdata", "pages24m"))
     ap.add_argument("--cpus", default="32")
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="run just the named queries (skips the report append)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -96,6 +98,11 @@ def main() -> int:
         with_host = df.select("url", "lang", host.alias("url_host"))
         return cap_per_group(with_host, ["url_host"], 100, ["url"]).count()
 
+    def q_repetition():
+        from sketchlib.text.repetition import repetition_keep, repetition_stats
+        return (repetition_stats(df.select("url", "text"), id_col="url")
+                .select(repetition_keep()).filter("keep").count())
+
     queries = {
         "distinct_urls_per_lang_day": q_distinct_urls,
         "distinct_urls_per_lang_day_prehash64": q_distinct_urls_prehash,
@@ -107,7 +114,10 @@ def main() -> int:
         "decontamination_vs_0.1pct_eval": q_decontamination,
         "hash_split_90_5_5": q_hash_split,
         "host_cap_100": q_host_cap,
+        "repetition_stats_keep": q_repetition,
     }
+    if args.only:
+        queries = {k: v for k, v in queries.items() if k in set(args.only)}
     results = {}
     for name, fn in queries.items():
         walls = []
@@ -122,6 +132,10 @@ def main() -> int:
                          "out_rows": out}
         print(json.dumps({name: results[name]}), flush=True)
     spark.stop()
+
+    if args.only:
+        print(json.dumps({"suite": results, "rows": n_rows}))
+        return 0
 
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     lines = [

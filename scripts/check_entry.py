@@ -42,6 +42,12 @@ def main() -> int:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = entrymod.queries()
+    only = set(sys.argv[1:])  # optional: check just the named queries
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():

@@ -6,10 +6,39 @@ These are per-document argmax/group-count computations over a document's
 own n-grams.  Spark's built-in column expressions cannot express "count
 each gram, take the most frequent" without either an O(tokens^2) inline
 expression or exploding every gram through a corpus-wide shuffle, so this
-is the documented escalation path: a vectorized ``mapInPandas`` UDF —
-JVM-side tokenization (the split happens in the plan, only the token array
-crosses the Arrow boundary), one Python pass per document batch with a
-``Counter`` over its grams, O(tokens) per doc, zero shuffle.
+is the documented escalation path: a ``mapInArrow`` stage — JVM-side
+tokenization (the split happens in the plan, only the token array crosses
+the Arrow boundary), then a fully vectorized numpy pass with no
+per-document Python and zero shuffle:
+
+1. tokens are dictionary-encoded (exact per-batch ids) and *ranked*
+   (Arrow C++ sort of the small dictionary);
+2. the dominant no-repetition case is solved sort-free — the top 2-gram of
+   a doc that repeats nothing is its lexicographic minimum gram, one
+   ``minimum.reduceat`` over packed rank keys;
+3. grams that repeat *within* a doc are detected by a mixed-hash
+   dup-filter (one values-only ``np.sort``) and then counted EXACTLY on
+   that small candidate set via hierarchical pair-encoding (every level's
+   dense ids < 2^32, so each key packs into one uint64 — no collisions in
+   the counts; filter collisions only admit extra candidates).
+
+The layout is deliberately cache-lean: hash tables are sized by distinct
+tokens/candidates (not by total grams) and the big per-gram streams are
+touched sequentially — this matters at 32-way executor concurrency, where
+DRAM-random designs (a global (doc, gram) sort or hash) measured 4-5x
+slower per worker than this one under full contention.
+
+Tie-break correctness: "lexicographically smallest joined gram" must be
+reproduced without materializing gram strings.  Comparing the joined
+string ``t1 + " " + t2`` is equivalent to comparing the tuple
+``(t1 + " ", t2)`` because the set ``{t + " "}`` is prefix-free (tokens
+contain no whitespace, so ``t + " "`` can never be a proper prefix of
+``t' + " "``).  Hence interior gram positions are ranked by the token
+*with a trailing space* and the final position by the raw token; the
+packed/lexsorted rank keys then order exactly like the joined strings
+(UTF-8 byte order == code-point order, matching both Python ``min`` and
+the DuckDB oracle's string comparison).  Ranks fit 32 bits (< 2^32 unique
+tokens per Arrow batch; batches are capped at 200k rows).
 
 Outputs are integer counts (not ratios) so the DuckDB oracle reproduces
 them exactly; the keep rule derives its fractions from the same integers.
@@ -24,10 +53,9 @@ smallest gram; duplicated-gram chars count every occurrence):
 
 from __future__ import annotations
 
-from collections import Counter
 from typing import Iterator
 
-import pandas as pd
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -36,29 +64,226 @@ from pyspark.sql import types as T
 MAX_TOP_2GRAM_CHAR_FRAC = 0.20
 MAX_DUP_5GRAM_CHAR_FRAC = 0.15
 
-_SCHEMA = T.StructType([
-    T.StructField("__id", T.LongType()),
-    T.StructField("n_chars", T.LongType()),
-    T.StructField("n_2grams", T.LongType()),
-    T.StructField("top_2gram_count", T.LongType()),
-    T.StructField("top_2gram_len", T.LongType()),
-    T.StructField("n_5grams", T.LongType()),
-    T.StructField("dup_5gram_chars", T.LongType()),
-])
+_STAT_FIELDS = ["n_chars", "n_2grams", "top_2gram_count", "top_2gram_len",
+                "n_5grams", "dup_5gram_chars"]
 
 
-def _doc_stats(tokens: list, n_chars: int) -> tuple:
-    g2 = Counter(" ".join(tokens[i:i + 2]) for i in range(len(tokens) - 1))
-    if g2:
-        # max count, lexicographically-smallest gram on ties -> deterministic
-        top = min(g2.items(), key=lambda kv: (-kv[1], kv[0]))
-        top_count, top_len = top[1], len(top[0])
+def _schema(id_type: T.DataType) -> T.StructType:
+    return T.StructType([T.StructField("__id", id_type)]
+                        + [T.StructField(f, T.LongType())
+                           for f in _STAT_FIELDS])
+
+
+def _token_ids_and_ranks(flat) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(token_id, rank_sp, rank_raw, char_len) per flattened token.
+
+    ``token_id`` is the Arrow dictionary index — an exact (collision-free)
+    per-batch token identity used to build n-gram equality keys.
+    ``rank_sp`` ranks tokens by ``token + " "`` (the order of interior gram
+    positions inside a joined gram string), ``rank_raw`` by the raw token
+    (the order of the final position); both are dense uint64 ranks over the
+    batch's token dictionary, used only for the 2-gram tie-break."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    L = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    dic = pc.dictionary_encode(flat)
+    didx = (dic.indices.to_numpy(zero_copy_only=False)
+            .astype(np.uint64))
+    uniq = dic.dictionary
+    u = len(uniq)
+    if u >= 1 << 32:  # packed 32-bit id fields below
+        raise ValueError("batch has >= 2^32 unique tokens; reduce "
+                         "spark.sql.execution.arrow.maxRecordsPerBatch")
+    order_raw = pc.sort_indices(uniq).to_numpy(zero_copy_only=False).astype(np.int64)
+    rank_raw = np.empty(u, dtype=np.uint64)
+    rank_raw[order_raw] = np.arange(u, dtype=np.uint64)
+    with_sp = pc.binary_join_element_wise(uniq, pa.scalar(""), pa.scalar(" "))
+    order_sp = pc.sort_indices(with_sp).to_numpy(zero_copy_only=False).astype(np.int64)
+    rank_sp = np.empty(u, dtype=np.uint64)
+    rank_sp[order_sp] = np.arange(u, dtype=np.uint64)
+    return didx, rank_sp, rank_raw, L
+
+
+_U32 = np.uint64(32)
+
+
+def _factorize(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(codes, uniques) via a single O(n) hash pass (pandas khash).  Codes
+    are dense and assigned in FIRST-APPEARANCE order — the property the
+    whole kernel leans on: when the doc id occupies the key's high bits,
+    positions are scanned doc-by-doc, so the unique (doc, gram) codes come
+    out already grouped by doc and per-doc aggregation is a plain
+    ``reduceat`` with no sort anywhere.  (An earlier revision used
+    np.unique/argsort; hashing is ~10x faster at 13M grams/batch and its
+    working set — the table of *unique* keys — stays cache-resident, which
+    matters at 32-way executor concurrency where big sorts are memory-
+    bandwidth-bound.)"""
+    import pandas as pd
+
+    codes, uniques = pd.factorize(keys)
+    return codes, np.asarray(uniques, dtype=np.uint64)
+
+
+def _first_occurrence(codes: np.ndarray) -> np.ndarray:
+    """Position of each code's first appearance.  Codes are dense and
+    first-appearance-ordered, so first occurrences are exactly where the
+    running max increases (O(n), no scatter)."""
+    runmax = np.maximum.accumulate(codes)
+    new = np.empty(codes.size, dtype=bool)
+    new[0] = True
+    np.greater(runmax[1:], runmax[:-1], out=new[1:])
+    return np.flatnonzero(new)
+
+
+_MIX_C = np.uint64(0x9E3779B185EBCA87)
+
+
+def _mix_fold(parts: list[np.ndarray]) -> np.ndarray:
+    """Nonlinear 64-bit fold of uint64 component arrays — the dup-filter
+    key.  Collisions are possible (~G^2/2^64 per batch) but harmless: the
+    filter only admits *candidates*, which are then counted exactly."""
+    h = np.zeros_like(parts[0], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for p in parts:
+            h = (h ^ p.astype(np.uint64)) * _MIX_C
+            h ^= h >> np.uint64(29)
+    return h
+
+
+def _dup_values(h: np.ndarray) -> np.ndarray:
+    """Sorted unique values appearing >= 2 times (one values-only sort)."""
+    s = np.sort(h)
+    d = s[:-1][s[1:] == s[:-1]]
+    if d.size > 1:
+        d = d[np.r_[True, d[1:] != d[:-1]]]
+    return d
+
+
+def _member(h: np.ndarray, dups: np.ndarray) -> np.ndarray:
+    if dups.size == 0:
+        return np.zeros(h.shape, dtype=bool)
+    i = np.minimum(np.searchsorted(dups, h), dups.size - 1)
+    return dups[i] == h
+
+
+def _doc_segments(run_doc: np.ndarray) -> np.ndarray:
+    return np.nonzero(np.r_[True, run_doc[1:] != run_doc[:-1]])[0]
+
+
+def _batch_stats(n: int, ncs: np.ndarray, tok_col) -> list[np.ndarray]:
+    import pyarrow.compute as pc
+    lens = (pc.fill_null(pc.list_value_length(tok_col), 0)
+            .to_numpy(zero_copy_only=False).astype(np.int64))
+    flat = pc.list_flatten(tok_col)
+    total = len(flat)
+    n2 = np.zeros(n, dtype=np.int64)
+    top_cnt = np.zeros(n, dtype=np.int64)
+    top_len = np.zeros(n, dtype=np.int64)
+    n5 = np.zeros(n, dtype=np.int64)
+    dup5 = np.zeros(n, dtype=np.int64)
+    if total == 0:
+        return [ncs, n2, top_cnt, top_len, n5, dup5]
+
+    tid, rank_sp, rank_raw, L = _token_ids_and_ranks(flat)
+    cumL = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(L, out=cumL[1:])
+    did = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+    # ---- 2-grams ----
+    # Dominant case first, sort-free: in clean text most docs repeat no
+    # 2-gram, so the top gram is just the per-doc lexicographic minimum —
+    # one minimum.reduceat over per-position order keys (positions are
+    # already doc-grouped).  Grams that DO repeat within a doc are found
+    # with a mixed-hash dup-filter (one values-only np.sort) and counted
+    # exactly on that small candidate subset; hash collisions only admit
+    # extra candidates, never wrong counts.
+    if total >= 2:
+        p2 = np.nonzero(did[:-1] == did[1:])[0]
     else:
-        top_count = top_len = 0
-    g5 = Counter(" ".join(tokens[i:i + 5]) for i in range(len(tokens) - 4))
-    dup_chars = sum(len(g) * c for g, c in g5.items() if c >= 2)
-    return (n_chars, sum(g2.values()), top_count, top_len,
-            sum(g5.values()), dup_chars)
+        p2 = np.empty(0, dtype=np.int64)
+    np.maximum(lens - 1, 0, out=n2)
+    if p2.size:
+        d2 = did[p2]
+        # joined-gram lexicographic order == (rank_sp(t1), rank_raw(t2)):
+        # {t + " "} is prefix-free, so concat order == component order
+        ordp = (rank_sp[tid[p2]] << _U32) | rank_raw[tid[p2 + 1]]
+        seg = _doc_segments(d2)
+        seg_sizes = np.diff(np.append(seg, d2.size))
+        minord = np.minimum.reduceat(ordp, seg)
+        hit = ordp == np.repeat(minord, seg_sizes)
+        idx = np.flatnonzero(hit)
+        docs_at = d2[idx]
+        bd = np.r_[True, docs_at[1:] != docs_at[:-1]]  # first hit per doc
+        pos = p2[idx[bd]]
+        top_cnt[docs_at[bd]] = 1
+        top_len[docs_at[bd]] = L[pos] + L[pos + 1] + 1
+        # exact counting on within-doc repeat candidates only
+        h2 = _mix_fold([d2, tid[p2], tid[p2 + 1]])
+        cm = _member(h2, _dup_values(h2))
+        if cm.any():
+            c, dc = p2[cm], d2[cm].astype(np.uint64)
+            fg, _ = _factorize((tid[c] << _U32) | tid[c + 1])
+            firstg = c[_first_occurrence(fg)]
+            glen_of = L[firstg] + L[firstg + 1] + 1
+            ord_of = (rank_sp[tid[firstg]] << _U32) | rank_raw[tid[firstg + 1]]
+            spk = np.sort((dc << _U32) | fg.astype(np.uint64))
+            rs = np.nonzero(np.r_[True, spk[1:] != spk[:-1]])[0]
+            cnt = np.diff(np.append(rs, spk.size))
+            keep = cnt >= 2  # exact within-doc repeats
+            if keep.any():
+                cnt = cnt[keep]
+                vals = spk[rs][keep]
+                run_doc = (vals >> _U32).astype(np.int64)
+                run_gram = (vals & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                doc_rs = _doc_segments(run_doc)
+                sizes = np.diff(np.append(doc_rs, cnt.size))
+                docmax = np.maximum.reduceat(cnt, doc_rs)
+                is_top = cnt == np.repeat(docmax, sizes)
+                # tie-break among tied max-count runs: smallest joined gram
+                mo = np.where(is_top, ord_of[run_gram],
+                              np.iinfo(np.uint64).max)
+                minord = np.minimum.reduceat(mo, doc_rs)
+                sel = is_top & (mo == np.repeat(minord, sizes))
+                sdocs = run_doc[sel]
+                top_cnt[sdocs] = cnt[sel]
+                top_len[sdocs] = glen_of[run_gram[sel]]
+
+    # ---- 5-grams: only within-doc repeats contribute to dup_5gram_chars,
+    # so dup-filter first, then exact hierarchical pair-encoding over the
+    # candidates ((t1..t5) == ((t1,t2), (t3,t4), t5); every level's dense
+    # ids stay < 2^32 so each key packs into one uint64 — collision-free).
+    if total >= 5:
+        p5 = np.nonzero(did[:-4] == did[4:])[0]
+    else:
+        p5 = np.empty(0, dtype=np.int64)
+    np.maximum(lens - 4, 0, out=n5)
+    if p5.size:
+        d5 = did[p5]
+        h5 = _mix_fold([d5, tid[p5], tid[p5 + 1], tid[p5 + 2],
+                        tid[p5 + 3], tid[p5 + 4]])
+        cm = _member(h5, _dup_values(h5))
+        if cm.any():
+            c, dc = p5[cm], d5[cm].astype(np.uint64)
+            fa, _ = _factorize((tid[c] << _U32) | tid[c + 1])
+            fb, _ = _factorize((tid[c + 2] << _U32) | tid[c + 3])
+            f4, _ = _factorize((fa.astype(np.uint64) << _U32)
+                               | fb.astype(np.uint64))
+            f5, _ = _factorize((f4.astype(np.uint64) << _U32) | tid[c + 4])
+            first5 = c[_first_occurrence(f5)]
+            glen_of = cumL[first5 + 5] - cumL[first5] + 4
+            spk = np.sort((dc << _U32) | f5.astype(np.uint64))
+            rs = np.nonzero(np.r_[True, spk[1:] != spk[:-1]])[0]
+            cnt = np.diff(np.append(rs, spk.size))
+            vals = spk[rs]
+            run_doc = (vals >> _U32).astype(np.int64)
+            run_gram = (vals & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            contrib = np.where(cnt >= 2, cnt * glen_of[run_gram], 0)
+            doc_rs = _doc_segments(run_doc)
+            sums = np.add.reduceat(contrib, doc_rs)
+            dup5[run_doc[doc_rs]] = sums
+
+    return [ncs, n2, top_cnt, top_len, n5, dup5]
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text",
@@ -71,13 +296,22 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                     F.split(F.lower(F.trim(F.col(text_col))),
                             r"\s+").alias("__t")))
 
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [(i, *_doc_stats(list(t), int(nc)))
-                    for i, nc, t in zip(pdf["__id"], pdf["__nc"], pdf["__t"])]
-            yield pd.DataFrame(rows, columns=[f.name for f in _SCHEMA.fields])
+    def compute(batches) -> Iterator:
+        import pyarrow as pa
 
-    return (base.mapInPandas(compute, _SCHEMA)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ncs = (batch.column("__nc").to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
+            stats = _batch_stats(batch.num_rows, ncs, batch.column("__t"))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("__id")]
+                + [pa.array(np.asarray(c), type=pa.int64()) for c in stats],
+                names=["__id"] + _STAT_FIELDS)
+
+    schema = _schema(base.schema["__id"].dataType)
+    return (base.mapInArrow(compute, schema)
             .withColumnRenamed("__id", id_col))
 
 
