@@ -93,6 +93,21 @@ def hash_microbench() -> dict:
         flat_fn(wf, wo)  # warm
         dt = min(_timed(flat_fn, flat, offsets) for _ in range(5))
         out[name] = {"wall_sec": round(dt, 3), "hashes_per_sec": round(n / dt, 1)}
+    # long-input path (2 KB texts): exercises the >240-byte block/stripe
+    # loops, which are row-vectorized as of r3 (no scalar fallback)
+    import numpy as np
+    rng = np.random.default_rng(7)
+    nl = 100_000
+    lens = rng.integers(1800, 2200, size=nl)
+    offs = np.zeros(nl + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    big = rng.integers(0, 256, size=int(offs[-1]), dtype=np.uint8)
+    fn = HASHES["xxhash128"][1]
+    fn(big[: offs[100] + 16], offs[:100])
+    dt = min(_timed(fn, big, offs) for _ in range(3))
+    out["xxhash128_2kb"] = {"n": nl, "wall_sec": round(dt, 3),
+                            "hashes_per_sec": round(nl / dt, 1),
+                            "mb_per_sec": round(offs[-1] / 1e6 / dt, 1)}
     return out
 
 
