@@ -392,6 +392,31 @@ def q_hll_multicolumn_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFr
                           estimate_name="distinct_pairs")
 
 
+def q_hll_double_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct *double* elements through HLL — oracle-checks the normative
+    IEEE-754 little-endian Add(double) encoding
+    (CardinalityEstimator.cs:436-528 / sketchlib/encoding.py:48) end-to-end.
+    l_quantity is a double with <= 7 values per order, so every group is in
+    direct-count range and the estimate is exact."""
+    li = _read(spark, sf_dir, "lineitem")
+    return distinct_count(li, "l_quantity", ["l_orderkey"],
+                          estimate_name="distinct_quantities")
+
+
+def q_hll_binary_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct *binary* elements through HLL — oracle-checks the raw-bytes
+    Add(byte[]) encoding (CardinalityEstimator.cs Add(byte[]) /
+    sketchlib/encoding.py:80, Arrow binary buffers) end-to-end.  The
+    element is encode(c_name) (injective, so COUNT DISTINCT c_name is the
+    oracle); ~60 customers per nation keeps every group in direct-count
+    range."""
+    cust = _read(spark, sf_dir, "customer")
+    binc = cust.select(F.col("c_nationkey").cast("long").alias("c_nationkey"),
+                       F.encode("c_name", "UTF-8").alias("name_bytes"))
+    return distinct_count(binc, "name_bytes", ["c_nationkey"],
+                          estimate_name="distinct_names")
+
+
 def q_hll_checkpointed_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The checkpoint/lineage machinery inside the gate: per-day units of the
     events table aggregated through SketchCheckpoint, final merged estimates
@@ -619,8 +644,10 @@ def q_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
              .outputMode("update")
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-        q.awaitTermination(300)
-
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "availableNow streaming pass did not finish in 300s")
     shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         # the state store creates one directory tree per shuffle partition
@@ -677,8 +704,10 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              .outputMode("append")
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-        q.awaitTermination(300)
-
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "availableNow streaming pass did not finish in 300s")
     shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -992,6 +1021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_fnv1a_distinct_exact": q_hll_fnv1a_distinct_exact,
         "hll_xxhash128_distinct_exact": q_hll_xxhash128_distinct_exact,
         "hll_string_distinct_exact": q_hll_string_distinct_exact,
+        "hll_double_distinct_exact": q_hll_double_distinct_exact,
+        "hll_binary_distinct_exact": q_hll_binary_distinct_exact,
         "hll_multicolumn_distinct_exact": q_hll_multicolumn_distinct_exact,
         "hll_checkpointed_users": q_hll_checkpointed_users,
         "bloom_membership": q_bloom_membership,
@@ -1358,6 +1389,15 @@ def oracle_sql() -> dict[str, str]:
         "hll_string_distinct_exact": (
             "SELECT lang, source, COUNT(DISTINCT text) AS distinct_texts "
             "FROM documents GROUP BY lang, source"
+        ),
+        "hll_double_distinct_exact": (
+            "SELECT l_orderkey, COUNT(DISTINCT l_quantity) AS "
+            "distinct_quantities FROM lineitem GROUP BY l_orderkey"
+        ),
+        "hll_binary_distinct_exact": (
+            "SELECT c_nationkey::BIGINT AS c_nationkey, "
+            "COUNT(DISTINCT c_name) AS distinct_names "
+            "FROM customer GROUP BY c_nationkey"
         ),
         "hll_multicolumn_distinct_exact": (
             "SELECT l_orderkey, COUNT(DISTINCT (l_suppkey::VARCHAR || '|' || "

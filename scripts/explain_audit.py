@@ -11,6 +11,7 @@ Writes BENCH/PLANS.md. Run after any change to the aggregation layout:
 from __future__ import annotations
 
 import io
+import re
 import os
 import sys
 from contextlib import redirect_stdout
@@ -142,7 +143,12 @@ def main() -> None:
     checks = [("map-side pre-cap: Partial WindowGroupLimit appears (before "
                "the exchange), so hub groups ship cap x partitions rows",
                "WindowGroupLimit" in p and "Partial" in p),
-              ("one shuffle", p.count("Exchange") <= 2),
+              # formatted explain prints each node twice (tree + detail
+              # section), so ONE shuffle == exactly two "(n) Exchange"-style
+              # mentions; count detail headers only and exclude broadcasts
+              ("exactly one shuffle exchange",
+               len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+               and "BroadcastExchange" not in p),
               ("no Python stage", "Python" not in p and "MapIn" not in p)]
     sections.append(("cap_per_group(documents, [lang, source], 3)", p, checks))
 

@@ -69,7 +69,11 @@ def _small_star(edges: DataFrame) -> DataFrame:
 def _signature(edges: DataFrame) -> tuple:
     # bit_xor is order-insensitive and overflow-free (sum of hashes would
     # trip Spark 4's ANSI long-overflow check); edges are distinct, so the
-    # xor is a faithful set signature
+    # xor is a faithful set signature.  Convergence detection via this
+    # signature is probabilistic: a collision between successive rounds
+    # (~2^-64 per comparison, with the edge count as an extra guard) would
+    # silently accept a non-converged edge set.  Accepted trade-off — an
+    # exact set-equality check would cost a full self-join per round.
     row = edges.agg(
         F.count("*").alias("n"),
         F.bit_xor(F.xxhash64("u", "v")).alias("h")).collect()[0]
@@ -157,12 +161,18 @@ def connected_components(pairs: DataFrame, src_col: str = "id_a",
 def assign_clusters(df: DataFrame, pairs: DataFrame,
                     id_col: str = "doc_id",
                     cluster_col: str = "cluster_id",
-                    src_col: str = "id_a", dst_col: str = "id_b") -> DataFrame:
+                    src_col: str = "id_a", dst_col: str = "id_b",
+                    components: DataFrame | None = None) -> DataFrame:
     """Add ``cluster_col`` to ``df``: the duplicate-cluster id (component min)
     for docs that appear in ``pairs``, else the doc's own id (a singleton
     cluster).  The component mapping is tiny relative to the corpus (only
-    near-dup members appear), so the join broadcasts under AQE."""
-    comp = connected_components(pairs, src_col, dst_col)
+    near-dup members appear), so the join broadcasts under AQE.
+
+    Pass ``components`` (a precomputed ``connected_components(pairs)``
+    result) when a pipeline also calls :func:`cluster_summary` — the
+    star-round/union-find computation then runs once, not per consumer."""
+    comp = (components if components is not None
+            else connected_components(pairs, src_col, dst_col))
     comp = comp.withColumnRenamed("id", id_col)
     return (df.join(comp, id_col, "left")
             .withColumn(cluster_col,
@@ -171,21 +181,26 @@ def assign_clusters(df: DataFrame, pairs: DataFrame,
 
 
 def dedup_near_keep(df: DataFrame, pairs: DataFrame,
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    components: DataFrame | None = None) -> DataFrame:
     """Keep exactly one document per duplicate cluster — the minimum id,
     which is the component id itself, so no per-cluster aggregation is
     needed: a row survives iff its id equals its cluster id."""
-    clustered = assign_clusters(df, pairs, id_col)
+    clustered = assign_clusters(df, pairs, id_col, components=components)
     return (clustered.filter(F.col("cluster_id") == F.col(id_col))
             .drop("cluster_id"))
 
 
 def cluster_summary(pairs: DataFrame, src_col: str = "id_a",
-                    dst_col: str = "id_b") -> DataFrame:
+                    dst_col: str = "id_b",
+                    components: DataFrame | None = None) -> DataFrame:
     """Per-cluster membership summary: ``(component, size, id_checksum)``
     over the nodes that appear in ``pairs`` (singletons excluded — they are
-    every doc not in any pair)."""
-    comp = connected_components(pairs, src_col, dst_col)
+    every doc not in any pair).  Accepts a precomputed ``components`` map
+    (see :func:`assign_clusters`) so pipelines computing both run
+    connected-components once."""
+    comp = (components if components is not None
+            else connected_components(pairs, src_col, dst_col))
     return comp.groupBy("component").agg(
         F.count("*").alias("size"),
         F.sum("id").alias("id_checksum"))

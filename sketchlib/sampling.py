@@ -63,9 +63,14 @@ def cap_per_group(df: DataFrame, group_cols, cap: int, order_cols) -> DataFrame:
     order_cols = _as_list(order_cols)
     if cap < 1:
         raise ValueError("cap must be >= 1")
+    # uniquified temp name: withColumn would silently REPLACE (then drop) a
+    # pre-existing user column of the same name
+    rn = "__rn"
+    while rn in df.columns:
+        rn += "_"
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
-    return (df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= cap).drop("__rn"))
+    return (df.withColumn(rn, F.row_number().over(w))
+            .filter(F.col(rn) <= cap).drop(rn))
 
 
 def hash_split(df: DataFrame, key_cols, weights: dict[str, float],

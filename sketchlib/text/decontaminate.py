@@ -34,20 +34,34 @@ def tokens_col(text_col: Column | str) -> Column:
 
 def ngram_hashes_from_tokens(t: Column, n: int = 13) -> Column:
     """``array<long>`` of 64-bit hashes over a *materialized* token-array
-    column's ``n``-grams — each gram hash is ``xxhash64`` of the n token
-    strings as a tuple (no per-gram string concatenation); whole-text
-    fallback below ``n`` tokens.  Token-tuple equality == joined-string
-    equality because tokens contain no whitespace.
+    column's ``n``-grams; whole-text fallback below ``n`` tokens.
+
+    Hot-path formulation (and the ONE normative gram-hash domain of this
+    module — :func:`contamination_report` uses this same function
+    internally, so grams precomputed with the public API join against its
+    internals): every token string is xxhash64'd exactly once into an
+    int64 array (a long 13-gram would otherwise re-hash each token string
+    up to 13 times), then each gram is ``xxhash64`` of its n token
+    *hashes*.  A cross-token hash collision merging two different grams
+    needs an xxhash64 collision (2^-64 per distinct-token pair) — far
+    below the doc-level flagging noise floor.  Token-tuple equality ==
+    joined-string equality because tokens contain no whitespace.
 
     ``t`` MUST be a bound column (``.withColumn``/``select`` the token
     array first): Catalyst does not eliminate common subexpressions inside
     higher-order-function lambdas, so an inline ``split`` here would be
-    re-evaluated for every element access — measured 30x slower."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (n - 1)),
-        lambda i: F.xxhash64(*[F.element_at(t, i + k) for k in range(n)]))
-    whole = F.array(F.xxhash64(F.array_join(t, " ")))
-    return F.when(F.size(t) >= n, grams).otherwise(whole)
+    re-evaluated for every element access — measured 30x slower.  The
+    token-hash array itself is let-bound through a one-element transform
+    for the same reason."""
+    def build(th: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(th) - (n - 1)),
+            lambda i: F.xxhash64(*[F.element_at(th, i + k) for k in range(n)]))
+        whole = F.array(F.xxhash64(F.array_join(t, " ")))
+        return F.when(F.size(th) >= n, grams).otherwise(whole)
+
+    token_hashes = F.transform(t, lambda x: F.xxhash64(x))
+    return F.transform(F.array(token_hashes), build)[0]
 
 
 def ngram_hash_col(text_col: Column | str, n: int = 13) -> Column:
@@ -59,27 +73,13 @@ def ngram_hash_col(text_col: Column | str, n: int = 13) -> Column:
 
 
 def _gram_rows(df: DataFrame, text_col: str, n: int, extra_cols: list):
-    """(extra_cols..., __g) — one row per distinct gram hash per doc.
-
-    Hot-path formulation: every token string is xxhash64'd exactly ONCE
-    into an int64 array (a long 13-gram would otherwise re-hash each token
-    string up to 13 times); each gram is then ``xxhash64`` of its n token
-    *hashes*.  A cross-token hash collision merging two different grams
-    needs an xxhash64 collision (2^-64 per distinct-token pair) — far
-    below the doc-level flagging noise floor."""
+    """(extra_cols..., __g) — one row per distinct gram hash per doc,
+    in the module's one normative gram-hash domain
+    (:func:`ngram_hashes_from_tokens`)."""
     base = (df.filter(F.col(text_col).isNotNull())
             .select(*extra_cols, tokens_col(text_col).alias("__t")))
-    hashed = base.select(
-        *extra_cols, "__t",
-        F.transform(F.col("__t"), lambda x: F.xxhash64(x)).alias("__th"))
-    th = F.col("__th")
-    grams = F.when(
-        F.size(th) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(th) - (n - 1)),
-            lambda i: F.xxhash64(*[F.element_at(th, i + k) for k in range(n)]))
-    ).otherwise(F.array(F.xxhash64(F.array_join(F.col("__t"), " "))))
-    return hashed.select(
+    grams = ngram_hashes_from_tokens(F.col("__t"), n)
+    return base.select(
         *extra_cols, F.explode(F.array_distinct(grams)).alias("__g"))
 
 

@@ -41,17 +41,39 @@ def _lines(col: Column) -> Column:
                     lambda ln: F.trim(ln) != F.lit(""))
 
 
+#: the eight stat columns added by with_gopher_stats / dropped by
+#: gopher_filter
+STAT_COLS = ("n_words", "total_word_chars", "n_alpha_words", "n_symbols",
+             "n_lines", "n_distinct_lines", "n_bullet_lines",
+             "n_ellipsis_lines")
+
+
 def with_gopher_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """``df`` plus the eight stat columns, with the word/line arrays
     let-bound in an intermediate projection so each is computed ONCE per
     row.  Prefer this over :func:`gopher_stats` on wide scans: Catalyst
     does not share the ``split`` subexpression across the eight stat
     expressions, so the inline form re-tokenizes the text several times
-    (measured ~1.6x slower end-to-end on long documents)."""
+    (measured ~1.6x slower end-to-end on long documents).
+
+    Raises if ``df`` already has a column named like a stat column —
+    silently shadowing (and later dropping) a user column is worse than an
+    error.  Internal temp names are uniquified against ``df.columns``."""
+    clash = sorted(set(df.columns) & set(STAT_COLS))
+    if clash:
+        raise ValueError(
+            f"input already has gopher stat column(s) {clash}; rename them "
+            "before calling with_gopher_stats")
+    w_name, ln_name = "__w", "__ln"
+    while w_name in df.columns:
+        w_name += "_"
+    while ln_name in df.columns:
+        ln_name += "_"
     col = F.col(text_col)
-    base = df.select("*", _words(col).alias("__w"), _lines(col).alias("__ln"))
-    out = base.select("*", *_stats_from(F.col("__w"), F.col("__ln"), col))
-    return out.drop("__w", "__ln")
+    base = df.select("*", _words(col).alias(w_name),
+                     _lines(col).alias(ln_name))
+    out = base.select("*", *_stats_from(F.col(w_name), F.col(ln_name), col))
+    return out.drop(w_name, ln_name)
 
 
 def gopher_stats(col: Column) -> list[Column]:
@@ -109,8 +131,6 @@ def gopher_filter(df: DataFrame, text_col: str = "text",
                   max_words: int = MAX_WORDS) -> DataFrame:
     """Rows of ``df`` passing the Gopher quality rules (original columns
     preserved; stats computed transiently)."""
-    stats = with_gopher_stats(df, text_col)
+    stats = with_gopher_stats(df, text_col)  # raises on stat-name clashes
     kept = stats.filter(gopher_keep(min_words, max_words))
-    return kept.drop("n_words", "total_word_chars", "n_alpha_words",
-                     "n_symbols", "n_lines", "n_distinct_lines",
-                     "n_bullet_lines", "n_ellipsis_lines")
+    return kept.drop(*STAT_COLS)

@@ -104,3 +104,31 @@ def test_nonconvergence_guard(spark):
     df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(RuntimeError):
         connected_components(df, max_iters=0, driver_threshold=0)
+
+
+def test_precomputed_components_reused(spark, monkeypatch):
+    """assign_clusters + cluster_summary with a shared component map run
+    connected-components exactly once."""
+    import sketchlib.dedup.clusters as C
+
+    edges = [(1, 2), (2, 3), (10, 11)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    docs = spark.createDataFrame([(i,) for i in range(1, 13)], "doc_id long")
+
+    calls = {"n": 0}
+    real_cc = C.connected_components
+
+    def counted(*a, **kw):
+        calls["n"] += 1
+        return real_cc(*a, **kw)
+
+    monkeypatch.setattr(C, "connected_components", counted)
+    comp = C.connected_components(pairs)
+    assigned = C.assign_clusters(docs, pairs, components=comp)
+    summary = C.cluster_summary(pairs, components=comp)
+    got = {r["doc_id"]: r["cluster_id"] for r in assigned.collect()}
+    truth = _exact_components(edges, nodes=range(1, 13))
+    assert got == truth
+    sizes = {r["component"]: r["size"] for r in summary.collect()}
+    assert sizes == {1: 3, 10: 2}
+    assert calls["n"] == 1

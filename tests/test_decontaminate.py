@@ -56,3 +56,22 @@ def test_broadcast_in_plan(spark):
     plan = (contamination_report(corpus, eval_df, n=2)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_public_api_and_internal_gram_domains_match(spark):
+    """Grams precomputed with the public ngram_hash_col join against
+    contamination_report's internal gram rows (one normative hash domain —
+    regression for the formerly disjoint string-hash vs hash-of-hash
+    spaces)."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.text.decontaminate import _gram_rows, ngram_hash_col
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "x")], "doc_id long, text string")
+    public = (df.select(F.explode(ngram_hash_col("text", n=3)).alias("__g"))
+              .distinct())
+    internal = _gram_rows(df, "text", 3, []).distinct()
+    pub = {r["__g"] for r in public.collect()}
+    intl = {r["__g"] for r in internal.collect()}
+    assert pub == intl and len(pub) >= 3

@@ -1,5 +1,6 @@
 """Gopher repetition/quality heuristics (sketchlib.text.gopher)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from sketchlib.text.gopher import gopher_filter, gopher_keep, gopher_stats
@@ -49,3 +50,23 @@ def test_filter_preserves_schema(spark):
                                "doc_id long, text string, lang string")
     out = gopher_filter(df)
     assert out.columns == ["doc_id", "text", "lang"]
+
+
+def test_stat_name_clash_raises(spark):
+    from sketchlib.text.gopher import with_gopher_stats
+
+    df = spark.createDataFrame([("hi there", 3)], "text string, n_words long")
+    with pytest.raises(ValueError, match="n_words"):
+        with_gopher_stats(df)
+
+
+def test_user_temp_columns_pass_through(spark):
+    from sketchlib.text.gopher import gopher_filter
+
+    df = spark.createDataFrame(
+        [("lorem ipsum dolor sit amet " * 20, "keepme", "metoo")],
+        "text string, __w string, __ln string")
+    out = gopher_filter(df, min_words=10)
+    assert set(out.columns) == {"text", "__w", "__ln"}
+    row = out.collect()[0]
+    assert row["__w"] == "keepme" and row["__ln"] == "metoo"

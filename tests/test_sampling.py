@@ -96,3 +96,16 @@ def test_sample_by_hash_nested_and_deterministic(spark):
     assert other != s10        # independent draw under a different salt
     assert sample_by_hash(df, "doc_id", 0.0).count() == 0
     assert sample_by_hash(df, "doc_id", 1.0).count() == 5000
+
+
+def test_cap_per_group_survives_user_rn_column(spark):
+    """A pre-existing __rn column must pass through untouched."""
+    from sketchlib.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 5, "d")],
+        "g long, __rn long, v string")
+    out = cap_per_group(df, ["g"], 2, ["v"])
+    assert set(out.columns) == {"g", "__rn", "v"}
+    got = {(r["g"], r["v"]): r["__rn"] for r in out.collect()}
+    assert got == {(1, "a"): 10, (1, "b"): 20, (2, "d"): 5}

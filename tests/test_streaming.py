@@ -34,7 +34,10 @@ def _run_available_now(spark, src_dir, ckpt_dir, sink_table):
          .outputMode("update")
          .option("checkpointLocation", ckpt_dir)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "availableNow streaming pass did not finish in 120s")
     return collected
 
 
@@ -91,7 +94,10 @@ def test_streaming_windowed_event_time(spark, tmp_path):
          .outputMode("update")
          .option("checkpointLocation", str(tmp_path / "wckpt"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "availableNow streaming pass did not finish in 120s")
     got = {r["window"]["start"].hour: r["estimate"] for r in collected}
     assert got == {0: 30, 1: 40}
 
@@ -129,7 +135,10 @@ def test_streaming_tdigest_median(spark, tmp_path):
          .outputMode("update")
          .option("checkpointLocation", str(tmp_path / "tdckpt"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "availableNow streaming pass did not finish in 120s")
     got = {r["grp"]: r["estimate"] for r in collected}
     assert abs(got["a"] - 50.0) <= 2.0
     assert abs(got["b"] - 50.0) <= 10.0
@@ -156,7 +165,10 @@ def test_streaming_theta_state(spark, tmp_path):
     q = (agg.writeStream.foreachBatch(sink).outputMode("update")
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "availableNow streaming pass did not finish in 120s")
     final = {r["lang"]: r["estimate"] for r in collected}
     assert final["en"] == 500  # below k -> exact
 
@@ -187,7 +199,10 @@ def test_windowed_state_eviction(spark, tmp_path):
              .outputMode("update")
              .option("checkpointLocation", str(tmp_path / "evckpt"))
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                "availableNow streaming pass did not finish in 120s")
         return q
 
     rows1 = ([(f"https://a/{i}", datetime(2026, 1, 1, 0, 10)) for i in range(30)]
@@ -237,7 +252,10 @@ def test_windowed_sliding(spark, tmp_path):
          .outputMode("update")
          .option("checkpointLocation", str(tmp_path / "slckpt"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "availableNow streaming pass did not finish in 120s")
     got = {(r["window_start"].hour, r["window_start"].minute): r["estimate"]
            for r in collected}
     assert got == {(0, 0): 20, (0, 30): 20}

@@ -33,7 +33,10 @@ def _run_pass(spark, src, ckpt, **kw):
          .outputMode("append")
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "availableNow streaming pass did not finish in 120s")
     return got
 
 
