@@ -671,6 +671,65 @@ def q_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_streaming_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state with a NON-HLL sketch: ThetaSpec (KMV set sketch)
+    through the same ``applyInPandasWithState`` operator
+    (streaming_sketch_agg), two ``availableNow`` passes over a growing file
+    source with checkpoint resume.  Per event_type the distinct-user count
+    stays far below k=4096, where a KMV sketch is exact (it has retained
+    every distinct hash), so the oracle is plain COUNT DISTINCT with the
+    shared bound margin absorbing a possible 64-bit hash collision."""
+    import shutil
+
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".tmp_stream_theta_gate")
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+
+    ev = (_read(spark, sf_dir, "events")
+          .select("event_type", "user_id")
+          .filter(F.col("user_id") % 7 == 0))
+    schema = ev.schema
+    collected: dict[str, int] = {}
+
+    def run_pass():
+        from sketchlib.spark.specs import ThetaSpec
+        from sketchlib.streaming import streaming_sketch_agg
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = streaming_sketch_agg(stream, "user_id", ["event_type"],
+                                   ThetaSpec())
+        q = (agg.writeStream
+             .foreachBatch(lambda bdf, _b: collected.update(
+                 {r["event_type"]: r["estimate"] for r in bdf.collect()}))
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "availableNow streaming pass did not finish in 300s")
+
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        (ev.filter(F.col("user_id") % 2 == 0)
+         .coalesce(2).write.mode("append").parquet(src))
+        run_pass()
+        (ev.filter(F.col("user_id") % 2 == 1)
+         .coalesce(2).write.mode("append").parquet(src))
+        run_pass()
+        est = spark.createDataFrame(
+            [(k, int(v)) for k, v in collected.items()],
+            "event_type string, estimate long")
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_users"))
+        return _bound_check(est, exact, ["event_type"], "exact_users")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-occurrence dedup (dropDuplicatesWithinWatermark on
     JVM state): two availableNow passes over a growing file source; keys
@@ -1047,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_stable": q_hash_split_stable,
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "streaming_distinct_users": q_streaming_distinct_users,
+        "streaming_theta_distinct": q_streaming_theta_distinct,
         "streaming_dedup_events": q_streaming_dedup_events,
         "media_features": q_media_features,
         "extract_text_parity": q_extract_text_parity,
@@ -1282,6 +1342,11 @@ def _pipeline_oracles() -> dict[str, str]:
             "3 AS n_splits, TRUE AS fractions_ok, TRUE AS partition_stable"
         ),
         "streaming_distinct_users": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
+            "TRUE AS within_bound FROM events WHERE user_id % 7 = 0 "
+            "GROUP BY event_type"
+        ),
+        "streaming_theta_distinct": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
             "TRUE AS within_bound FROM events WHERE user_id % 7 = 0 "
             "GROUP BY event_type"
