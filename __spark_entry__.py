@@ -484,6 +484,17 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(docs, threshold=0.8, n_hashes=128, bands=32)
 
 
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-3-gram Jaccard near-dup pairs at threshold 0.6 via
+    DF-ordered prefix filtering (All-Pairs, Bayardo et al. WWW'07) — unlike
+    the MinHash gate, the operator contract here is every qualifying pair,
+    so the oracle is the full all-pairs join with no recall caveat."""
+    from sketchlib.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.6)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: MinHash near-dup pairs -> distributed
     connected components (Kiveris et al. alternating large-star/small-star)
@@ -1098,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_distribution": q_lang_id_distribution,
         "dedup_exact_summary": q_dedup_exact_summary,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "per_source_cap": q_per_source_cap,
         "decontamination": q_decontamination,
@@ -1232,6 +1244,14 @@ def _pipeline_oracles() -> dict[str, str]:
         "lang_id_distribution": lang_id,
         "dedup_exact_summary": dedup,
         "minhash_near_dup_pairs": minhash,
+        "ngram_jaccard_pairs": (
+            f"WITH sh AS ({shingles}) "
+            "SELECT id_a, id_b, jaccard FROM ("
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.s, b.s))::DOUBLE / "
+            "len(list_distinct(a.s || b.s)) AS jaccard "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.6"
+        ),
         "dedup_clusters": (
             f"WITH RECURSIVE sh AS ({shingles}), "
             "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "

@@ -8,6 +8,7 @@ from .clusters import (  # noqa: F401
     dedup_near_keep,
 )
 from .exact import dedup_exact, duplicate_groups  # noqa: F401
+from .jaccard import ngram_jaccard_pairs  # noqa: F401
 from .minhash import (  # noqa: F401
     lsh_candidate_pairs,
     minhash_signatures,

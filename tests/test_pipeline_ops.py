@@ -150,6 +150,54 @@ class TestDedup:
                       for r in allp.filter("j >= 0.5").collect()}
         assert true_pairs <= cands
 
+    def test_ngram_jaccard_exact_vs_brute_force(self, spark, docs_df):
+        """ngram_jaccard_pairs is EXACT: its output must equal the full
+        all-pairs Jaccard join at the same threshold (checked at a low
+        threshold so the prefix filter is exercised non-trivially)."""
+        from sketchlib.dedup import ngram_jaccard_pairs
+        from sketchlib.dedup.minhash import shingles_col
+
+        for t in (0.9, 0.5, 0.2):
+            got = {(r["id_a"], r["id_b"]): r["jaccard"]
+                   for r in ngram_jaccard_pairs(docs_df, threshold=t).collect()}
+            sh = (docs_df.select("doc_id", shingles_col(F.col("text")).alias("sh"))
+                  .filter(F.size("sh") > 0))
+            a = sh.selectExpr("doc_id as id_a", "sh as sh_a")
+            b = sh.selectExpr("doc_id as id_b", "sh as sh_b")
+            want = {(r["id_a"], r["id_b"]): r["j"] for r in
+                    (a.crossJoin(b).filter("id_a < id_b")
+                     .withColumn("j", F.size(F.array_intersect("sh_a", "sh_b"))
+                                 / F.size(F.array_union("sh_a", "sh_b")))
+                     .filter(F.col("j") >= t)).collect()}
+            assert got == want, (t, got, want)
+
+    def test_ngram_jaccard_rejects_bad_threshold(self, spark, docs_df):
+        from sketchlib.dedup import ngram_jaccard_pairs
+
+        with pytest.raises(ValueError):
+            ngram_jaccard_pairs(docs_df, threshold=0.0)
+
+    def test_ngram_jaccard_prefix_index_is_pruned(self, spark, docs_df):
+        """At t=0.8 a doc with |S| grams indexes only |S|-ceil(0.8|S|)+1 of
+        them — the prefix index must be strictly smaller than the full
+        gram explode, and per-doc sizes must match the formula."""
+        import math
+
+        from sketchlib.dedup.jaccard import _prefix_index
+        from sketchlib.dedup.minhash import shingles_col
+
+        sh = (docs_df.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
+              .filter(F.size("shingles") > 0))
+        sizes = {r["doc_id"]: r["sz"]
+                 for r in sh.select("doc_id", F.size("shingles").alias("sz")).collect()}
+        pref = _prefix_index(sh, "doc_id", 0.8)
+        per_doc = {r["doc_id"]: r["n"] for r in
+                   pref.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+        for did, sz in sizes.items():
+            want = sz - math.ceil(0.8 * sz) + 1
+            assert per_doc[did] == want, (did, sz, per_doc[did], want)
+        assert sum(per_doc.values()) < sum(sizes.values())
+
     def test_simhash_near_dup(self, spark, docs_df):
         from sketchlib.dedup import simhash_near_dup_pairs
 
