@@ -595,6 +595,37 @@ def q_hash_split_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partition_stable boolean")
 
 
+def q_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus re-mixing to target source proportions by
+    char mass (the LLM data-mixing step).  keep_frac is the closed-form
+    downsample fraction w_s * B / T_s with budget B = min_s T_s/w_s —
+    exactly reproducible from the table, so the oracle recomputes it;
+    the hash-dependent kept-row count is checked Spark-side against its
+    binomial expectation and exported as an invariant boolean."""
+    import math
+
+    from sketchlib.sampling import mix_by_source, mix_fractions
+
+    docs = _read(spark, sf_dir, "documents")
+    srcs = sorted((r["source"] for r in docs.select("source").distinct().collect()),
+                  key=lambda s: int(s[3:]))
+    tot = sum(int(s[3:]) + 1 for s in srcs)
+    targets = {s: (int(s[3:]) + 1) / tot for s in srcs}
+    fracs = mix_fractions(docs, "source", targets, "n_chars")
+    kept = mix_by_source(docs, "source", targets, "doc_id", "n_chars")
+    n_rows = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n_kept = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    out = []
+    for s in srcs:
+        f, n = fracs[s], n_rows[s]
+        tol = 6.0 * math.sqrt(max(f * (1 - f) * n, 1.0)) + 1
+        out.append((s, f, abs(n_kept.get(s, 0) - f * n) <= tol))
+    return spark.createDataFrame(
+        out, "source string, keep_frac double, kept_within_tol boolean")
+
+
 def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pigeonhole parity, machine-checked: the chunked-join pair set
     must equal the brute-force Hamming pair set (computed Spark-side via a
@@ -1116,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
         "hash_split_stable": q_hash_split_stable,
+        "source_mixing": q_source_mixing,
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "streaming_distinct_users": q_streaming_distinct_users,
         "streaming_theta_distinct": q_streaming_theta_distinct,
@@ -1360,6 +1392,19 @@ def _pipeline_oracles() -> dict[str, str]:
         "hash_split_stable": (
             "SELECT (SELECT COUNT(*) FROM documents) AS n_total, "
             "3 AS n_splits, TRUE AS fractions_ok, TRUE AS partition_stable"
+        ),
+        "source_mixing": (
+            # keep_frac = w*B/T with B = min(T/w): identical IEEE ops to
+            # sketchlib.sampling.mix_fractions, so doubles match exactly
+            "WITH m AS (SELECT source AS s, "
+            "CAST(SUBSTR(source, 4) AS INT) + 1 AS wi, "
+            "CAST(SUM(n_chars) AS DOUBLE) AS t FROM documents "
+            "GROUP BY source), "
+            "w AS (SELECT s, wi / (SELECT CAST(SUM(wi) AS DOUBLE) FROM m) "
+            "AS w, t FROM m), "
+            "b AS (SELECT MIN(t / w) AS b FROM w) "
+            "SELECT s AS source, w * (SELECT b FROM b) / t AS keep_frac, "
+            "TRUE AS kept_within_tol FROM w"
         ),
         "streaming_distinct_users": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "

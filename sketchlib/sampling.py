@@ -1,6 +1,7 @@
 """Deterministic sampling operators for training-data pipelines: per-group
-document caps, reproducible train/val/test splits, and fixed-fraction
-subsampling — all pure JVM column expressions (zero Python) and all
+document caps, reproducible train/val/test splits, fixed-fraction
+subsampling, and target-proportion source mixing — all pure JVM column
+expressions (zero Python beyond an O(#sources) collected map) and all
 reproducible run-to-run regardless of partitioning.
 
 These are corpus-construction primitives the reference repo (a sketch
@@ -101,6 +102,59 @@ def hash_split(df: DataFrame, key_cols, weights: dict[str, float],
     last = F.lit(items[-1][0])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def mix_fractions(df: DataFrame, source_col: str, targets: dict[str, float],
+                  weight_col: str | None = None) -> dict[str, float]:
+    """Per-source keep fractions that re-mix the corpus to the ``targets``
+    proportions by downsampling only (never upsampling).
+
+    With per-source mass ``T_s`` (sum of ``weight_col``, e.g. a token
+    count, or row count when None) and target share ``w_s``, the largest
+    achievable budget without upsampling is ``B = min_s T_s / w_s``; each
+    source keeps ``w_s * B / T_s`` of its mass.  The rarest-relative-to-
+    target source keeps everything; the rest are cut to match.  One
+    groupBy over a handful of sources; the collected map is O(#sources).
+
+    Sources absent from ``targets`` (or with target 0) get fraction 0.
+    Raises if a targeted source has no mass (its share is unachievable)."""
+    total = sum(targets.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"target shares must sum to 1, got {total}")
+    if any(w < 0 for w in targets.values()):
+        raise ValueError("target shares must be non-negative")
+    mass_expr = (F.count(F.lit(1)) if weight_col is None
+                 else F.sum(weight_col))
+    mass = {r["s"]: float(r["m"]) for r in
+            df.groupBy(F.col(source_col).alias("s"))
+            .agg(mass_expr.cast("double").alias("m")).collect()}
+    missing = [s for s, w in targets.items() if w > 0 and not mass.get(s)]
+    if missing:
+        raise ValueError(f"targeted sources with no mass: {sorted(missing)}")
+    budget = min(mass[s] / w for s, w in targets.items() if w > 0)
+    return {s: (targets.get(s, 0.0) * budget / mass[s] if targets.get(s)
+                else 0.0) for s in mass}
+
+
+def mix_by_source(df: DataFrame, source_col: str, targets: dict[str, float],
+                  key_cols, weight_col: str | None = None,
+                  salt: str = "mix-v1") -> DataFrame:
+    """Deterministically re-mix a multi-source corpus to target proportions
+    ("60% web / 30% code / 10% books" by token mass) via per-source hash
+    subsampling — the data-mixing step of an LLM training pipeline.
+
+    Each source ``s`` keeps the :func:`mix_fractions` share of its rows,
+    selected by hashing ``key_cols`` (stable under repartitioning, growth,
+    and re-runs; nested like :func:`sample_by_hash`).  Achieved shares are
+    exact in expectation and concentrate binomially row-wise.  Plan shape:
+    one tiny groupBy (collected: O(#sources) rows) + one stateless
+    whole-stage-codegen filter over the corpus — no shuffle of the data."""
+    fracs = mix_fractions(df, source_col, targets, weight_col)
+    key_cols = _as_list(key_cols)
+    bucket = _bucket([F.col(c) for c in key_cols], salt)
+    thresh = F.create_map(*[x for s, f in fracs.items()
+                            for x in (F.lit(s), F.lit(int(round(f * _BUCKETS))))])
+    return df.filter(bucket < F.coalesce(thresh[F.col(source_col)], F.lit(0)))
 
 
 def sample_by_hash(df: DataFrame, key_cols, fraction: float,

@@ -109,3 +109,59 @@ def test_cap_per_group_survives_user_rn_column(spark):
     assert set(out.columns) == {"g", "__rn", "v"}
     got = {(r["g"], r["v"]): r["__rn"] for r in out.collect()}
     assert got == {(1, "a"): 10, (1, "b"): 20, (2, "d"): 5}
+
+
+def test_mix_fractions_closed_form(spark):
+    from sketchlib.sampling import mix_fractions
+
+    # masses: a=600, b=300, c=100 rows; targets 50/25/25
+    rows = [("a",)] * 600 + [("b",)] * 300 + [("c",)] * 100
+    df = spark.createDataFrame(rows, "src string")
+    fr = mix_fractions(df, "src", {"a": 0.5, "b": 0.25, "c": 0.25})
+    # c is rarest vs target: budget = 100/0.25 = 400
+    assert fr["c"] == pytest.approx(1.0)
+    assert fr["a"] == pytest.approx(0.5 * 400 / 600)
+    assert fr["b"] == pytest.approx(0.25 * 400 / 300)
+
+
+def test_mix_by_source_shares_and_stability(spark):
+    from sketchlib.sampling import mix_by_source
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("src"))
+    targets = {"s0": 0.4, "s1": 0.3, "s2": 0.2, "s3": 0.1}
+    kept = mix_by_source(df, "src", targets, "doc_id")
+    counts = {r["src"]: r["n"] for r in
+              kept.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # budget = min(1000/w) = 1000/0.4 = 2500; expected kept: w * 2500
+    import math
+    for s, w in targets.items():
+        want = w * 2500
+        frac = want / 1000
+        tol = 6 * math.sqrt(max(frac * (1 - frac) * 1000, 1)) + 1
+        assert abs(counts.get(s, 0) - want) <= tol, (s, counts.get(s), want)
+    # deterministic and partition-independent
+    kept2 = mix_by_source(df.repartition(7), "src", targets, "doc_id")
+    assert (sorted(r["doc_id"] for r in kept.collect())
+            == sorted(r["doc_id"] for r in kept2.collect()))
+    # untargeted source is dropped entirely
+    t2 = {"s0": 0.5, "s1": 0.5}
+    kept3 = mix_by_source(df, "src", t2, "doc_id")
+    assert kept3.filter(F.col("src").isin("s2", "s3")).count() == 0
+
+
+def test_mix_by_source_weighted_and_validates(spark):
+    from sketchlib.sampling import mix_by_source, mix_fractions
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 100 else "small", 100 if i < 100 else 10)
+         for i in range(150)], "doc_id long, src string, tokens long")
+    # mass: big=10000, small=500; equal targets -> budget = 500/0.5 = 1000
+    fr = mix_fractions(df, "src", {"big": 0.5, "small": 0.5}, "tokens")
+    assert fr["small"] == pytest.approx(1.0)
+    assert fr["big"] == pytest.approx(0.05)
+    with pytest.raises(ValueError):
+        mix_by_source(df, "src", {"big": 0.7, "small": 0.2}, "doc_id")
+    with pytest.raises(ValueError):
+        mix_by_source(df, "src", {"big": 0.5, "absent": 0.5}, "doc_id")
