@@ -184,6 +184,34 @@ def main() -> None:
               ("split derives from xxhash64 in-plan", "xxhash64" in p)]
     sections.append(("hash_split(documents, 80/10/10)", p, checks))
 
+    # 9. exact n-gram Jaccard: prefix-filtered candidate join, no cross
+    # product; verify side re-shingles candidates only (left-semi prefilter)
+    from sketchlib.dedup import ngram_jaccard_pairs
+
+    p = plan_of(ngram_jaccard_pairs(docs, threshold=0.6))
+    checks = [("no cartesian product (prefix-gram candidate join)",
+               "CartesianProduct" not in p),
+              ("verify sides re-shingle candidate ids only (two left-semi "
+               "joins on the broadcast candidate-id set)",
+               p.count("LeftSemi") >= 2),
+              ("no Python stage (JVM shingles + xxhash64 gram keys)",
+               "Python" not in p and "MapIn" not in p)]
+    sections.append(("ngram_jaccard_pairs(documents, t=0.6)", p, checks))
+
+    # 10. source mixing: the returned corpus plan is scan + codegen filter —
+    # zero shuffles of the data (the O(#sources) mass agg is collected
+    # before plan construction and enters as a literal map)
+    from sketchlib.sampling import mix_by_source
+
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    tw = {s: 1.0 / len(srcs) for s in srcs}
+    p = plan_of(mix_by_source(docs, "source", tw, "doc_id", "n_chars"))
+    checks = [("no shuffle of the corpus (keep thresholds are plan literals)",
+               "Exchange" not in p),
+              ("no Python stage", "Python" not in p and "MapIn" not in p),
+              ("selection derives from xxhash64 in-plan", "xxhash64" in p)]
+    sections.append(("mix_by_source(documents, uniform targets)", p, checks))
+
     out = ["# BENCH/PLANS — physical-plan audit",
            "",
            "Generated by `python scripts/explain_audit.py`. Each section is "
