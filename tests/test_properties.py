@@ -157,3 +157,35 @@ def test_theta_merge_equals_single_and_algebra(vals, seed):
     assert inter_est == single.count()
     anb_est, _c = single.a_not_b_count(merged)
     assert anb_est == 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    sets=st.lists(st.frozensets(st.integers(0, 40), min_size=1, max_size=25),
+                  min_size=2, max_size=12),
+    t=st.floats(0.05, 1.0),
+)
+def test_prefix_filter_principle_lossless(sets, t):
+    """The prefix-filtering math behind ``ngram_jaccard_pairs`` (kernel-level
+    property, no Spark): ordering each set by (document frequency, element)
+    and indexing only the first ``|S| - ceil(t|S|) + 1`` elements must
+    surface EVERY pair with Jaccard >= t as a candidate — for arbitrary set
+    families and thresholds."""
+    import math
+    from collections import Counter
+
+    dfreq = Counter(e for s in sets for e in s)
+    prefixes = []
+    for s in sets:
+        ordered = sorted(s, key=lambda e: (dfreq[e], e))
+        plen = len(s) - math.ceil(t * len(s)) + 1
+        prefixes.append(set(ordered[:plen]))
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            jac = len(a & b) / len(a | b)
+            if jac >= t:
+                assert prefixes[i] & prefixes[j], (
+                    sorted(a), sorted(b), t, jac)
+                # the length filter must not drop it either
+                assert len(a) >= t * len(b) and len(b) >= t * len(a)
