@@ -30,7 +30,11 @@ WWW'07; Chaudhuri, Ganti & Kaushik, ICDE'06; PPJoin, Xiao et al. WWW'08):
 
 Grams are compared via ``xxhash64`` in steps 2-4: a 64-bit collision can
 only *add* a candidate pair (recall is unaffected; precision is restored
-by the string-array verify), so the result stays exact.
+by the string-array verify), so the result stays exact.  The one caveat:
+two DISTINCT grams colliding on the same 64-bit key make the canonical
+order non-total at that key, which could in principle drop a required
+prefix element — ~2^-64 per gram pair, the same accepted odds as the
+convergence signature in ``dedup.clusters``.
 
 Scale shape: three shuffles over the (gram, doc) pairs — DF groupBy, the
 per-doc rank (window on doc_id), and the candidate self-join on the gram
