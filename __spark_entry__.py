@@ -713,6 +713,72 @@ def q_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_streaming_tdigest_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state with a QUANTILE sketch: TDigestSpec through the same
+    ``applyInPandasWithState`` operator, two ``availableNow`` passes over a
+    growing file source with checkpoint resume.  The final per-event_type
+    median estimate is rank-checked against the full value set: the exact
+    rank of the estimate must land in [0.45, 0.55] (t-digest delta=200 has
+    ~1e-3 rank error at the median — the generous band absorbs ties).
+    The oracle reproduces the exact per-group event counts and states the
+    rank invariant as a literal."""
+    import shutil
+
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".tmp_stream_tdigest_gate")
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+
+    ev = (_read(spark, sf_dir, "events")
+          .select("event_type", "user_id", "value")
+          .filter(F.col("value").isNotNull()))
+    schema = ev.schema
+    collected: dict[str, float] = {}
+
+    def run_pass():
+        from sketchlib.spark.specs import TDigestSpec
+        from sketchlib.streaming import streaming_sketch_agg
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = streaming_sketch_agg(stream, "value", ["event_type"],
+                                   TDigestSpec())
+        q = (agg.writeStream
+             .foreachBatch(lambda bdf, _b: collected.update(
+                 {r["event_type"]: r["estimate"] for r in bdf.collect()}))
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "availableNow streaming pass did not finish in 300s")
+
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        (ev.filter(F.col("user_id") % 2 == 0)
+         .coalesce(2).write.mode("append").parquet(src))
+        run_pass()
+        (ev.filter(F.col("user_id") % 2 == 1)
+         .coalesce(2).write.mode("append").parquet(src))
+        run_pass()
+        est = spark.createDataFrame(
+            [(k, float(v)) for k, v in collected.items()],
+            "event_type string, est_median double")
+        ranks = (ev.join(est, "event_type")
+                 .groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n_events"),
+                      (F.sum(F.when(F.col("value") <= F.col("est_median"), 1)
+                             .otherwise(0)) / F.count(F.lit(1))).alias("r")))
+        return (ranks.select(
+            "event_type", "n_events",
+            ((F.col("r") >= 0.45) & (F.col("r") <= 0.55))
+            .alias("median_rank_ok"))
+            .orderBy("event_type"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+
+
 def q_streaming_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming state with a NON-HLL sketch: ThetaSpec (KMV set sketch)
     through the same ``applyInPandasWithState`` operator
@@ -1151,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "streaming_distinct_users": q_streaming_distinct_users,
         "streaming_theta_distinct": q_streaming_theta_distinct,
+        "streaming_tdigest_median": q_streaming_tdigest_median,
         "streaming_dedup_events": q_streaming_dedup_events,
         "media_features": q_media_features,
         "extract_text_parity": q_extract_text_parity,
@@ -1415,6 +1482,11 @@ def _pipeline_oracles() -> dict[str, str]:
             "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
             "TRUE AS within_bound FROM events WHERE user_id % 7 = 0 "
             "GROUP BY event_type"
+        ),
+        "streaming_tdigest_median": (
+            "SELECT event_type, COUNT(*) AS n_events, "
+            "TRUE AS median_rank_ok FROM events WHERE value IS NOT NULL "
+            "GROUP BY event_type ORDER BY event_type"
         ),
         "streaming_dedup_events": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS n_first_seen "
