@@ -94,6 +94,34 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
         "pred_lang", "quality", "n_chars", "n_bpe_tokens")
 
 
+def apply_mix(manifest: DataFrame, docs: DataFrame, targets: dict[str, float],
+              source_col: str = "source", id_col: str = "doc_id") -> DataFrame:
+    """Optional final pipeline stage: re-mix the KEPT docs to target source
+    proportions by bpe-token mass (:func:`sketchlib.sampling.mix_by_source`).
+    Docs deselected by the mix get ``keep = false`` with drop_reason
+    ``mixed_out``; dropped docs are untouched, so the drop accounting stays
+    disjoint.  Plan shape: one O(#sources) agg over kept rows + a
+    hash-stable anti-join flag — no shuffle of the corpus."""
+    from sketchlib.sampling import mix_by_source
+
+    kept = (manifest.filter("keep")
+            .join(docs.select(id_col, source_col), id_col))
+    mixed_ids = (mix_by_source(kept, source_col, targets, id_col,
+                               "n_bpe_tokens")
+                 .select(F.col(id_col).alias("__mix_id")))
+    out = (manifest.join(mixed_ids,
+                         manifest[id_col] == F.col("__mix_id"), "left")
+           .withColumn("__mixed_out",
+                       F.col("keep") & F.col("__mix_id").isNull())
+           .drop("__mix_id"))
+    return (out.select(
+        id_col,
+        (F.col("keep") & ~F.col("__mixed_out")).alias("keep"),
+        F.when(F.col("__mixed_out"), F.lit("mixed_out"))
+        .otherwise(F.col("drop_reason")).alias("drop_reason"),
+        "pred_lang", "quality", "n_chars", "n_bpe_tokens"))
+
+
 def summarize(manifest: DataFrame, docs: DataFrame, id_col: str,
               text_col: str) -> dict:
     """Disjoint drop accounting + corpus-diversity HLL over kept docs."""
@@ -116,6 +144,7 @@ def summarize(manifest: DataFrame, docs: DataFrame, id_col: str,
         "dropped_exact_dup": counts.get("exact_dup", 0),
         "dropped_near_dup": counts.get("near_dup", 0),
         "dropped_low_quality": counts.get("low_quality", 0),
+        "dropped_mixed_out": counts.get("mixed_out", 0),
         "kept_bpe_tokens": int(kept_stats["tok"] or 0),
         "kept_distinct_fingerprints_hll": int(div["distinct_fps"]),
     }
@@ -130,6 +159,11 @@ def main(argv=None) -> int:
     ap.add_argument("--min-quality", type=int, default=3)
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--no-near-dup", action="store_true")
+    ap.add_argument("--mix-targets", default=None,
+                    help='JSON {"source": share, ...} summing to 1: re-mix '
+                         "kept docs to these proportions by bpe-token mass "
+                         "(downsample-only, hash-stable)")
+    ap.add_argument("--source-col", default="source")
     ap.add_argument("--local-cpus", default=None)
     args = ap.parse_args(argv)
 
@@ -142,6 +176,9 @@ def main(argv=None) -> int:
                             min_quality=args.min_quality,
                             near_dup=not args.no_near_dup,
                             jaccard=args.jaccard)
+    if args.mix_targets:
+        manifest = apply_mix(manifest, docs, json.loads(args.mix_targets),
+                             args.source_col, args.id_col)
     manifest.write.mode("overwrite").parquet(args.output)
     manifest = spark.read.parquet(args.output)  # summarize the written file
     print(json.dumps(summarize(manifest, docs, args.id_col, args.text_col)))

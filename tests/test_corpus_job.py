@@ -62,3 +62,51 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert s["n_docs"] == 7 and s["kept"] >= 3
     kept = spark.read.parquet(out).filter("keep").count()
     assert kept == s["kept"]
+
+
+def test_apply_mix_stage(spark):
+    from sketchlib.jobs.corpus_job import apply_mix
+
+    # sources: sA has 3x the kept mass of sB; equal targets cut sA
+    rows = [(i, GOOD + f" filler {i}", "sA") for i in range(30)]
+    rows += [(i + 30, GOOD.replace("dog", f"w{i}") + f" tail {i}", "sB")
+             for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    manifest = clean_corpus(docs, near_dup=False, min_quality=3)
+    mixed = apply_mix(manifest, docs, {"sA": 0.5, "sB": 0.5},
+                      source_col="src")
+    m = {r["doc_id"]: r for r in mixed.collect()}
+    assert len(m) == 40  # still one row per input doc
+    # previously-dropped docs keep their original reason
+    for r in mixed.filter("drop_reason = 'mixed_out'").collect():
+        assert manifest.filter(f"doc_id = {r['doc_id']}").first()["keep"]
+    # sB (rarest vs target) keeps everything; sA is cut toward parity
+    kept_by_src = {s: sum(1 for d, r in m.items() if r["keep"]
+                          and (d < 30) == (s == "sA")) for s in ("sA", "sB")}
+    n_a_kept_before = manifest.filter("keep").join(
+        docs.filter("src = 'sA'").select("doc_id"), "doc_id").count()
+    n_b_kept_before = manifest.filter("keep").join(
+        docs.filter("src = 'sB'").select("doc_id"), "doc_id").count()
+    assert kept_by_src["sB"] == n_b_kept_before
+    assert kept_by_src["sA"] < n_a_kept_before
+    # disjoint accounting still holds through summarize
+    s = summarize(mixed, docs, "doc_id", "text")
+    assert (s["kept"] + s["dropped_exact_dup"] + s["dropped_near_dup"]
+            + s["dropped_low_quality"] + s["dropped_mixed_out"]) == 40
+
+
+def test_cli_with_mix_targets(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs_mix")
+    out = str(tmp_path / "manifest_mix")
+    rows = [(i, GOOD + f" filler {i}", "sA") for i in range(20)]
+    rows += [(i + 20, GOOD.replace("dog", f"w{i}") + f" tail {i}", "sB")
+             for i in range(5)]
+    spark.createDataFrame(rows, "doc_id long, text string, src string") \
+         .write.parquet(src)
+    rc = main(["--input", src, "--output", out, "--local-cpus", "4",
+               "--no-near-dup", "--source-col", "src",
+               "--mix-targets", json.dumps({"sA": 0.5, "sB": 0.5})])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["dropped_mixed_out"] > 0
+    assert s["n_docs"] == 25
