@@ -230,7 +230,22 @@ def write_report(s: dict) -> None:
         "",
         "_Regenerate: `python scripts/bench_scaling.py`_",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve curated sections (north-star suite, skew evidence, kernel
+    # notes): only the sections this script owns are rewritten; everything
+    # from the first heading it does not own onward is carried over
+    owned = ("# BENCH/BASELINE", "## Single-thread hash throughput")
+    carried: list[str] = []
+    if os.path.exists(path):
+        keep = False
+        for ln in open(path).read().splitlines():
+            if ln.startswith("#"):
+                keep = not ln.startswith(owned)
+            if keep:
+                carried.append(ln)
+    if carried:
+        lines += [""] + carried
+    with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
 
 
