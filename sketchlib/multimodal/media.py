@@ -1,11 +1,15 @@
 """Multimodal (image/audio/video) columns as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested: schemas, Arrow batch shapes,
-partition sizing, and the ``mapInPandas`` feature-extraction skeleton. The
-actual codec work is stubbed — this container ships no image/audio libraries
-— behind ``decode_image_stub``: a deterministic fake decoder (header parse +
-seeded pixels) with the exact signature a Pillow/ffmpeg-backed decoder would
-have. Swap the stub, keep the plumbing.
+partition sizing, and the ``mapInPandas`` feature-extraction skeleton.
+Codec coverage (round 3): the uncompressed public formats decode for REAL
+in pure numpy — binary PPM (P6), 24-bit BI_RGB BMP, and 16-bit PCM WAV —
+via :func:`decode_image` / :func:`decode_wav` magic-number dispatch.
+Compressed codecs (JPEG/PNG/WebP, MP3/AAC, H.264) remain environment-
+blocked — this container ships no Pillow/libjpeg/ffmpeg — and are
+represented by ``decode_image_stub``/``decode_frame_stub``: deterministic
+fake decoders with the exact signature and error contract a
+Pillow/PyAV-backed decoder would have.  Swap the stub, keep the plumbing.
 
 Design rules encoded here (what matters at 100 TB):
 * payload stays ``BinaryType``; metadata is a narrow struct column so scans
@@ -49,18 +53,25 @@ def pack_fake_image(width: int, height: int, seed: int) -> bytes:
 def media_meta_col(payload_col: str | Column, kind: str = "image") -> Column:
     """Cheap metadata struct without decoding: header fields + length.
 
-    JVM-side only: substring/length/conv — the blob is read but not parsed in
-    Python. For real formats this is where a magic-number dispatch would go.
+    JVM-side only (substring/length/conv — the blob is read but never
+    parsed in Python): magic-number dispatch over the fixture container and
+    24-bit BMP (fixed-offset LE header fields).  PPM metadata needs an
+    ASCII header parse, which stays in the Python decode stage.
     """
     c = F.col(payload_col) if isinstance(payload_col, str) else payload_col
-    header_ok = F.substring(c, 1, 4) == F.lit(_FAKE_MAGIC)
-    width = _le_int32(c, 5)
-    height = _le_int32(c, 9)
+    fake_ok = F.substring(c, 1, 4) == F.lit(_FAKE_MAGIC)
+    bmp_ok = F.substring(c, 1, 2) == F.lit(b"BM")
+    codec = (F.when(fake_ok, F.lit("fake-v1"))
+             .when(bmp_ok, F.lit("bmp"))
+             .otherwise(F.lit("unknown")))
+    width = F.when(fake_ok, _le_int32(c, 5)).when(bmp_ok, _le_int32(c, 19))
+    height = F.when(fake_ok, _le_int32(c, 9)) \
+        .when(bmp_ok, F.abs(_le_int32(c, 23)))
     return F.struct(
         F.lit(kind).alias("kind"),
-        F.when(header_ok, F.lit("fake-v1")).otherwise(F.lit("unknown")).alias("codec"),
-        F.when(header_ok, width).otherwise(F.lit(None)).alias("width"),
-        F.when(header_ok, height).otherwise(F.lit(None)).alias("height"),
+        codec.alias("codec"),
+        width.alias("width"),
+        height.alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
         F.length(c).cast("long").alias("n_bytes"),
     )
@@ -87,14 +98,110 @@ def decode_image_stub(payload: bytes) -> np.ndarray:
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL decoder for binary PPM (P6, maxval 255) — pure numpy, no codec
+    libs (format: netpbm spec).  Header tokens may be separated by any
+    whitespace and interleaved with ``#`` comments; pixel data starts one
+    whitespace byte after maxval."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    pos += 1  # exactly one whitespace byte before the raster
+    need = w * h * 3
+    data = payload[pos:pos + need]
+    if len(data) != need:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL decoder for uncompressed 24-bit BMP (BI_RGB) — pure numpy
+    (format: Windows BITMAPFILEHEADER + BITMAPINFOHEADER).  Handles the
+    4-byte row stride padding, bottom-up and top-down row order, and the
+    BGR channel order."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp}, "
+                         f"compression={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    need = stride * h
+    raster = payload[data_off:data_off + need]
+    if len(raster) != need:
+        raise ValueError("truncated BMP raster")
+    rows = (np.frombuffer(raster, dtype=np.uint8)
+            .reshape(h, stride)[:, :w * 3].reshape(h, w, 3))
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-number dispatch over the supported image codecs: REAL decoders
+    for the uncompressed public formats (P6 PPM, 24-bit BI_RGB BMP) and the
+    deterministic fake container for fixtures.  Compressed codecs
+    (JPEG/PNG/WebP) remain environment-blocked — no Pillow/libjpeg in this
+    container — and would slot in here."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:4] == _FAKE_MAGIC:
+        return decode_image_stub(payload)
+    raise ValueError("unknown image codec")
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_ppm` (fixtures + round-trip tests)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, dtype=np.uint8).tobytes()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_bmp`: bottom-up 24-bit BI_RGB with stride
+    padding (fixtures + round-trip tests)."""
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    bgr = np.ascontiguousarray(img[..., ::-1], dtype=np.uint8)
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    raster[:, :w * 3] = bgr.reshape(h, w * 3)
+    raster = raster[::-1].tobytes()
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(raster), 2835, 2835, 0, 0))
+    return header + raster
+
+
 def extract_media_features(df: DataFrame, payload_col: str = "payload",
                            id_col: str = "media_id",
                            resize_to: tuple[int, int] | None = (8, 8)) -> DataFrame:
     """Batch decode -> (optional) resize -> channel-mean features.
 
     Output: (id, width, height, mean_rgb array<double>, phash bigint).
-    The pipeline shape (decode inside mapInPandas, features as narrow
-    columns) is the real deliverable; decode is the stub above.
+    Decode dispatches per payload via :func:`decode_image`: REAL for
+    P6 PPM / 24-bit BMP, deterministic fake for the fixture container;
+    compressed codecs stay environment-blocked.
     """
     out_schema = T.StructType([
         T.StructField(id_col, df.schema[id_col].dataType),
@@ -109,7 +216,7 @@ def extract_media_features(df: DataFrame, payload_col: str = "payload",
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    img = decode_image_stub(bytes(payload))
+                    img = decode_image(bytes(payload))
                 except ValueError:
                     rows.append((mid, None, None, None, None))
                     continue
@@ -229,3 +336,81 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return planned.mapInPandas(run, out_schema)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL decoder for PCM WAV (RIFF/WAVE, 16-bit integer samples) — pure
+    numpy, no codec libs.  Walks the RIFF chunk list (so extra chunks like
+    LIST/fact are skipped), returns ``(samples[n, channels] int16,
+    sample_rate)``.  Compressed audio (MP3/AAC/Opus) remains
+    environment-blocked and would dispatch from here."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (format={audio_format}, "
+                         f"bits={bits})")
+    samples = np.frombuffer(
+        data[:len(data) - (len(data) % (2 * channels))], dtype="<i2")
+    return samples.reshape(-1, channels), sample_rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Inverse of :func:`decode_wav` (fixtures + round-trip tests)."""
+    s = np.ascontiguousarray(np.atleast_2d(samples.T).T, dtype="<i2")
+    channels = s.shape[1]
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def extract_audio_features(df: DataFrame, payload_col: str = "payload",
+                           id_col: str = "media_id") -> DataFrame:
+    """Batch WAV decode -> per-clip features, same mapInPandas shape as
+    :func:`extract_media_features`: ``(id, sample_rate, n_samples,
+    channels, rms, zero_crossing_rate)``; undecodable payloads yield NULL
+    features."""
+    out_schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+    ])
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    samples, rate = decode_wav(bytes(payload))
+                except ValueError:
+                    rows.append((mid, None, None, None, None, None))
+                    continue
+                mono = samples.mean(axis=1)
+                n = mono.shape[0]
+                rms = float(np.sqrt(np.mean(mono ** 2))) if n else 0.0
+                zcr = (float(np.mean(np.signbit(mono[1:])
+                                     != np.signbit(mono[:-1])))
+                       if n > 1 else 0.0)
+                rows.append((mid, int(rate), int(n), int(samples.shape[1]),
+                             rms, zcr))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
