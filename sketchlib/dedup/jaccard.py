@@ -47,7 +47,7 @@ operator when the contract requires every qualifying pair.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .minhash import shingles_col
@@ -57,17 +57,32 @@ def _prefix_index(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
     """(g, id, sz) rows for each doc's prefix grams in canonical order.
 
     ``g`` is the 64-bit gram hash, ``sz`` the doc's full gram-set size.
-    """
+
+    Shuffle shape (all linear in corpus gram count): the exploded
+    (gram, doc) rows shuffle by ``g`` ONCE — Spark serves both the DF
+    aggregate and the join probe from the same exchange (ReusedExchange),
+    and the aggregate output is already hash-partitioned by ``g`` so the
+    join's build side needs no exchange — then by ``id`` for the per-doc
+    prefix cut.  The per-doc cut is a map-side-combinable
+    ``collect_list`` + per-doc ``array_sort``/``slice`` rather than a
+    ``row_number`` window: no partition-wide sort, and partial aggregation
+    shrinks the doc-keyed shuffle.  Per-doc memory for the collected
+    (df, g) array is O(doc grams) — the same bound as the doc's shingle
+    array (and its text row) already impose."""
     gd = (sh.select(F.col(id_col), F.size("shingles").alias("sz"),
                     F.explode("shingles").alias("gram"))
           .select(id_col, "sz", F.xxhash64("gram").alias("g")))
     dfreq = gd.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy(id_col).orderBy("df", "g")
-    return (gd.join(dfreq, "g")
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn")
-                    <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-            .select("g", id_col, "sz"))
+    plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    per_doc = (gd.join(dfreq, "g")
+               .groupBy(id_col)
+               .agg(F.first("sz").alias("sz"),
+                    F.collect_list(F.struct("df", "g")).alias("__dg")))
+    return (per_doc
+            .select(id_col, "sz",
+                    F.explode(F.slice(F.array_sort("__dg"), 1, plen))
+                    .alias("__p"))
+            .select(F.col("__p.g").alias("g"), id_col, "sz"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
