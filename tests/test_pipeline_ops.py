@@ -171,6 +171,22 @@ class TestDedup:
                      .filter(F.col("j") >= t)).collect()}
             assert got == want, (t, got, want)
 
+    def test_ngram_jaccard_executed_plan_shape(self, spark, docs_df):
+        """AQE-final plan: the exploded gram subtree's exchange is reused
+        (aggregate + join probe served from one shuffle), the per-doc
+        prefix cut is an aggregate not a window sort, and the verify side
+        prefilters via a semi join."""
+        p = __import__("sketchlib.dedup", fromlist=["ngram_jaccard_pairs"]) \
+            .ngram_jaccard_pairs(docs_df, threshold=0.5)
+        p.collect()
+        plan = p._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "isFinalPlan=true" in final
+        assert final.count("ReusedExchange") >= 1
+        assert "Window" not in final
+        assert "LeftSemi" in final
+        assert "CartesianProduct" not in final
+
     def test_ngram_jaccard_rejects_bad_threshold(self, spark, docs_df):
         from sketchlib.dedup import ngram_jaccard_pairs
 
