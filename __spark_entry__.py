@@ -595,6 +595,40 @@ def q_hash_split_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partition_stable boolean")
 
 
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (gear rolling hash) machine-checked: union
+    the corpus with an id-shifted copy of itself; ``shared_chunk_pairs``
+    must find EVERY (doc, copy) pair with full chunk overlap, and chunk
+    fingerprints must be bit-identical under a different partitioning.
+    The doc count is exactly reproduced by the oracle; the behavioral
+    invariants are exported as booleans (gear boundaries are not
+    SQL-expressible)."""
+    from sketchlib.text.chunking import chunk_fingerprints, shared_chunk_pairs
+
+    docs = (_read(spark, sf_dir, "documents").select("doc_id", "text")
+            .filter(F.col("text").isNotNull() & (F.length("text") >= 1)))
+    shift = 1_000_000
+    both = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + shift))
+    pairs = shared_chunk_pairs(both, avg_size=64, min_shared=1)
+    self_pairs = (pairs.filter(F.col("id_b") - F.col("id_a") == shift)
+                  .select("id_a", "shared_chunks", "chunks_a", "chunks_b"))
+    n_docs = docs.count()
+    n_found = self_pairs.count()
+    n_full = self_pairs.filter(
+        (F.col("shared_chunks") == F.col("chunks_a"))
+        & (F.col("chunks_a") == F.col("chunks_b"))).count()
+    a = {r["doc_id"]: r["chunks"] for r in
+         chunk_fingerprints(docs, avg_size=64).collect()}
+    b = {r["doc_id"]: r["chunks"] for r in
+         chunk_fingerprints(docs.repartition(13), avg_size=64).collect()}
+    return spark.createDataFrame(
+        [(int(n_docs), bool(n_found == n_docs), bool(n_full == n_docs),
+          bool(a == b))],
+        "n_docs long, all_self_pairs_found boolean, "
+        "all_full_overlap boolean, partition_stable boolean")
+
+
 def q_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus re-mixing to target source proportions by
     char mass (the LLM data-mixing step).  keep_frac is the closed-form
@@ -1214,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "hash_split_stable": q_hash_split_stable,
         "source_mixing": q_source_mixing,
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "streaming_distinct_users": q_streaming_distinct_users,
         "streaming_theta_distinct": q_streaming_theta_distinct,
@@ -1459,6 +1494,11 @@ def _pipeline_oracles() -> dict[str, str]:
         "hash_split_stable": (
             "SELECT (SELECT COUNT(*) FROM documents) AS n_total, "
             "3 AS n_splits, TRUE AS fractions_ok, TRUE AS partition_stable"
+        ),
+        "cdc_chunk_dedup": (
+            "SELECT COUNT(*) AS n_docs, TRUE AS all_self_pairs_found, "
+            "TRUE AS all_full_overlap, TRUE AS partition_stable "
+            "FROM documents WHERE text IS NOT NULL AND length(text) >= 1"
         ),
         "source_mixing": (
             # keep_frac = w*B/T with B = min(T/w): identical IEEE ops to

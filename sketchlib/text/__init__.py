@@ -11,6 +11,10 @@ from .analysis import (  # noqa: F401
     stopword_count,
     ws_token_count,
 )
+from .chunking import (  # noqa: F401
+    chunk_fingerprints,
+    shared_chunk_pairs,
+)
 from .decontaminate import (  # noqa: F401
     contamination_report,
     decontaminate,
