@@ -1195,6 +1195,54 @@ def q_hll_rollup_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "bit_identical").orderBy("event_type"))
 
 
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filter (sketchlib/text/urls.py — broadcast left-anti
+    hash join, corpus never shuffled).  Deterministic URLs from doc_id land
+    in one of five registrable domains; two are blocklisted.  The oracle is
+    the closed-form kept set."""
+    from sketchlib.text.urls import filter_blocked_domains, url_domain
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 50
+    url = F.concat(F.lit("https://h"), k.cast("string"),
+                   F.lit(".example"), (k % 5).cast("string"),
+                   F.lit(".org/p"), F.col("doc_id").cast("string"))
+    urls = docs.select("doc_id", url.alias("url"))
+    bl = spark.createDataFrame([("example0.org",), ("EXAMPLE3.ORG",)],
+                               "domain string")
+    kept = filter_blocked_domains(urls, bl, "url")
+    return kept.select("doc_id", url_domain(F.col("url")).alias("domain"))
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (sketchlib/text/pii.py — pure JVM regexp exprs, map-only).
+    Deterministic PII-bearing text built from doc_id exercises one pattern
+    class per branch: email+IPv4 (mod 0), international phone (mod 1),
+    SSN-shaped ID (mod 2), clean (mod 3).  The oracle is the CLOSED-FORM
+    expected counts and redacted string — ground truth, not a SQL
+    re-implementation of the Java regexes."""
+    from sketchlib.text.pii import with_pii_stats
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    d4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("contact user"), i, F.lit("@example.com from 10."),
+            (F.col("doc_id") % 200).cast("string"), F.lit(".0."),
+            (F.col("doc_id") % 250).cast("string")))
+        .when(m == 1, F.concat(F.lit("call +1 (212) 555-"), d4, F.lit(" now")))
+        .when(m == 2, F.concat(F.lit("id 123-45-"), d4, F.lit(" registered")))
+        .otherwise(F.concat(F.lit("clean row "), i)))
+    stats = with_pii_stats(docs.select("doc_id", text.alias("text")), "text")
+    return stats.select(
+        "doc_id",
+        *[F.col(c).cast("long").alias(c)
+          for c in ("n_email", "n_phone", "n_id", "n_ip", "n_pii")],
+        F.col("redacted_text").alias("redacted"))
+
+
 def q_accuracy_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-star verification loop as a library operator
     (sketchlib/spark/audit.py): estimate AND exact distinct computed over a
@@ -1257,6 +1305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "extract_text_parity": q_extract_text_parity,
         "url_normalize_keys": q_url_normalize_keys,
+        "pii_redaction": q_pii_redaction,
+        "blocklist_filter": q_blocklist_filter,
         "accuracy_audit_sampled": q_accuracy_audit_sampled,
         "hll_rollup_bound": q_hll_rollup_bound,
         "sql_hll_distinct": q_sql_hll_distinct,
@@ -1584,6 +1634,30 @@ def _pipeline_oracles() -> dict[str, str]:
             "END AS norm_url, "
             "'h' || (doc_id % 50) || '.example.com' AS host, "
             "'example.com' AS domain FROM documents"
+        ),
+        "blocklist_filter": (
+            # closed-form kept set: domain example{k%5}.org, k = doc_id%50;
+            # domains 0 and 3 are blocklisted
+            "SELECT doc_id, "
+            "'example' || ((doc_id % 50) % 5) || '.org' AS domain "
+            "FROM documents WHERE (doc_id % 50) % 5 NOT IN (0, 3)"
+        ),
+        "pii_redaction": (
+            # closed-form ground truth for the deterministic PII text:
+            # mod 0 -> email+ip, mod 1 -> phone, mod 2 -> id, mod 3 -> clean
+            "SELECT doc_id, "
+            "CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_email, "
+            "CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_phone, "
+            "CAST(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_id, "
+            "CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_ip, "
+            "CAST(CASE WHEN doc_id % 4 = 0 THEN 2 "
+            "WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END AS BIGINT) AS n_pii, "
+            "CASE CAST(doc_id % 4 AS INT) "
+            "WHEN 0 THEN 'contact <EMAIL> from <IP>' "
+            "WHEN 1 THEN 'call <PHONE> now' "
+            "WHEN 2 THEN 'id <ID> registered' "
+            "ELSE 'clean row ' || doc_id END AS redacted "
+            "FROM documents"
         ),
         "simhash_near_dup_pairs": (
             "SELECT CAST(0 AS BIGINT) AS n_missed, CAST(0 AS BIGINT) AS n_extra, "

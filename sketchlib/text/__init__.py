@@ -15,6 +15,18 @@ from .chunking import (  # noqa: F401
     chunk_fingerprints,
     shared_chunk_pairs,
 )
+from .pii import (  # noqa: F401
+    pii_counts,
+    pii_summary,
+    redact_pii,
+    with_pii_stats,
+)
+from .urls import (  # noqa: F401
+    filter_blocked_domains,
+    normalize_url,
+    url_domain,
+    url_host,
+)
 from .decontaminate import (  # noqa: F401
     contamination_report,
     decontaminate,

@@ -1,0 +1,114 @@
+"""PII detection and redaction for web-scale training corpora — pure JVM
+column expressions (whole-stage codegen; zero Python in the hot path).
+
+Training-data pipelines scrub personally identifiable information before a
+corpus ships (C4 and the BigScience ROOTS pipeline both run regex-class PII
+scrubbers over every document).  At 10^12 documents the scrubber must be a
+map-only pass: no shuffle, no Python, pushed into the same codegen stage as
+the rest of the row filter.  Everything here compiles to
+``regexp_count`` / ``regexp_replace`` over the text column.
+
+Pattern classes (ordered — redaction applies them in sequence so a later,
+looser pattern never eats the span of an earlier, stricter one):
+
+====== ============================================= ===========
+class  shape                                          placeholder
+====== ============================================= ===========
+email  ``local@host.tld``                             ``<EMAIL>``
+phone  ``+C (AAA) BBB-CCCC`` international w/ area    ``<PHONE>``
+id     ``DDD-DD-DDDD`` SSN-shaped ID number           ``<ID>``
+ip     dotted-quad IPv4                               ``<IP>``
+====== ============================================= ===========
+
+Counts are computed per class on the *original* text, so overlapping spans
+(a phone number whose tail happens to look ID-shaped) could in principle be
+counted under two classes; the redactor itself is sequential and therefore
+never double-replaces.  The four shipped patterns are mutually exclusive by
+construction (an email span contains ``@``; a phone span starts ``+``; an
+ID span is exactly 3-2-4 digits; an IP span contains dots between digit
+runs), so on real text the counts partition cleanly.
+
+Scale shape: map-only (no exchange), one pass over the text bytes per
+pattern.  Java's regex engine runs these inside whole-stage codegen; the
+plan for :func:`with_pii_stats` is a single ``Project`` over the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (name, java regex, placeholder) — applied in this order.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+\d{1,2} ?\(\d{3}\) ?\d{3}-\d{4}", "<PHONE>"),
+    ("id", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    ("ip", r"\b\d{1,3}(?:\.\d{1,3}){3}\b", "<IP>"),
+)
+
+
+def pii_counts(col: Column) -> list[Column]:
+    """Per-class match counts, aliased ``n_email / n_phone / n_id / n_ip``.
+
+    Each is one JVM ``regexp_count`` over the original text."""
+    return [
+        F.regexp_count(col, F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII span with its class placeholder.
+
+    Patterns apply in ``PII_PATTERNS`` order, so the stricter classes
+    (email, phone) are consumed before the looser digit-shape classes
+    (id, ip) can see their spans."""
+    out = col
+    for _, pat, placeholder in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, placeholder)
+    return out
+
+
+def with_pii_stats(df: DataFrame, text_col: str = "text",
+                   redact: bool = True) -> DataFrame:
+    """Append per-class PII counts (``n_email``/``n_phone``/``n_id``/
+    ``n_ip``), a total ``n_pii``, and — when ``redact`` — a
+    ``redacted_text`` column.
+
+    Map-only: a single ``Project`` over the scan, no shuffle, no Python.
+    Raises if the input already carries one of the output column names
+    (the caller almost certainly did not mean to overwrite it)."""
+    added = [f"n_{n}" for n, _, _ in PII_PATTERNS] + ["n_pii"]
+    if redact:
+        added.append("redacted_text")
+    clash = [c for c in added if c in df.columns]
+    if clash:
+        raise ValueError(f"input already has column(s) {clash}")
+    c = F.col(text_col)
+    counts = pii_counts(c)
+    out = df.select(
+        "*", *counts,
+    ).withColumn(
+        "n_pii", sum(F.col(f"n_{n}") for n, _, _ in PII_PATTERNS),
+    )
+    if redact:
+        out = out.withColumn("redacted_text", redact_pii(c))
+    return out
+
+
+def pii_summary(df: DataFrame, text_col: str = "text",
+                group_col: str | None = None) -> DataFrame:
+    """Corpus-level PII prevalence: documents scanned, documents with any
+    PII, and total spans per class — optionally per ``group_col``.
+
+    One partial-aggregated shuffle of O(groups) count rows; the regex work
+    happens map-side in the same stage as the scan."""
+    stats = with_pii_stats(df, text_col, redact=False)
+    keys = [group_col] if group_col else []
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_pii") > 0).cast("long")).alias("n_docs_with_pii"),
+    ] + [
+        F.sum(f"n_{n}").alias(f"total_{n}") for n, _, _ in PII_PATTERNS
+    ]
+    return stats.groupBy(*keys).agg(*aggs)

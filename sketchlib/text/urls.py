@@ -58,3 +58,33 @@ def normalize_url(col: Column) -> Column:
     u = strip_tracking_params(u)
     u = F.regexp_replace(u, r"/$", "")
     return u
+
+
+def filter_blocked_domains(df, blocklist, url_col: str = "url",
+                           level: str = "domain"):
+    """Drop every row whose URL's registrable domain (or full host, with
+    ``level="host"``) appears in ``blocklist`` — the standard
+    adult/malware/spam domain-list filter of CC-style pipelines.
+
+    ``blocklist`` is a single-column DataFrame of lowercase domains (UT1,
+    StevenBlack and friends are a few million rows — far under the
+    broadcast threshold), so the filter is a **broadcast left-anti hash
+    join**: map-only, no shuffle of the corpus, no Python.  The join key
+    is derived in the same codegen stage as the scan.
+
+    Returns the kept rows with the derived key appended as ``__blockkey``
+    dropped — i.e. the original schema.
+    """
+    if level not in ("domain", "host"):
+        raise ValueError(f"level must be 'domain' or 'host', got {level!r}")
+    key = url_domain(F.col(url_col)) if level == "domain" \
+        else url_host(F.col(url_col))
+    # uniquified temp name: withColumn would silently REPLACE (then drop) a
+    # pre-existing user column of the same name
+    k = "__blockkey"
+    while k in df.columns:
+        k += "_"
+    bcol = blocklist.columns[0]
+    bl = blocklist.select(F.lower(F.col(bcol)).alias(k)).distinct()
+    kept = df.withColumn(k, key).join(F.broadcast(bl), k, "left_anti")
+    return kept.drop(k)
