@@ -1214,6 +1214,22 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", url_domain(F.col("url")).alias("domain"))
 
 
+def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM scoring (sketchlib/text/lmscore.py).  The
+    vocab is trained on the corpus itself (top-10 tokens, count desc /
+    token asc tie-break), log-probs quantized to integer milli-nats so
+    per-doc sums are order-independent, scoring is zero-shuffle
+    mapInPandas.  The oracle independently retrains the same vocab and
+    rescores every document in SQL — a full re-derivation, not a
+    closed form."""
+    from sketchlib.text.lmscore import score_docs, train_unigram_lm
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = train_unigram_lm(docs, vocab_size=10)
+    return (score_docs(docs, lm)
+            .select("doc_id", "n_tokens", "n_oov", "sum_logp_milli"))
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (sketchlib/text/pii.py — pure JVM regexp exprs, map-only).
     Deterministic PII-bearing text built from doc_id exercises one pattern
@@ -1307,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize_keys": q_url_normalize_keys,
         "pii_redaction": q_pii_redaction,
         "blocklist_filter": q_blocklist_filter,
+        "lm_quality_score": q_lm_quality_score,
         "accuracy_audit_sampled": q_accuracy_audit_sampled,
         "hll_rollup_bound": q_hll_rollup_bound,
         "sql_hll_distinct": q_sql_hll_distinct,
@@ -1634,6 +1651,26 @@ def _pipeline_oracles() -> dict[str, str]:
             "END AS norm_url, "
             "'h' || (doc_id % 50) || '.example.com' AS host, "
             "'example.com' AS domain FROM documents"
+        ),
+        "lm_quality_score": (
+            # full re-derivation: same tokenizer, same top-10 vocab with
+            # count-desc/token-asc tie-break, same milli-nat quantization
+            # (glibc ln on both sides), integer sums per doc
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok "
+            "FROM documents), "
+            "tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM toks), "
+            "vl AS (SELECT tok, CAST(round(1000 * ln(COUNT(*) / "
+            "(SELECT t FROM tot))) AS BIGINT) AS lp FROM toks "
+            "GROUP BY tok ORDER BY COUNT(*) DESC, tok ASC LIMIT 10), "
+            "oov AS (SELECT CAST(round(1000 * ln(0.5 / t)) AS BIGINT) "
+            "AS lp FROM tot) "
+            "SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(CASE WHEN v.lp IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_oov, "
+            "CAST(SUM(COALESCE(v.lp, (SELECT lp FROM oov))) AS BIGINT) "
+            "AS sum_logp_milli "
+            "FROM toks s LEFT JOIN vl v USING (tok) GROUP BY s.doc_id"
         ),
         "blocklist_filter": (
             # closed-form kept set: domain example{k%5}.org, k = doc_id%50;

@@ -15,6 +15,12 @@ from .chunking import (  # noqa: F401
     chunk_fingerprints,
     shared_chunk_pairs,
 )
+from .lmscore import (  # noqa: F401
+    UnigramLM,
+    lm_quality_filter,
+    score_docs,
+    train_unigram_lm,
+)
 from .pii import (  # noqa: F401
     pii_counts,
     pii_summary,

@@ -1,0 +1,149 @@
+"""CCNet-style unigram language-model quality scoring.
+
+CCNet (Wenzek et al. 2020) ranks Common-Crawl documents by language-model
+perplexity and keeps the head of the distribution; the cheap, fully
+reproducible variant used for ablations is a **unigram** LM over the corpus
+itself.  This module implements that variant with an exact integer
+arithmetic contract so results are bit-reproducible across engines:
+
+* **Train** (:func:`train_unigram_lm`): one ``groupBy(token)`` count over
+  the corpus — the only shuffle, O(distinct tokens) — then the top-V vocab
+  (count desc, token asc tie-break) collects to the driver.  Log
+  probabilities are quantized to integer **milli-nats**
+  ``round(1000 * ln(c / total))`` so every downstream sum is integer and
+  order-independent (float summation order would otherwise make the score
+  depend on partitioning).  OOV tokens get the Laplace-ish
+  ``round(1000 * ln(0.5 / total))``.
+* **Score** (:func:`score_docs`): zero-shuffle ``mapInPandas`` — the vocab
+  dict ships as a broadcast variable, tokens are derived JVM-side
+  (:func:`sketchlib.text.decontaminate.tokens_col`), and the kernel is a
+  flatten → dict-map → cumsum-diff segmented sum (no per-row Python loop,
+  empty docs handled by the cumsum formulation).
+
+At 10^12 documents the train pass is a bounded one-time job (sample the
+corpus first if even the token-count shuffle is too much — the vocab head
+is insensitive to uniform sampling) and scoring is embarrassingly parallel
+with only the O(vocab) dict crossing to each worker once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .decontaminate import tokens_col
+
+MAX_VOCAB = 5_000_000  # broadcast-dict sanity bound (~hundreds of MB)
+
+
+@dataclass(frozen=True)
+class UnigramLM:
+    """Trained unigram model: token -> integer milli-nat log-prob."""
+    logp_milli: dict  # str -> int
+    oov_logp_milli: int
+    total_tokens: int
+
+
+def train_unigram_lm(df: DataFrame, text_col: str = "text",
+                     vocab_size: int = 50_000) -> UnigramLM:
+    """Count tokens corpus-wide, keep the top-``vocab_size``, quantize.
+
+    ``ln`` runs in numpy on the driver (glibc ``log``) over the collected
+    counts — never in the JVM — so an oracle recomputing the same quantity
+    with another glibc-backed engine matches bit-for-bit."""
+    import numpy as np
+
+    if vocab_size < 1 or vocab_size > MAX_VOCAB:
+        raise ValueError(f"vocab_size must be in [1, {MAX_VOCAB}]")
+    counts = (df.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+              .groupBy("tok").agg(F.count("*").alias("c")))
+    counts = counts.persist()
+    try:
+        total = counts.agg(F.sum("c").alias("t")).first()["t"] or 0
+        top = (counts.orderBy(F.desc("c"), F.asc("tok"))
+               .limit(vocab_size).collect())
+    finally:
+        counts.unpersist()
+    if total == 0:
+        return UnigramLM({}, 0, 0)
+    toks = [r["tok"] for r in top]
+    c = np.array([r["c"] for r in top], dtype=np.float64)
+    lp = np.round(1000.0 * np.log(c / float(total))).astype(np.int64)
+    oov = int(np.round(1000.0 * np.log(0.5 / float(total))))
+    return UnigramLM(dict(zip(toks, lp.tolist())), oov, int(total))
+
+
+def score_docs(df: DataFrame, lm: UnigramLM,
+               text_col: str = "text") -> DataFrame:
+    """Append ``n_tokens``, ``n_oov``, ``sum_logp_milli`` per document.
+
+    Map-only (no shuffle); the whole input row passes through Arrow, so
+    ``select`` the columns you need before calling if ``text_col`` is the
+    bulk of the row and you don't want it back."""
+    import numpy as np
+    import pandas as pd
+
+    added = ("n_tokens", "n_oov", "sum_logp_milli")
+    clash = [c for c in added if c in df.columns]
+    if clash:
+        raise ValueError(f"input already has column(s) {clash}")
+    tcol = "__tokens"
+    while tcol in df.columns:
+        tcol += "_"
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(c, T.LongType()) for c in added])
+    spark = df.sparkSession
+    vocab_bc = spark.sparkContext.broadcast(lm.logp_milli)
+    oov_lp = lm.oov_logp_milli
+    in_cols = df.columns
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vocab = vocab_bc.value
+        for pdf in batches:
+            toks = pdf[tcol]
+            n = len(pdf)
+            if n == 0:
+                yield pdf[in_cols].assign(
+                    n_tokens=np.array([], dtype=np.int64),
+                    n_oov=np.array([], dtype=np.int64),
+                    sum_logp_milli=np.array([], dtype=np.int64))
+                continue
+            lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                               count=n)
+            flat = pd.Series(
+                np.concatenate([np.asarray(t, dtype=object) for t in toks])
+                if lens.sum() else np.array([], dtype=object))
+            lp = flat.map(vocab)
+            oov = lp.isna().to_numpy(dtype=np.int64)
+            lpv = lp.fillna(oov_lp).to_numpy(dtype=np.int64)
+            # cumsum-diff segmented sums: exact integers, empty-doc safe
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            cs = np.concatenate([[0], np.cumsum(lpv)])
+            co = np.concatenate([[0], np.cumsum(oov)])
+            yield pdf[in_cols].assign(
+                n_tokens=lens,
+                n_oov=co[ends] - co[starts],
+                sum_logp_milli=cs[ends] - cs[starts])
+
+    return (df.withColumn(tcol, tokens_col(F.col(text_col)))
+            .mapInPandas(kernel, schema=out_schema))
+
+
+def lm_quality_filter(df: DataFrame, lm: UnigramLM, text_col: str = "text",
+                      min_mean_logp_milli: int = -9000) -> DataFrame:
+    """Keep documents whose mean token log-prob (milli-nats) clears the
+    threshold — the CCNet head/tail cut.  The mean is compared as
+    ``sum >= threshold * n_tokens`` so the decision stays in exact integer
+    arithmetic."""
+    scored = score_docs(df, lm, text_col)
+    keep = (F.col("n_tokens") > 0) & (
+        F.col("sum_logp_milli")
+        >= F.lit(int(min_mean_logp_milli)) * F.col("n_tokens"))
+    return scored.filter(keep).drop("n_tokens", "n_oov", "sum_logp_milli")
