@@ -1214,6 +1214,25 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", url_domain(F.col("url")).alias("domain"))
 
 
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-line removal (sketchlib/text/boilerplate.py).
+    Deterministic 3-line docs: a footer shared by every doc, the doc's own
+    60-char prefix, and one of 7 promo lines (each ~1/7 of the corpus) —
+    min_count=50 strips footer+promos, keeps the unique prefixes.  The
+    oracle re-derives the frequent-line set and reassembles every doc in
+    SQL on the normalized line STRINGS (the Spark path works on xxhash64
+    fingerprints — agreement also certifies hash-set fidelity)."""
+    from sketchlib.text.boilerplate import remove_boilerplate
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    tx = F.concat(
+        F.lit("COPYRIGHT FOOTER\n"), F.substring(F.col("text"), 1, 60),
+        F.lit("\npromo block "), (F.col("doc_id") % 7).cast("string"))
+    out = remove_boilerplate(docs.select("doc_id", tx.alias("text")),
+                             min_count=50)
+    return out.select("doc_id", "n_lines", "n_removed", "clean_text")
+
+
 def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram LM scoring (sketchlib/text/lmscore.py).  The
     vocab is trained on the corpus itself (top-10 tokens, count desc /
@@ -1324,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "blocklist_filter": q_blocklist_filter,
         "lm_quality_score": q_lm_quality_score,
+        "boilerplate_removal": q_boilerplate_removal,
         "accuracy_audit_sampled": q_accuracy_audit_sampled,
         "hll_rollup_bound": q_hll_rollup_bound,
         "sql_hll_distinct": q_sql_hll_distinct,
@@ -1651,6 +1671,26 @@ def _pipeline_oracles() -> dict[str, str]:
             "END AS norm_url, "
             "'h' || (doc_id % 50) || '.example.com' AS host, "
             "'example.com' AS domain FROM documents"
+        ),
+        "boilerplate_removal": (
+            # full re-derivation on normalized line strings: frequent set
+            # (count >= 50, blank lines excluded), per-doc reassembly
+            "WITH lines AS ("
+            "SELECT doc_id, 1 AS ord, 'COPYRIGHT FOOTER' AS line "
+            "FROM documents "
+            "UNION ALL SELECT doc_id, 2, substr(text, 1, 60) FROM documents "
+            "UNION ALL SELECT doc_id, 3, 'promo block ' || (doc_id % 7) "
+            "FROM documents), "
+            "freq AS (SELECT lower(trim(line)) AS nl FROM lines "
+            "WHERE trim(line) != '' GROUP BY 1 HAVING COUNT(*) >= 50), "
+            "k AS (SELECT doc_id, COUNT(*) AS nk, "
+            "string_agg(line, chr(10) ORDER BY ord) AS ct FROM lines "
+            "WHERE lower(trim(line)) NOT IN (SELECT nl FROM freq) "
+            "GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(3 AS BIGINT) AS n_lines, "
+            "CAST(3 - COALESCE(k.nk, 0) AS BIGINT) AS n_removed, "
+            "COALESCE(k.ct, '') AS clean_text "
+            "FROM documents d LEFT JOIN k USING (doc_id)"
         ),
         "lm_quality_score": (
             # full re-derivation: same tokenizer, same top-10 vocab with

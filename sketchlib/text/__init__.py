@@ -15,6 +15,11 @@ from .chunking import (  # noqa: F401
     chunk_fingerprints,
     shared_chunk_pairs,
 )
+from .boilerplate import (  # noqa: F401
+    frequent_line_hashes,
+    remove_boilerplate,
+    strip_boilerplate,
+)
 from .lmscore import (  # noqa: F401
     UnigramLM,
     lm_quality_filter,
