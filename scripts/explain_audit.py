@@ -212,6 +212,59 @@ def main() -> None:
               ("selection derives from xxhash64 in-plan", "xxhash64" in p)]
     sections.append(("mix_by_source(documents, uniform targets)", p, checks))
 
+    # 11. PII scrub: single map-only Project, no shuffle, no Python
+    from sketchlib.text.pii import with_pii_stats
+
+    p = plan_of(with_pii_stats(docs, "text"))
+    checks = [("map-only (no exchange)", "Exchange" not in p),
+              ("no Python stage (JVM regexp exprs)",
+               "Python" not in p and "MapIn" not in p)]
+    sections.append(("with_pii_stats(documents)", p, checks))
+
+    # 12. blocklist filter: broadcast left-anti, corpus never exchanged
+    from sketchlib.text.urls import filter_blocked_domains
+
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 50).cast("string"),
+                 F.lit(".example.org/p")).alias("url"))
+    bl = spark.createDataFrame([("example.org",)], "d string")
+    p = plan_of(filter_blocked_domains(urls, bl, "url"))
+    non_bcast = [l for l in p.splitlines()
+                 if re.search(r"\bExchange \(\d+\)", l)
+                 and "Broadcast" not in l]
+    checks = [("broadcast left-anti hash join",
+               "BroadcastHashJoin" in p and "LeftAnti" in p),
+              ("corpus side never exchanged (the single shuffle is the "
+               "tiny blocklist distinct, keyed on __blockkey)",
+               len(non_bcast) == 1
+               and "hashpartitioning(__blockkey" in p)]
+    sections.append(("filter_blocked_domains(urls, blocklist)", p, checks))
+
+    # 13. LM scoring: zero-shuffle mapInPandas, JVM tokenization
+    from sketchlib.text.lmscore import UnigramLM, score_docs
+
+    lm = UnigramLM({"the": -1000}, -5000, 100)
+    p = plan_of(score_docs(docs.select("doc_id", "text"), lm))
+    checks = [("zero-shuffle scoring (broadcast vocab dict)",
+               "Exchange" not in p),
+              ("tokenization stays JVM-side (split feeds the Python stage)",
+               "split(" in p)]
+    sections.append(("score_docs(documents, unigram_lm)", p, checks))
+
+    # 14. boilerplate strip: zero-shuffle, JVM line split + hash
+    from sketchlib.text.boilerplate import strip_boilerplate
+
+    import numpy as np
+    p = plan_of(strip_boilerplate(docs.select("doc_id", "text"),
+                                  np.array([1, 2], dtype=np.int64)))
+    checks = [("strip pass is map-only (frequent set rides a broadcast "
+               "variable)", "Exchange" not in p),
+              ("line hashing stays JVM-side (xxhash64 feeds the Python "
+               "stage)", "xxhash64" in p)]
+    sections.append(("strip_boilerplate(documents, frequent_hashes)", p,
+                     checks))
+
     out = ["# BENCH/PLANS — physical-plan audit",
            "",
            "Generated by `python scripts/explain_audit.py`. Each section is "

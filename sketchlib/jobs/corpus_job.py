@@ -21,9 +21,15 @@ One job, the standard LLM-corpus shape:
    of the corpus: at 100 TB you join it back to the documents table to
    materialize the cleaned split, and every drop is attributable.
 
-Drop precedence (first match wins): exact_dup > near_dup > low_quality —
-an exact duplicate reports exact_dup even if also low quality, so
-rate accounting stays disjoint.
+Optional scrub stages (``--blocklist``, ``--max-pii``,
+``--min-mean-logp-milli``) add the domain-blocklist, PII-prevalence, and
+unigram-LM-tail drop rules from ``sketchlib.text``.
+
+Drop precedence (first match wins): blocked_domain > exact_dup >
+near_dup > low_quality > pii_heavy > lm_tail — an exact duplicate reports
+exact_dup even if also low quality, so rate accounting stays disjoint.
+Blocked docs are excluded from dedup survivorship (a blocked doc must not
+be the reason its non-blocked copies are dropped).
 
 The printed JSON summary carries disjoint drop counts plus an HLL distinct
 fingerprint estimate (corpus diversity) and total kept BPE tokens.
@@ -54,15 +60,66 @@ def annotate(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def clean_corpus(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", min_quality: int = 3,
-                 near_dup: bool = True, jaccard: float = 0.8) -> DataFrame:
+                 near_dup: bool = True, jaccard: float = 0.8,
+                 blocklist: DataFrame | None = None, url_col: str = "url",
+                 max_pii: int | None = None,
+                 min_mean_logp_milli: int | None = None,
+                 lm_vocab_size: int = 50_000) -> DataFrame:
     """Manifest DataFrame: (id, keep, drop_reason, pred_lang, quality,
-    n_chars, n_bpe_tokens) — one row per input doc."""
+    n_chars, n_bpe_tokens) — one row per input doc.
+
+    Optional scrub stages (all off by default, each adds one disjoint
+    drop reason):
+
+    * ``blocklist`` — a one-column domain DataFrame; docs whose
+      ``url_col`` registrable domain matches are dropped as
+      ``blocked_domain`` (broadcast semi-join flag, corpus never
+      shuffled).  Highest precedence: a blocked doc reports
+      ``blocked_domain`` even if it is also a duplicate.
+    * ``max_pii`` — docs with more than this many PII spans
+      (:func:`sketchlib.text.pii.pii_counts`) drop as ``pii_heavy``
+      (JVM regexp counts, map-only).
+    * ``min_mean_logp_milli`` — docs whose mean token log-prob under a
+      corpus-trained unigram LM (:mod:`sketchlib.text.lmscore`, integer
+      milli-nats) falls below the threshold drop as ``lm_tail``.
+
+    Full precedence (first match wins): blocked_domain > exact_dup >
+    near_dup > low_quality > pii_heavy > lm_tail."""
     from sketchlib.dedup.exact import dedup_exact
     from sketchlib.dedup.minhash import near_dup_pairs
 
-    ann = annotate(docs.select(id_col, text_col), text_col)
+    sel = [id_col, text_col] + ([url_col] if blocklist is not None else [])
+    ann = annotate(docs.select(*sel), text_col)
 
-    exact_survivors = dedup_exact(ann, text_col, id_col).select(
+    if blocklist is not None:
+        from sketchlib.text.urls import url_domain
+
+        bcol = blocklist.columns[0]
+        bl = (blocklist.select(F.lower(F.col(bcol)).alias("__bldom"))
+              .distinct())
+        ann = (ann.withColumn("__bldom", url_domain(F.col(url_col)))
+               .join(F.broadcast(bl.withColumn("__blocked", F.lit(True))),
+                     "__bldom", "left")
+               .withColumn("__blocked",
+                           F.coalesce(F.col("__blocked"), F.lit(False)))
+               .drop("__bldom", url_col))
+    else:
+        ann = ann.withColumn("__blocked", F.lit(False))
+
+    if max_pii is not None:
+        from sketchlib.text.pii import pii_counts
+
+        total = None
+        for c in pii_counts(F.col(text_col)):
+            total = c if total is None else total + c
+        ann = ann.withColumn("__pii_heavy", total > int(max_pii))
+    else:
+        ann = ann.withColumn("__pii_heavy", F.lit(False))
+
+    # dedup runs on non-blocked docs only: a blocked doc must not claim
+    # survivorship of a duplicate group (its non-blocked copies survive)
+    exact_survivors = dedup_exact(
+        ann.filter(~F.col("__blocked")), text_col, id_col).select(
         F.col(id_col).alias("__keep_id"))
     ann = ann.join(exact_survivors,
                    ann[id_col] == F.col("__keep_id"), "left")
@@ -84,9 +141,29 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
     else:
         ann = ann.withColumn("__near_dup", F.lit(False))
 
-    reason = (F.when(F.col("__exact_dup"), F.lit("exact_dup"))
+    if min_mean_logp_milli is not None:
+        from sketchlib.text.lmscore import score_docs, train_unigram_lm
+
+        lm = train_unigram_lm(docs.select(text_col), text_col,
+                              vocab_size=lm_vocab_size)
+        scored = (score_docs(docs.select(id_col, text_col), lm, text_col)
+                  .withColumn(
+                      "__lm_tail",
+                      (F.col("n_tokens") == 0)
+                      | (F.col("sum_logp_milli")
+                         < F.lit(int(min_mean_logp_milli))
+                         * F.col("n_tokens")))
+                  .select(id_col, "__lm_tail"))
+        ann = ann.join(scored, id_col)
+    else:
+        ann = ann.withColumn("__lm_tail", F.lit(False))
+
+    reason = (F.when(F.col("__blocked"), F.lit("blocked_domain"))
+              .when(F.col("__exact_dup"), F.lit("exact_dup"))
               .when(F.col("__near_dup"), F.lit("near_dup"))
-              .when(F.col("quality") < min_quality, F.lit("low_quality")))
+              .when(F.col("quality") < min_quality, F.lit("low_quality"))
+              .when(F.col("__pii_heavy"), F.lit("pii_heavy"))
+              .when(F.col("__lm_tail"), F.lit("lm_tail")))
     return ann.select(
         id_col,
         reason.isNull().alias("keep"),
@@ -144,6 +221,9 @@ def summarize(manifest: DataFrame, docs: DataFrame, id_col: str,
         "dropped_exact_dup": counts.get("exact_dup", 0),
         "dropped_near_dup": counts.get("near_dup", 0),
         "dropped_low_quality": counts.get("low_quality", 0),
+        "dropped_blocked_domain": counts.get("blocked_domain", 0),
+        "dropped_pii_heavy": counts.get("pii_heavy", 0),
+        "dropped_lm_tail": counts.get("lm_tail", 0),
         "dropped_mixed_out": counts.get("mixed_out", 0),
         "kept_bpe_tokens": int(kept_stats["tok"] or 0),
         "kept_distinct_fingerprints_hll": int(div["distinct_fps"]),
@@ -159,6 +239,17 @@ def main(argv=None) -> int:
     ap.add_argument("--min-quality", type=int, default=3)
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--no-near-dup", action="store_true")
+    ap.add_argument("--blocklist", default=None,
+                    help="parquet/csv of blocked domains (first column); "
+                         "drops docs whose --url-col domain matches")
+    ap.add_argument("--url-col", default="url")
+    ap.add_argument("--max-pii", type=int, default=None,
+                    help="drop docs with more than this many PII spans")
+    ap.add_argument("--min-mean-logp-milli", type=int, default=None,
+                    help="drop docs whose mean token log-prob under a "
+                         "corpus-trained unigram LM (milli-nats) is below "
+                         "this threshold")
+    ap.add_argument("--lm-vocab-size", type=int, default=50_000)
     ap.add_argument("--mix-targets", default=None,
                     help='JSON {"source": share, ...} summing to 1: re-mix '
                          "kept docs to these proportions by bpe-token mass "
@@ -172,10 +263,19 @@ def main(argv=None) -> int:
     preexisting = SparkSession.getActiveSession() is not None
     spark = build_session("corpus-clean", local_cpus=args.local_cpus)
     docs = spark.read.parquet(args.input)
+    bl = None
+    if args.blocklist:
+        bl = (spark.read.parquet(args.blocklist)
+              if args.blocklist.endswith(".parquet")
+              else spark.read.option("header", "false").csv(args.blocklist))
     manifest = clean_corpus(docs, args.text_col, args.id_col,
                             min_quality=args.min_quality,
                             near_dup=not args.no_near_dup,
-                            jaccard=args.jaccard)
+                            jaccard=args.jaccard,
+                            blocklist=bl, url_col=args.url_col,
+                            max_pii=args.max_pii,
+                            min_mean_logp_milli=args.min_mean_logp_milli,
+                            lm_vocab_size=args.lm_vocab_size)
     if args.mix_targets:
         manifest = apply_mix(manifest, docs, json.loads(args.mix_targets),
                              args.source_col, args.id_col)

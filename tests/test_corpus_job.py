@@ -110,3 +110,54 @@ def test_cli_with_mix_targets(spark, tmp_path, capsys):
     s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s["dropped_mixed_out"] > 0
     assert s["n_docs"] == 25
+
+
+def test_scrub_stages_blocklist_pii_lm(spark):
+    # docs: 0 kept; 1 blocked (also an exact dup of 0 — blocked wins and
+    # cannot claim survivorship); 2 exact dup of 0 (non-blocked survivor
+    # logic: 0 is the lowest non-blocked id); 3 PII-heavy; 4 LM tail.
+    # The tail doc needs DISTINCT rare tokens: a repeated gibberish token
+    # becomes corpus-frequent and scores HIGH under a unigram LM.
+    gib = " ".join(f"qzxv{chr(97 + i)}" for i in range(26))
+    rows = [
+        (0, GOOD, "https://ok.example.net/a"),
+        (1, GOOD, "https://spam.bad.org/b"),
+        (2, GOOD, "https://ok2.example.net/c"),
+        (3, GOOD + " a@b.io c@d.io e@f.io", "https://ok.example.net/d"),
+        (4, gib, "https://ok.example.net/e"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    bl = spark.createDataFrame([("bad.org",)], "d string")
+    # LM threshold: gibberish tokens are rare (only in doc 4) -> low mean
+    # logp; GOOD tokens repeat across 4 docs -> high mean logp
+    m = {r["doc_id"]: r for r in clean_corpus(
+        docs, min_quality=3, near_dup=False, blocklist=bl,
+        max_pii=2, min_mean_logp_milli=-4500, lm_vocab_size=100,
+    ).collect()}
+    assert len(m) == 5
+    assert m[0]["keep"] and m[0]["drop_reason"] is None
+    assert m[1]["drop_reason"] == "blocked_domain"
+    assert m[2]["drop_reason"] == "exact_dup"
+    assert m[3]["drop_reason"] == "pii_heavy"
+    assert m[4]["drop_reason"] == "lm_tail"
+
+
+def test_cli_scrub_flags(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs_scrub")
+    blp = str(tmp_path / "blocklist")
+    out = str(tmp_path / "manifest_scrub")
+    rows = [(i, GOOD.replace("dog", f"w{i}"),
+             "https://ok.example.net/" if i % 2 else "https://spam.bad.org/")
+            for i in range(6)]
+    spark.createDataFrame(rows, "doc_id long, text string, url string") \
+         .write.parquet(src)
+    spark.createDataFrame([("bad.org",)], "d string") \
+         .write.parquet(blp + ".parquet")
+    rc = main(["--input", src, "--output", out, "--local-cpus", "4",
+               "--no-near-dup", "--blocklist", blp + ".parquet",
+               "--max-pii", "5"])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["dropped_blocked_domain"] == 3
+    assert s["kept"] == 3
+    assert s["dropped_pii_heavy"] == 0
