@@ -1214,6 +1214,24 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", url_domain(F.col("url")).alias("domain"))
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk sequence packing (sketchlib/packing.py):
+    per-bucket window cumsum of token counts -> start offset -> first/last
+    sequence index, one shuffle of the narrow (id, tokens) projection.
+    Gate uses the explicit bucket/order mode (doc_id % 16, doc_id asc) so
+    the oracle replays the exact same window in SQL; hash-bucket mode is
+    pinned by pytest partition-independence tests."""
+    from sketchlib.packing import pack_sequences
+
+    docs = (_read(spark, sf_dir, "documents")
+            .select("doc_id", "n_chars")
+            .withColumn("b", (F.col("doc_id") % 16).cast("int")))
+    packed = pack_sequences(docs, "n_chars", budget=4096,
+                            bucket_col="b", order_col="doc_id")
+    return packed.select("doc_id", "bucket", "start_offset",
+                         "first_seq", "last_seq")
+
+
 def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide duplicated-line removal (sketchlib/text/boilerplate.py).
     Deterministic 3-line docs: a footer shared by every doc, the doc's own
@@ -1344,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "lm_quality_score": q_lm_quality_score,
         "boilerplate_removal": q_boilerplate_removal,
+        "sequence_packing": q_sequence_packing,
         "accuracy_audit_sampled": q_accuracy_audit_sampled,
         "hll_rollup_bound": q_hll_rollup_bound,
         "sql_hll_distinct": q_sql_hll_distinct,
@@ -1671,6 +1690,21 @@ def _pipeline_oracles() -> dict[str, str]:
             "END AS norm_url, "
             "'h' || (doc_id % 50) || '.example.com' AS host, "
             "'example.com' AS domain FROM documents"
+        ),
+        "sequence_packing": (
+            # identical window replay: bucket = doc_id % 16, order doc_id,
+            # running cumsum -> offset -> seq indices at budget 4096
+            "SELECT doc_id, CAST(doc_id % 16 AS INT) AS bucket, "
+            "CAST(SUM(n_chars) OVER w - n_chars AS BIGINT) AS start_offset, "
+            "CAST(FLOOR((SUM(n_chars) OVER w - n_chars) / 4096) AS BIGINT) "
+            "AS first_seq, "
+            "CAST(CASE WHEN n_chars > 0 "
+            "THEN FLOOR((SUM(n_chars) OVER w - 1) / 4096) "
+            "ELSE FLOOR((SUM(n_chars) OVER w - n_chars) / 4096) END "
+            "AS BIGINT) AS last_seq "
+            "FROM documents WINDOW w AS (PARTITION BY doc_id % 16 "
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW)"
         ),
         "boilerplate_removal": (
             # full re-derivation on normalized line strings: frequent set

@@ -103,6 +103,30 @@ def main() -> int:
         return (repetition_stats(df.select("url", "text"), id_col="url")
                 .select(repetition_keep()).filter("keep").count())
 
+    # round-3 scrub operators
+    def q_pii_scrub():
+        from sketchlib.text.pii import with_pii_stats
+        return (with_pii_stats(df.select("url", "text"), "text",
+                               redact=False)
+                .filter("n_pii > 0").count())
+
+    def q_blocklist():
+        from sketchlib.text.urls import filter_blocked_domains
+        bl = spark.createDataFrame(
+            [(f"blocked{i}.example.com",) for i in range(1000)], "d string")
+        return filter_blocked_domains(df.select("url"), bl, "url").count()
+
+    def q_lm_score():
+        from sketchlib.text.lmscore import score_docs, train_unigram_lm
+        lm = train_unigram_lm(df.select("text"), vocab_size=50_000)
+        return (score_docs(df.select("url", "text"), lm)
+                .filter("sum_logp_milli < 0").count())
+
+    def q_boilerplate():
+        from sketchlib.text.boilerplate import remove_boilerplate
+        return (remove_boilerplate(df.select("url", "text"), min_count=1000)
+                .filter("n_removed >= 0").count())
+
     queries = {
         "distinct_urls_per_lang_day": q_distinct_urls,
         "distinct_urls_per_lang_day_prehash64": q_distinct_urls_prehash,
@@ -115,6 +139,10 @@ def main() -> int:
         "hash_split_90_5_5": q_hash_split,
         "host_cap_100": q_host_cap,
         "repetition_stats_keep": q_repetition,
+        "pii_scrub": q_pii_scrub,
+        "blocklist_filter_1k": q_blocklist,
+        "lm_train50k_and_score": q_lm_score,
+        "boilerplate_removal_1k": q_boilerplate,
     }
     if args.only:
         queries = {k: v for k, v in queries.items() if k in set(args.only)}
