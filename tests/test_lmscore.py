@@ -66,7 +66,7 @@ def test_empty_corpus(spark):
     e = spark.createDataFrame([], "doc_id long, text string")
     lm = train_unigram_lm(e)
     assert lm.total_tokens == 0 and lm.logp_milli == {}
-    assert score_docs(e, UnigramLM({"a": -1}, -5, 10)).count() == 0
+    assert score_docs(e, UnigramLM({"a": -1}, -5, 10, {"a": 7})).count() == 0
 
 
 def test_filter_integer_threshold(spark, docs_df):
@@ -94,8 +94,14 @@ def test_column_clash_raises(spark):
         score_docs(df, UnigramLM({}, -5, 1))
 
 
+def test_missing_token_hashes_raises(spark):
+    df = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ValueError, match="token_hashes"):
+        score_docs(df, UnigramLM({"x": -1}, -5, 1)).count()
+
+
 def test_score_plan_is_map_only(spark, docs_df):
-    lm = UnigramLM({"the": -1000}, -5000, 100)
+    lm = UnigramLM({"the": -1000}, -5000, 100, {"the": 12345})
     plan = (score_docs(docs_df, lm)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
