@@ -27,6 +27,7 @@ from .lmscore import (  # noqa: F401
     train_unigram_lm,
 )
 from .pii import (  # noqa: F401
+    has_pii,
     pii_counts,
     pii_summary,
     redact_pii,

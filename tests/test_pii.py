@@ -71,3 +71,15 @@ def test_summary_and_plan_shape(spark):
     # map-only stats pass: no exchange in the per-doc plan
     plan = with_pii_stats(df, "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_has_pii_single_pass_matches_counts(spark):
+    from sketchlib.text.pii import has_pii
+
+    df = spark.createDataFrame([(i, t) for i, (t, *_) in enumerate(CASES)],
+                               "i long, text string")
+    got = (with_pii_stats(df, "text", redact=False)
+           .withColumn("flag", has_pii(F.col("text")))
+           .select("i", "n_pii", "flag").orderBy("i").collect())
+    for r in got:
+        assert r.flag == (r.n_pii > 0), r.i
