@@ -88,7 +88,9 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
     from sketchlib.dedup.exact import dedup_exact
     from sketchlib.dedup.minhash import near_dup_pairs
 
-    sel = [id_col, text_col] + ([url_col] if blocklist is not None else [])
+    sel = [id_col, text_col]
+    if blocklist is not None and url_col not in sel:
+        sel.append(url_col)
     ann = annotate(docs.select(*sel), text_col)
 
     if blocklist is not None:
@@ -102,7 +104,8 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
                      "__bldom", "left")
                .withColumn("__blocked",
                            F.coalesce(F.col("__blocked"), F.lit(False)))
-               .drop("__bldom", url_col))
+               .drop("__bldom",
+                     *([url_col] if url_col != id_col else [])))
     else:
         ann = ann.withColumn("__blocked", F.lit(False))
 
@@ -201,7 +204,11 @@ def apply_mix(manifest: DataFrame, docs: DataFrame, targets: dict[str, float],
 
 def summarize(manifest: DataFrame, docs: DataFrame, id_col: str,
               text_col: str) -> dict:
-    """Disjoint drop accounting + corpus-diversity HLL over kept docs."""
+    """Disjoint drop accounting + corpus-diversity HLL over kept docs.
+
+    Runs three actions over ``manifest`` — pass a MATERIALIZED manifest
+    (written+reread, as the CLI does, or ``.persist()``-ed), or each
+    action recomputes the full cleaning DAG including the LM rescore."""
     from sketchlib.spark.aggregate import distinct_count
     from sketchlib.text.analysis import fingerprint_key
 

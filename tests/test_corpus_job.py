@@ -161,3 +161,17 @@ def test_cli_scrub_flags(spark, tmp_path, capsys):
     assert s["dropped_blocked_domain"] == 3
     assert s["kept"] == 3
     assert s["dropped_pii_heavy"] == 0
+
+
+def test_blocklist_with_url_as_id(spark):
+    """Regression: url doubling as BOTH id_col and url_col must survive the
+    blocklist stage (it selected the column twice, then dropped the id)."""
+    rows = [(f"https://{'bad' if i % 2 else 'ok'}.example.org/{i}",
+             GOOD.replace("dog", f"w{i}")) for i in range(6)]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    bl = spark.createDataFrame([("example.org",)], "d string")
+    m = clean_corpus(docs, id_col="url", url_col="url", min_quality=2,
+                     near_dup=False, blocklist=bl)
+    rows_out = m.collect()
+    assert len(rows_out) == 6
+    assert all(r["drop_reason"] == "blocked_domain" for r in rows_out)
