@@ -149,15 +149,18 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
 
         lm = train_unigram_lm(docs.select(text_col), text_col,
                               vocab_size=lm_vocab_size)
-        scored = (score_docs(docs.select(id_col, text_col), lm, text_col)
-                  .withColumn(
-                      "__lm_tail",
-                      (F.col("n_tokens") == 0)
-                      | (F.col("sum_logp_milli")
-                         < F.lit(int(min_mean_logp_milli))
-                         * F.col("n_tokens")))
-                  .select(id_col, "__lm_tail"))
-        ann = ann.join(scored, id_col)
+        # score the annotated frame INLINE (map-only): a join back by id
+        # would shuffle 24M+ string keys and recompute the text scan.
+        # keep_text=False: this is the last stage that reads the text, so
+        # it is consumed by the JVM tokenizer and never crosses to Python
+        ann = (score_docs(ann, lm, text_col, keep_text=False)
+               .withColumn(
+                   "__lm_tail",
+                   (F.col("n_tokens") == 0)
+                   | (F.col("sum_logp_milli")
+                      < F.lit(int(min_mean_logp_milli))
+                      * F.col("n_tokens")))
+               .drop("n_tokens", "n_oov", "sum_logp_milli"))
     else:
         ann = ann.withColumn("__lm_tail", F.lit(False))
 

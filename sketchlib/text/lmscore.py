@@ -116,12 +116,16 @@ def train_unigram_lm(df: DataFrame, text_col: str = "text",
 
 
 def score_docs(df: DataFrame, lm: UnigramLM,
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text", keep_text: bool = True) -> DataFrame:
     """Append ``n_tokens``, ``n_oov``, ``sum_logp_milli`` per document.
 
     Map-only (no shuffle); the whole input row passes through Arrow, so
-    ``select`` the columns you need before calling if ``text_col`` is the
-    bulk of the row and you don't want it back."""
+    ``select`` the columns you need before calling.  ``text_col`` itself
+    can't be pre-dropped (tokens derive from it JVM-side) — pass
+    ``keep_text=False`` to exclude it from the output instead: the text
+    is then consumed by the JVM tokenizer and never crosses the Arrow
+    boundary at all (at web scale the text IS the row; only the 8 B/token
+    hash arrays and the narrow metadata columns transfer)."""
     import numpy as np
     import pandas as pd
 
@@ -133,9 +137,10 @@ def score_docs(df: DataFrame, lm: UnigramLM,
     while tcol in df.columns:
         tcol += "_"
 
+    out_fields = [f for f in df.schema.fields
+                  if keep_text or f.name != text_col]
     out_schema = T.StructType(
-        list(df.schema.fields)
-        + [T.StructField(c, T.LongType()) for c in added])
+        out_fields + [T.StructField(c, T.LongType()) for c in added])
     spark = df.sparkSession
     vh, vlp = lm._hash_table()
     table_bc = spark.sparkContext.broadcast((vh, vlp))
@@ -180,8 +185,11 @@ def score_docs(df: DataFrame, lm: UnigramLM,
     # tokens are hashed INSIDE the JVM: only int64 arrays cross to Python
     toks_hashed = F.transform(tokens_col(F.col(text_col)),
                               lambda t: F.xxhash64(t))
-    return (df.withColumn(tcol, toks_hashed)
-            .mapInPandas(kernel, schema=out_schema))
+    proj = df.withColumn(tcol, toks_hashed)
+    if not keep_text:
+        # drop the text BEFORE mapInPandas so it never crosses to Python
+        proj = proj.drop(text_col)
+    return proj.mapInPandas(kernel, schema=out_schema)
 
 
 def lm_quality_filter(df: DataFrame, lm: UnigramLM, text_col: str = "text",

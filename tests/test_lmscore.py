@@ -53,6 +53,22 @@ def test_score_matches_python_reference(spark, docs_df):
     assert got[0].text == DOCS[0][1]
 
 
+def test_score_keep_text_false_drops_text_jvm_side(spark, docs_df):
+    lm = train_unigram_lm(docs_df, vocab_size=3)
+    out = score_docs(docs_df, lm, keep_text=False)
+    assert "text" not in out.columns
+    # scores identical to the keep_text=True path
+    want = {r.doc_id: r.sum_logp_milli
+            for r in score_docs(docs_df, lm).collect()}
+    got = {r.doc_id: r.sum_logp_milli for r in out.collect()}
+    assert got == want
+    # the text column is projected away BEFORE the Python stage: the
+    # ArrowEvalPython/mapInPandas input carries only id + token hashes
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    [mip_line] = [ln for ln in plan.split("\n") if "MapInPandas" in ln]
+    assert "text#" not in mip_line
+
+
 def test_score_partition_independent(spark, docs_df):
     lm = train_unigram_lm(docs_df, vocab_size=2)
     a = sorted(map(tuple, score_docs(docs_df.repartition(1), lm)
