@@ -872,6 +872,101 @@ def q_streaming_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_streaming_cms_point_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state with a FREQUENCY sketch: CmsSpec through the same
+    ``applyInPandasWithState`` operator, two ``availableNow`` passes with
+    checkpoint resume — the fourth sketch family (HLL / Theta / t-digest /
+    CMS) running as streaming state.  The spec is subclassed so the emitted
+    per-group ``estimate`` is the CMS point estimate of one probe user's
+    event count; the gate checks the CMS sandwich guarantee
+    ``exact <= est <= exact + ceil(e/width * N) + 2`` AND that the final
+    state's ``count_additions`` equals the exact per-group stream length —
+    an exact-equality pin on blob serialize/restore across the restart
+    (reference counterpart: frequency estimation has no analog in
+    CardinalityEstimation; CMS per SURVEY.md §2.6)."""
+    import math
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from sketchlib.spark.aggregate import hash_columns
+    from sketchlib.spark.specs import CmsSpec
+
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".tmp_stream_cms_gate")
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+
+    PROBE = 42  # multiple of 7 -> survives the 1/7 sample filter
+    probe_hash = int(hash_columns(
+        pd.DataFrame({"user_id": pd.Series([PROBE], dtype="int64")}),
+        ["user_id"])[0])
+
+    class _CmsProbeSpec(CmsSpec):
+        """estimate() = point query of the probe key instead of stream N."""
+
+        def __init__(self, ph: int) -> None:
+            super().__init__()
+            self.ph = ph
+
+        def estimate(self, sk) -> int:
+            return int(sk.estimate_hashes(
+                np.array([self.ph], dtype="<u8"))[0])
+
+    ev = (_read(spark, sf_dir, "events")
+          .select("event_type", "user_id")
+          .filter(F.col("user_id") % 7 == 0))
+    schema = ev.schema
+    collected: dict[str, tuple[int, int]] = {}
+
+    def run_pass():
+        from sketchlib.streaming import streaming_sketch_agg
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = streaming_sketch_agg(stream, "user_id", ["event_type"],
+                                   _CmsProbeSpec(probe_hash))
+        q = (agg.writeStream
+             .foreachBatch(lambda bdf, _b: collected.update(
+                 {r["event_type"]: (r["estimate"], r["count_additions"])
+                  for r in bdf.collect()}))
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "availableNow streaming pass did not finish in 300s")
+
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        (ev.filter(F.col("user_id") % 2 == 0)
+         .coalesce(2).write.mode("append").parquet(src))
+        run_pass()
+        (ev.filter(F.col("user_id") % 2 == 1)
+         .coalesce(2).write.mode("append").parquet(src))
+        run_pass()
+        est = spark.createDataFrame(
+            [(k, int(v[0]), int(v[1])) for k, v in collected.items()],
+            "event_type string, est long, n_rows long")
+        exact = ev.groupBy("event_type").agg(
+            F.count(F.when(F.col("user_id") == PROBE, 1))
+            .alias("exact_probe"))
+        eps = math.e / CmsSpec().width
+        return (est.join(exact, "event_type")
+                .select(
+                    "event_type", "n_rows", "exact_probe",
+                    ((F.col("est") >= F.col("exact_probe"))
+                     & (F.col("est") <= F.col("exact_probe")
+                        + F.ceil(F.lit(eps) * F.col("n_rows")) + F.lit(2)))
+                    .alias("within_bound"))
+                .orderBy("event_type"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-occurrence dedup (dropDuplicatesWithinWatermark on
     JVM state): two availableNow passes over a growing file source; keys
@@ -976,6 +1071,32 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   threshold=0.95, n_bits=16, n_tables=8)
     return pairs.select("id_a", "id_b",
                         F.round("cosine", 6).alias("cosine_r"))
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) within-cluster semantic dedup over the
+    embeddings table clustered by its ``label`` column, with deterministic
+    scaled clones (vec_id + 1e6, 2x components) as the planted duplicates:
+    cosine(orig, clone) is exactly 1 and their centroid-similarities tie
+    EXACTLY (scaling by 2 is lossless in IEEE), so the id tie-break keeps
+    the original and drops the clone — while the base table's own max
+    within-label cosine is ~0.48, far under tau=0.75.  The oracle
+    re-derives the full decision rule in SQL: per-label centroids,
+    pairwise ``list_cosine_similarity`` >= tau, keep the member lowest in
+    the (sim_to_centroid, id) order."""
+    from sketchlib.similarity.semdedup import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"),
+        "label")
+    clones = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        "label")
+    both = emb.unionByName(clones)
+    return (semantic_dedup(both, "embedding", "vec_id", cluster_col="label",
+                           tau=0.75)
+            .orderBy("vec_id"))
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1267,6 +1388,30 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_tokens", "n_oov", "sum_logp_milli"))
 
 
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling selection (sketchlib/text/dsir.py) in
+    exact-gram mode: target = docs with doc_id % 37 == 0, raw = the whole
+    documents table, bigram features, Laplace-0.5 smoothing, integer
+    milli-nat log-ratios, deterministic top-50 by (score desc, doc_id).
+    The oracle re-derives everything in SQL gram-by-gram: same tokenizer,
+    same bigram construction (with the whole-text fallback for short
+    docs), same smoothed log-ratio quantization (glibc ln on both
+    sides), same ranking."""
+    from sketchlib.text.dsir import dsir_scores, dsir_select, fit_dsir
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 37 == 0)
+    model = fit_dsir(target, docs, n=2, buckets=None)
+    scored = (dsir_scores(docs, model, keep_text=False)
+              .select("doc_id", "n_grams", "score_milli"))
+    top = (dsir_select(scored, 50).select("doc_id")
+           .withColumn("selected", F.lit(True)))
+    return (scored.join(F.broadcast(top), "doc_id", "left")
+            .withColumn("selected",
+                        F.coalesce(F.col("selected"), F.lit(False)))
+            .orderBy("doc_id"))
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (sketchlib/text/pii.py — pure JVM regexp exprs, map-only).
     Deterministic PII-bearing text built from doc_id exercises one pattern
@@ -1354,11 +1499,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_distinct_users": q_streaming_distinct_users,
         "streaming_theta_distinct": q_streaming_theta_distinct,
         "streaming_tdigest_median": q_streaming_tdigest_median,
+        "streaming_cms_point_counts": q_streaming_cms_point_counts,
         "streaming_dedup_events": q_streaming_dedup_events,
         "media_features": q_media_features,
         "extract_text_parity": q_extract_text_parity,
         "url_normalize_keys": q_url_normalize_keys,
         "pii_redaction": q_pii_redaction,
+        "dsir_selection": q_dsir_selection,
         "blocklist_filter": q_blocklist_filter,
         "lm_quality_score": q_lm_quality_score,
         "boilerplate_removal": q_boilerplate_removal,
@@ -1370,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_manifest": q_corpus_manifest,
         "hll_prehash_distinct_exact": q_hll_prehash_distinct_exact,
         "embedding_near_dup": q_embedding_near_dup,
+        "semantic_dedup": q_semantic_dedup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
     }
@@ -1634,6 +1782,14 @@ def _pipeline_oracles() -> dict[str, str]:
             "TRUE AS median_rank_ok FROM events WHERE value IS NOT NULL "
             "GROUP BY event_type ORDER BY event_type"
         ),
+        "streaming_cms_point_counts": (
+            # n_rows is the CMS state's count_additions after the restart:
+            # it must EQUAL the exact stream length per group
+            "SELECT event_type, COUNT(*) AS n_rows, "
+            "COUNT(CASE WHEN user_id = 42 THEN 1 END) AS exact_probe, "
+            "TRUE AS within_bound FROM events WHERE user_id % 7 = 0 "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
         "streaming_dedup_events": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS n_first_seen "
             "FROM events WHERE user_id % 7 = 0 "
@@ -1642,6 +1798,35 @@ def _pipeline_oracles() -> dict[str, str]:
         "embedding_near_dup": (
             "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, "
             "CAST(1.0 AS DOUBLE) AS cosine_r FROM embeddings"
+        ),
+        "semantic_dedup": (
+            # full SemDeDup rule re-derived in SQL: per-label centroid,
+            # within-label cosine pairs >= tau, keep the (simc, id)-lowest
+            # member of each pair.  Clone simc ties its original EXACTLY
+            # (x2 scaling is lossless in IEEE), so ids break the tie.
+            "WITH base AS ("
+            "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label "
+            "FROM embeddings UNION ALL "
+            "SELECT vec_id + 1000000, [x * 2.0 FOR x IN embedding], label "
+            "FROM embeddings), "
+            "dims AS (SELECT label, generate_subscripts(v, 1) AS i, "
+            "unnest(v) AS x FROM base), "
+            "davg AS (SELECT label, i, AVG(x) AS c FROM dims "
+            "GROUP BY label, i), "
+            "cent AS (SELECT label, list(c ORDER BY i) AS cv FROM davg "
+            "GROUP BY label), "
+            "sc AS (SELECT b.vec_id, b.label, "
+            "list_cosine_similarity(b.v, c.cv) AS simc "
+            "FROM base b JOIN cent c USING (label)), "
+            "p AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM base a "
+            "JOIN base b ON a.label = b.label AND a.vec_id <> b.vec_id "
+            "AND list_cosine_similarity(a.v, b.v) >= 0.75) "
+            "SELECT e.vec_id, e.label AS cluster, NOT EXISTS ("
+            "SELECT 1 FROM p JOIN sc sa ON sa.vec_id = p.ia "
+            "JOIN sc sb ON sb.vec_id = p.ib WHERE p.ia = e.vec_id "
+            "AND (sb.simc < sa.simc OR (sb.simc = sa.simc "
+            "AND p.ib < p.ia))) AS keep "
+            "FROM base e ORDER BY e.vec_id"
         ),
         "media_features": (
             "SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS width, "
@@ -1745,6 +1930,39 @@ def _pipeline_oracles() -> dict[str, str]:
             "CAST(SUM(COALESCE(v.lp, (SELECT lp FROM oov))) AS BIGINT) "
             "AS sum_logp_milli "
             "FROM toks s LEFT JOIN vl v USING (tok) GROUP BY s.doc_id"
+        ),
+        "dsir_selection": (
+            # full re-derivation: same tokenizer + bigram construction
+            # (whole-text fallback under 2 tokens), identical smoothed
+            # log-ratio quantization (glibc ln both sides, alpha=0.5,
+            # V = distinct grams), identical (score desc, id) top-50
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_split_to_array(lower(trim(text)), '\\s+') AS t "
+            "FROM documents), "
+            "grams AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN "
+            "[t[i] || ' ' || t[i+1] for i in range(1, len(t))] "
+            "ELSE [array_to_string(t, ' ')] END) AS g FROM toks), "
+            "tc AS (SELECT g, COUNT(*) AS c FROM grams "
+            "WHERE doc_id % 37 = 0 GROUP BY g), "
+            "rc AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY g), "
+            "uni AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM rc), "
+            "tt AS (SELECT CAST(COALESCE(SUM(c), 0) AS DOUBLE) AS t "
+            "FROM tc), "
+            "rt AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM rc), "
+            "lam AS (SELECT r.g, CAST(round(1000 * ("
+            "ln((COALESCE(t.c, 0) + 0.5) / "
+            "((SELECT t FROM tt) + 0.5 * (SELECT v FROM uni))) - "
+            "ln((r.c + 0.5) / "
+            "((SELECT t FROM rt) + 0.5 * (SELECT v FROM uni))))) "
+            "AS BIGINT) AS l FROM rc r LEFT JOIN tc t USING (g)), "
+            "sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+            "CAST(SUM(l.l) AS BIGINT) AS score_milli "
+            "FROM grams JOIN lam l USING (g) GROUP BY doc_id), "
+            "rk AS (SELECT doc_id, row_number() OVER ("
+            "ORDER BY score_milli DESC, doc_id) AS r FROM sc) "
+            "SELECT s.doc_id, s.n_grams, s.score_milli, "
+            "(rk.r <= 50) AS selected FROM sc s JOIN rk USING (doc_id) "
+            "ORDER BY s.doc_id"
         ),
         "blocklist_filter": (
             # closed-form kept set: domain example{k%5}.org, k = doc_id%50;

@@ -127,6 +127,20 @@ def main() -> int:
         return (remove_boilerplate(df.select("url", "text"), min_count=1000)
                 .filter("n_removed >= 0").count())
 
+    def q_corpus_clean_e2e():
+        # the full manifest job with every scrub stage on: annotate ->
+        # blocklist -> PII -> exact dedup -> MinHash near-dup -> quality
+        # -> LM tail.  One count() action = the whole DAG, LM train
+        # included; url doubles as the doc id (pages-table shape).
+        from sketchlib.jobs.corpus_job import clean_corpus
+        bl = spark.createDataFrame(
+            [(f"blocked{i}.example.com",) for i in range(1000)], "d string")
+        man = clean_corpus(df.select("url", "text"), text_col="text",
+                           id_col="url", min_quality=3, jaccard=0.8,
+                           blocklist=bl, url_col="url", max_pii=2,
+                           min_mean_logp_milli=-9000)
+        return man.filter("keep").count()
+
     queries = {
         "distinct_urls_per_lang_day": q_distinct_urls,
         "distinct_urls_per_lang_day_prehash64": q_distinct_urls_prehash,
@@ -143,6 +157,7 @@ def main() -> int:
         "blocklist_filter_1k": q_blocklist,
         "lm_train50k_and_score": q_lm_score,
         "boilerplate_removal_1k": q_boilerplate,
+        "corpus_clean_e2e_scrub": q_corpus_clean_e2e,
     }
     if args.only:
         queries = {k: v for k, v in queries.items() if k in set(args.only)}
