@@ -51,7 +51,17 @@ _BLOCK = 4096  # rows per similarity block: 4096 x c doubles in flight
 def _cluster_keep_mask(V: np.ndarray, ids: np.ndarray, tau: float,
                        block: int = _BLOCK) -> np.ndarray:
     """keep[i] = no same-cluster j with cos(i,j) >= tau preceding i in the
-    (sim_to_centroid, id) order.  Blockwise: O(block x c) memory."""
+    (sim_to_centroid, id) order.  Blockwise: O(block x c) memory.
+
+    Bit-determinism: rows are processed in id order (the arrival order
+    from ``groupBy`` is partition-dependent, and float reductions are
+    order-sensitive), and ``simc`` uses an elementwise-product row sum
+    instead of a BLAS matvec — BLAS blocks rows and can accumulate the
+    SAME row contents in different orders depending on row position,
+    which was observed to break the exact simc tie between a vector and
+    its IEEE-lossless x2 clone (the tie the id tie-break relies on)."""
+    ord0 = np.argsort(ids)
+    V, ids = V[ord0], ids[ord0]
     n = V.shape[0]
     norms = np.linalg.norm(V, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -59,7 +69,7 @@ def _cluster_keep_mask(V: np.ndarray, ids: np.ndarray, tau: float,
     cent = V.mean(axis=0)
     cn = np.linalg.norm(cent)
     uc = cent / cn if cn else cent
-    simc = U @ uc
+    simc = (U * uc).sum(axis=1)
     # rank in lexicographic (simc, id) order: rank[j] < rank[i]  <=>
     # (simc[j], ids[j]) < (simc[i], ids[i]) — ids are unique, no full ties
     order = np.lexsort((ids, simc))
@@ -72,7 +82,9 @@ def _cluster_keep_mask(V: np.ndarray, ids: np.ndarray, tau: float,
         M = S >= tau
         M[np.arange(s, e) - s, np.arange(s, e)] = False  # self-pairs
         drop[s:e] = (M & (rank[None, :] < rank[s:e, None])).any(axis=1)
-    return ~drop
+    keep = np.empty(n, dtype=bool)
+    keep[ord0] = ~drop          # back to the caller's row order
+    return keep
 
 
 def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
