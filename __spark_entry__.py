@@ -811,6 +811,73 @@ def q_streaming_tdigest_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def q_streaming_kll_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state with the FIFTH sketch family: KllSpec (deterministic-
+    coin KLL compactors) through the same ``applyInPandasWithState``
+    operator, two ``availableNow`` passes with checkpoint resume — with
+    this gate every sketch family in the library (HLL / Theta / t-digest /
+    CMS / KLL) runs as streaming state.  Same rank check as the t-digest
+    gate: the exact rank of the final per-group median estimate must land
+    in [0.45, 0.55] (KLL k=200 has ~1%% rank error w.h.p.)."""
+    import shutil
+
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".tmp_stream_kll_gate")
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+
+    ev = (_read(spark, sf_dir, "events")
+          .select("event_type", "user_id", "value")
+          .filter(F.col("value").isNotNull()))
+    schema = ev.schema
+    collected: dict[str, float] = {}
+
+    def run_pass():
+        from sketchlib.spark.specs import KllSpec
+        from sketchlib.streaming import streaming_sketch_agg
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = streaming_sketch_agg(stream, "value", ["event_type"],
+                                   KllSpec())
+        q = (agg.writeStream
+             .foreachBatch(lambda bdf, _b: collected.update(
+                 {r["event_type"]: r["estimate"] for r in bdf.collect()}))
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "availableNow streaming pass did not finish in 300s")
+
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        (ev.filter(F.col("user_id") % 2 == 0)
+         .coalesce(2).write.mode("append").parquet(src))
+        run_pass()
+        (ev.filter(F.col("user_id") % 2 == 1)
+         .coalesce(2).write.mode("append").parquet(src))
+        run_pass()
+        est = spark.createDataFrame(
+            [(k, float(v)) for k, v in collected.items()],
+            "event_type string, est_median double")
+        ranks = (ev.join(est, "event_type")
+                 .groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n_events"),
+                      (F.sum(F.when(F.col("value") <= F.col("est_median"), 1)
+                             .otherwise(0)) / F.count(F.lit(1))).alias("r")))
+        return (ranks.select(
+            "event_type", "n_events",
+            ((F.col("r") >= 0.45) & (F.col("r") <= 0.55))
+            .alias("median_rank_ok"))
+            .orderBy("event_type"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def q_streaming_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1412,6 +1479,31 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (sketchlib/text/spandedup.py — Lee et
+    al. 2022 ExactSubstr, token-level): flag every 13-token gram occurring
+    >= 2 times corpus-wide, merge flagged positions into maximal spans,
+    strip covered tokens.  Corpus = documents plus partial clones (docs
+    with doc_id %% 10 == 0, id + 100000, text plus a unique two-token
+    tail) so clones keep exactly their sentinel tail and the originals are
+    fully flagged.  The oracle re-derives everything gram-by-gram in SQL:
+    same tokenizer, string grams with positions, gaps-and-islands span
+    merge, covered-set strip — full value parity including clean_text."""
+    from sketchlib.text.spandedup import remove_duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = (docs.filter(F.col("doc_id") % 10 == 0)
+              .select((F.col("doc_id") + F.lit(100_000)).alias("doc_id"),
+                      F.concat(F.col("text"), F.lit(" uq"),
+                               F.col("doc_id").cast("string"),
+                               F.lit(" sentinel")).alias("text")))
+    corpus = docs.unionByName(clones)
+    return (remove_duplicate_spans(corpus, n=13, min_count=2)
+            .select("doc_id", "n_dup_grams", "n_spans", "dup_tokens",
+                    "clean_text")
+            .orderBy("doc_id"))
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (sketchlib/text/pii.py — pure JVM regexp exprs, map-only).
     Deterministic PII-bearing text built from doc_id exercises one pattern
@@ -1499,12 +1591,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_distinct_users": q_streaming_distinct_users,
         "streaming_theta_distinct": q_streaming_theta_distinct,
         "streaming_tdigest_median": q_streaming_tdigest_median,
+        "streaming_kll_median": q_streaming_kll_median,
         "streaming_cms_point_counts": q_streaming_cms_point_counts,
         "streaming_dedup_events": q_streaming_dedup_events,
         "media_features": q_media_features,
         "extract_text_parity": q_extract_text_parity,
         "url_normalize_keys": q_url_normalize_keys,
         "pii_redaction": q_pii_redaction,
+        "span_dedup": q_span_dedup,
         "dsir_selection": q_dsir_selection,
         "blocklist_filter": q_blocklist_filter,
         "lm_quality_score": q_lm_quality_score,
@@ -1782,6 +1876,11 @@ def _pipeline_oracles() -> dict[str, str]:
             "TRUE AS median_rank_ok FROM events WHERE value IS NOT NULL "
             "GROUP BY event_type ORDER BY event_type"
         ),
+        "streaming_kll_median": (
+            "SELECT event_type, COUNT(*) AS n_events, "
+            "TRUE AS median_rank_ok FROM events WHERE value IS NOT NULL "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
         "streaming_cms_point_counts": (
             # n_rows is the CMS state's count_additions after the restart:
             # it must EQUAL the exact stream length per group
@@ -1930,6 +2029,53 @@ def _pipeline_oracles() -> dict[str, str]:
             "CAST(SUM(COALESCE(v.lp, (SELECT lp FROM oov))) AS BIGINT) "
             "AS sum_logp_milli "
             "FROM toks s LEFT JOIN vl v USING (tok) GROUP BY s.doc_id"
+        ),
+        "span_dedup": (
+            # full gram-by-gram re-derivation: string 13-grams with
+            # positions, count >= 2 flagging, gaps-and-islands span merge,
+            # covered-token strip rebuilding clean_text
+            "WITH corpus AS ("
+            "SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 100000, text || ' uq' || doc_id || "
+            "' sentinel' FROM documents WHERE doc_id % 10 = 0), "
+            "toks AS (SELECT doc_id, "
+            "regexp_split_to_array(lower(trim(text)), '\\s+') AS t "
+            "FROM corpus), "
+            "g AS (SELECT doc_id, i - 1 AS pos, "
+            "list_aggregate(t[i:i+12], 'string_agg', ' ') AS gr "
+            "FROM toks, unnest(range(1, greatest(len(t) - 11, 1)::BIGINT))"
+            " AS u(i) WHERE len(t) >= 13), "
+            "dk AS (SELECT gr FROM g GROUP BY gr HAVING COUNT(*) >= 2), "
+            "dp AS (SELECT g.doc_id, g.pos FROM g JOIN dk USING (gr)), "
+            "brk AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER w IS "
+            "NULL OR pos - lag(pos) OVER w > 13 THEN 1 ELSE 0 END AS b "
+            "FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)), "
+            "isl AS (SELECT doc_id, pos, SUM(b) OVER (PARTITION BY "
+            "doc_id ORDER BY pos) AS island FROM brk), "
+            "spans AS (SELECT doc_id, island, MIN(pos) AS s, "
+            "MAX(pos) + 12 AS e FROM isl GROUP BY doc_id, island), "
+            "cov AS (SELECT DISTINCT dp.doc_id, dp.pos + k AS ci "
+            "FROM dp, unnest(range(0, 13)) AS ku(k)), "
+            "tk AS (SELECT doc_id, unnest(t) AS tok, "
+            "generate_subscripts(t, 1) - 1 AS i FROM toks), "
+            "ct AS (SELECT tk.doc_id, COALESCE(string_agg(tok, ' ' "
+            "ORDER BY i) FILTER (WHERE cov.ci IS NULL), '') AS clean_text "
+            "FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND "
+            "cov.ci = tk.i GROUP BY tk.doc_id), "
+            "st AS (SELECT doc_id, COUNT(*) AS n_dup_grams FROM dp "
+            "GROUP BY doc_id), "
+            "sp AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans "
+            "GROUP BY doc_id), "
+            "cv AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM cov "
+            "GROUP BY doc_id) "
+            "SELECT c.doc_id, "
+            "CAST(COALESCE(st.n_dup_grams, 0) AS BIGINT) AS n_dup_grams, "
+            "CAST(COALESCE(sp.n_spans, 0) AS BIGINT) AS n_spans, "
+            "CAST(COALESCE(cv.dup_tokens, 0) AS BIGINT) AS dup_tokens, "
+            "ct.clean_text "
+            "FROM corpus c LEFT JOIN st USING (doc_id) "
+            "LEFT JOIN sp USING (doc_id) LEFT JOIN cv USING (doc_id) "
+            "JOIN ct USING (doc_id) ORDER BY c.doc_id"
         ),
         "dsir_selection": (
             # full re-derivation: same tokenizer + bigram construction
