@@ -244,7 +244,7 @@ def main() -> None:
     # 13. LM scoring: zero-shuffle mapInPandas, JVM tokenization
     from sketchlib.text.lmscore import UnigramLM, score_docs
 
-    lm = UnigramLM({"the": -1000}, -5000, 100)
+    lm = UnigramLM({"the": -1000}, -5000, 100, token_hashes={"the": 12345})
     p = plan_of(score_docs(docs.select("doc_id", "text"), lm))
     checks = [("zero-shuffle scoring (broadcast vocab dict)",
                "Exchange" not in p),
@@ -264,6 +264,47 @@ def main() -> None:
                "stage)", "xxhash64" in p)]
     sections.append(("strip_boilerplate(documents, frequent_hashes)", p,
                      checks))
+
+    # 15. exact-substring span dedup: fully JVM (array exprs), no
+    # cartesian product, map-side partial aggregation on the gram count
+    from sketchlib.text.spandedup import remove_duplicate_spans
+
+    p = plan_of(remove_duplicate_spans(docs.select("doc_id", "text"), n=5))
+    checks = [("no Python stage anywhere (gram hashing, span merge, and "
+               "token strip are all JVM expressions)",
+               "Python" not in p and "MapIn" not in p),
+              ("no cartesian product", "CartesianProduct" not in p),
+              ("gram count has map-side partial aggregation (hot grams "
+               "collapse before the shuffle)",
+               "partial_count" in p)]
+    sections.append(("remove_duplicate_spans(documents, n=5)", p, checks))
+
+    # 16. SemDeDup: exactly one shuffle — the groupBy(cluster) feeding
+    # the applyInPandas kernel
+    from sketchlib.similarity.semdedup import semantic_dedup
+
+    lab = emb.withColumn("label", (F.col("vec_id") % 8).cast("int"))
+    p = plan_of(semantic_dedup(lab, cluster_col="label"))
+    checks = [("exactly one shuffle exchange (groupBy cluster; clusters "
+               "are the unit of parallelism)",
+               len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+               and "BroadcastExchange" not in p),
+              ("single grouped-map Python stage",
+               p.count("FlatMapGroupsInPandas (") == 1)]
+    sections.append(("semantic_dedup(embeddings, cluster_col=label)", p,
+                     checks))
+
+    # 17. DSIR scoring: zero-shuffle mapInPandas over JVM-derived features
+    from sketchlib.text.dsir import DsirModel, dsir_scores
+
+    model = DsirModel(2, 64, np.zeros(64, dtype=np.int64), None, 0, 0.5)
+    p = plan_of(dsir_scores(docs.select("doc_id", "text"), model,
+                            keep_text=False))
+    checks = [("zero-shuffle scoring (model table rides a broadcast "
+               "variable)", "Exchange" not in p),
+              ("feature hashing stays JVM-side (xxhash64 feeds the "
+               "Python stage)", "xxhash64" in p)]
+    sections.append(("dsir_scores(documents, bucket-mode model)", p, checks))
 
     out = ["# BENCH/PLANS — physical-plan audit",
            "",
