@@ -1479,6 +1479,22 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 keywords per document (sketchlib/text/tfidf.py):
+    top-50 vocab by document frequency (df desc, token asc), integer
+    milli-nat idf = round(1000*ln((N+1)/(df+1))) quantized driver-side
+    (glibc ln both engines), score = tf * idf_milli (integer-exact),
+    rank (score desc, token asc).  The oracle re-derives the whole
+    pipeline: same tokenizer, df counts, vocab cut, quantization, and
+    window rank."""
+    from sketchlib.text.tfidf import fit_idf, top_keywords
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    model = fit_idf(docs, vocab_size=50)
+    return (top_keywords(docs, model, k=3)
+            .orderBy("doc_id", "rnk"))
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring span dedup (sketchlib/text/spandedup.py — Lee et
     al. 2022 ExactSubstr, token-level): flag every 13-token gram occurring
@@ -1599,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize_keys": q_url_normalize_keys,
         "pii_redaction": q_pii_redaction,
         "span_dedup": q_span_dedup,
+        "tfidf_keywords": q_tfidf_keywords,
         "dsir_selection": q_dsir_selection,
         "blocklist_filter": q_blocklist_filter,
         "lm_quality_score": q_lm_quality_score,
@@ -2029,6 +2046,28 @@ def _pipeline_oracles() -> dict[str, str]:
             "CAST(SUM(COALESCE(v.lp, (SELECT lp FROM oov))) AS BIGINT) "
             "AS sum_logp_milli "
             "FROM toks s LEFT JOIN vl v USING (tok) GROUP BY s.doc_id"
+        ),
+        "tfidf_keywords": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_split_to_array(lower(trim(text)), '\\s+') AS t "
+            "FROM documents WHERE text IS NOT NULL), "
+            "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM toks), "
+            "dfs AS (SELECT tok, COUNT(*) AS dfc FROM ("
+            "SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks) "
+            "GROUP BY tok), "
+            "voc AS (SELECT tok, CAST(round(1000 * ln("
+            "((SELECT nd FROM n) + 1) / (dfc + 1))) AS BIGINT) AS idf "
+            "FROM dfs ORDER BY dfc DESC, tok LIMIT 50), "
+            "tfc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf "
+            "FROM (SELECT doc_id, unnest(t) AS tok FROM toks) "
+            "GROUP BY doc_id, tok), "
+            "sc AS (SELECT tfc.doc_id, tfc.tok AS token, tfc.tf, "
+            "tfc.tf * v.idf AS score_milli FROM tfc JOIN voc v "
+            "ON tfc.tok = v.tok), "
+            "rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score_milli DESC, token) AS rnk FROM sc) "
+            "SELECT doc_id, CAST(rnk AS INT) AS rnk, token, tf, "
+            "score_milli FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk"
         ),
         "span_dedup": (
             # full gram-by-gram re-derivation: string 13-grams with
