@@ -1495,6 +1495,75 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "rnk"))
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve (sketchlib/text/vocab.py): one
+    corpus scan into 10 per-id-bucket HLL sketches, cumulative prefix
+    unions merged driver-side (B tiny blobs; the exact answer needs B
+    rescans).  Exact cumulative distinct is re-derived via the
+    first-occurrence-bucket trick and the estimate must sit within the
+    published bound per prefix; the oracle recomputes the exact curve in
+    SQL with within_bound TRUE."""
+    from sketchlib.text.vocab import vocab_growth
+    from sketchlib.text.decontaminate import tokens_col
+
+    docs = (_read(spark, sf_dir, "documents").select("doc_id", "text")
+            .filter(F.col("text").isNotNull()))
+    curve = vocab_growth(docs, n_buckets=10)
+
+    bounds = docs.agg(F.min("doc_id").alias("lo"),
+                      F.max("doc_id").alias("hi")).collect()[0]
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = max(hi - lo + 1, 1)
+    bucket = F.least(F.lit(9), F.floor(
+        (F.col("doc_id") - F.lit(lo)) * 10 / F.lit(span))).cast("int")
+    toks = docs.select(bucket.alias("bucket"),
+                       F.explode(tokens_col(F.col("text"))).alias("tok"))
+    from pyspark.sql import Window
+
+    first = toks.groupBy("tok").agg(F.min("bucket").alias("fb"))
+    newc = first.groupBy("fb").agg(F.count("*").alias("c"))
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    exact = (curve.select("bucket")
+             .join(newc, curve["bucket"] == newc["fb"], "left")
+             .select("bucket", F.coalesce("c", F.lit(0)).alias("c"))
+             .withColumn("exact_cum_tokens",
+                         F.sum("c").over(w).cast("long"))
+             .drop("c"))
+    j = curve.join(exact, "bucket")
+    within = (F.abs(F.col("est_cum_distinct_tokens")
+                    - F.col("exact_cum_tokens"))
+              <= F.greatest(F.lit(_HLL_MARGIN) * F.col("exact_cum_tokens"),
+                            F.lit(2.0))).alias("within_bound")
+    return (j.select("bucket", "n_docs", "cum_docs", "exact_cum_tokens",
+                     within)
+            .orderBy("bucket"))
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus dedup (sketchlib/dedup/incremental.py):
+    a seen corpus (doc_id % 10 < 6) and a new shard (the rest, plus
+    deterministic whitespace-inflated re-crawls of every third seen doc
+    re-identified at +100000).  drop_seen runs the Bloom-split plan —
+    map-only probe of the broadcast blob, exact anti-join only for
+    probe-true candidates — which is exact by construction; the oracle
+    is the plain normalized-text anti-join."""
+    from sketchlib.dedup.incremental import drop_seen, seen_bloom
+
+    docs = (_read(spark, sf_dir, "documents").select("doc_id", "text")
+            .filter(F.col("text").isNotNull()))
+    old = docs.filter(F.col("doc_id") % 10 < 6)
+    recrawl = (old.filter(F.col("doc_id") % 3 == 0)
+               .select((F.col("doc_id") + 100000).alias("doc_id"),
+                       F.concat(F.lit("  "),
+                                F.replace(F.col("text"), F.lit(" "),
+                                          F.lit("   ")),
+                                F.lit(" ")).alias("text")))
+    new = docs.filter(F.col("doc_id") % 10 >= 6).unionByName(recrawl)
+    kept = drop_seen(new, old, bloom_blob=seen_bloom(old))
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring span dedup (sketchlib/text/spandedup.py — Lee et
     al. 2022 ExactSubstr, token-level): flag every 13-token gram occurring
@@ -1615,6 +1684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize_keys": q_url_normalize_keys,
         "pii_redaction": q_pii_redaction,
         "span_dedup": q_span_dedup,
+        "incremental_dedup": q_incremental_dedup,
+        "vocab_growth": q_vocab_growth,
         "tfidf_keywords": q_tfidf_keywords,
         "dsir_selection": q_dsir_selection,
         "blocklist_filter": q_blocklist_filter,
@@ -2046,6 +2117,46 @@ def _pipeline_oracles() -> dict[str, str]:
             "CAST(SUM(COALESCE(v.lp, (SELECT lp FROM oov))) AS BIGINT) "
             "AS sum_logp_milli "
             "FROM toks s LEFT JOIN vl v USING (tok) GROUP BY s.doc_id"
+        ),
+        "vocab_growth": (
+            "WITH base AS (SELECT doc_id, text FROM documents "
+            "WHERE text IS NOT NULL), "
+            "bd AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM base), "
+            "bk AS (SELECT least(9, CAST(floor((doc_id - lo) * 10.0 / "
+            "(hi - lo + 1)) AS INT)) AS bucket, text FROM base, bd), "
+            "toks AS (SELECT bucket, unnest(regexp_split_to_array("
+            "lower(trim(text)), '\\s+')) AS tok FROM bk), "
+            "frst AS (SELECT tok, min(bucket) AS fb FROM toks GROUP BY tok), "
+            "newc AS (SELECT fb, count(*) AS c FROM frst GROUP BY fb), "
+            "nd AS (SELECT bucket, count(*) AS n FROM bk GROUP BY bucket), "
+            "bs AS (SELECT CAST(range AS INT) AS bucket FROM range(10)) "
+            "SELECT bs.bucket, "
+            "CAST(coalesce(nd.n, 0) AS BIGINT) AS n_docs, "
+            "CAST(sum(coalesce(nd.n, 0)) OVER "
+            "(ORDER BY bs.bucket) AS BIGINT) AS cum_docs, "
+            "CAST(sum(coalesce(newc.c, 0)) OVER "
+            "(ORDER BY bs.bucket) AS BIGINT) AS exact_cum_tokens, "
+            "TRUE AS within_bound "
+            "FROM bs LEFT JOIN nd USING (bucket) "
+            "LEFT JOIN newc ON newc.fb = bs.bucket ORDER BY bs.bucket"
+        ),
+        "incremental_dedup": (
+            "WITH base AS (SELECT doc_id, text FROM documents "
+            "WHERE text IS NOT NULL), "
+            "old AS (SELECT * FROM base WHERE doc_id % 10 < 6), "
+            "recrawl AS (SELECT doc_id + 100000 AS doc_id, "
+            "concat('  ', replace(text, ' ', '   '), ' ') AS text "
+            "FROM old WHERE doc_id % 3 = 0), "
+            "nw AS (SELECT doc_id, text FROM base WHERE doc_id % 10 >= 6 "
+            "UNION ALL SELECT doc_id, text FROM recrawl), "
+            "norm AS (SELECT doc_id, "
+            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt "
+            "FROM nw), "
+            "oldn AS (SELECT DISTINCT "
+            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt "
+            "FROM old) "
+            "SELECT doc_id FROM norm "
+            "WHERE nt NOT IN (SELECT nt FROM oldn) ORDER BY doc_id"
         ),
         "tfidf_keywords": (
             "WITH toks AS (SELECT doc_id, "

@@ -42,6 +42,10 @@ def main() -> int:
              .config("spark.ui.showConsoleProgress", "false")
              .config("spark.ui.enabled", "false")
              .config("spark.driver.memory", "24g")
+             # DISK_ONLY stage boundaries (corpus_clean_e2e) persist the
+             # text corpus; uncompressed serialized blocks are ~4-5x the
+             # parquet size and exhausted /tmp at 24M rows
+             .config("spark.rdd.compress", "true")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(args.data)
@@ -132,14 +136,20 @@ def main() -> int:
         # blocklist -> PII -> exact dedup -> MinHash near-dup -> quality
         # -> LM tail.  One count() action = the whole DAG, LM train
         # included; url doubles as the doc id (pages-table shape).
+        # persist_level is the stage-materialization boundary: without it
+        # the lazy DAG re-executes annotate+exact-dedup per branch (the
+        # unpersisted run exceeded 40 min at 24M rows and was abandoned).
         from sketchlib.jobs.corpus_job import clean_corpus
         bl = spark.createDataFrame(
             [(f"blocked{i}.example.com",) for i in range(1000)], "d string")
         man = clean_corpus(df.select("url", "text"), text_col="text",
                            id_col="url", min_quality=3, jaccard=0.8,
                            blocklist=bl, url_col="url", max_pii=2,
-                           min_mean_logp_milli=-9000)
-        return man.filter("keep").count()
+                           min_mean_logp_milli=-9000,
+                           persist_level="DISK_ONLY")
+        n = man.filter("keep").count()
+        spark.catalog.clearCache()
+        return n
 
     queries = {
         "distinct_urls_per_lang_day": q_distinct_urls,

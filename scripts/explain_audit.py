@@ -306,6 +306,30 @@ def main() -> None:
                "Python stage)", "xxhash64" in p)]
     sections.append(("dsir_scores(documents, bucket-mode model)", p, checks))
 
+    # 18. TF-IDF keywords: one doc-term shuffle (map-side combined),
+    # broadcast vocab join, rank-limit pushdown on the per-doc top-k
+    from sketchlib.text.tfidf import IdfModel, top_keywords
+
+    model = IdfModel(np.array(["the", "and"], dtype=object),
+                     np.array([100, 200], dtype=np.int64), 2)
+    p = plan_of(top_keywords(docs.select("doc_id", "text"), model, k=3))
+    checks = [("vocab table ships as a broadcast (corpus never shuffles "
+               "into the idf join)", "BroadcastHashJoin" in p),
+              ("exactly one non-broadcast shuffle pair — doc-term count + "
+               "the per-doc window (both hash by doc-side keys)",
+               len(re.findall(r"\(\d+\) Exchange\b", p)) <= 2),
+              ("doc-term count has map-side partial aggregation",
+               "partial_count" in p),
+              ("per-doc top-k pre-capped map-side (WindowGroupLimit)",
+               "WindowGroupLimit" in p),
+              # the vocab LocalTableScan prints "applySchemaToPythonRDD"
+              # (driver-side createDataFrame), which is not an execution
+              # stage — check for actual Python eval nodes
+              ("no Python execution stage (JVM tokenizer + integer score)",
+               not re.search(r"EvalPython|MapInPandas|MapInArrow"
+                             r"|FlatMapGroupsInPandas", p))]
+    sections.append(("top_keywords(documents, idf_model, k=3)", p, checks))
+
     out = ["# BENCH/PLANS — physical-plan audit",
            "",
            "Generated by `python scripts/explain_audit.py`. Each section is "

@@ -1,5 +1,6 @@
 """Deduplication operators for training-data pipelines: exact (fingerprint
-groupBy), MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup."""
+groupBy), MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup,
+and incremental shard-vs-seen-corpus dedup (Bloom split)."""
 
 from .clusters import (  # noqa: F401
     assign_clusters,
@@ -8,6 +9,7 @@ from .clusters import (  # noqa: F401
     dedup_near_keep,
 )
 from .exact import dedup_exact, duplicate_groups  # noqa: F401
+from .incremental import drop_seen, seen_bloom  # noqa: F401
 from .jaccard import ngram_jaccard_pairs  # noqa: F401
 from .minhash import (  # noqa: F401
     lsh_candidate_pairs,

@@ -64,7 +64,8 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
                  blocklist: DataFrame | None = None, url_col: str = "url",
                  max_pii: int | None = None,
                  min_mean_logp_milli: int | None = None,
-                 lm_vocab_size: int = 50_000) -> DataFrame:
+                 lm_vocab_size: int = 50_000,
+                 persist_level: str | None = None) -> DataFrame:
     """Manifest DataFrame: (id, keep, drop_reason, pred_lang, quality,
     n_chars, n_bpe_tokens) — one row per input doc.
 
@@ -84,7 +85,21 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
       milli-nats) falls below the threshold drop as ``lm_tail``.
 
     Full precedence (first match wins): blocked_domain > exact_dup >
-    near_dup > low_quality > pii_heavy > lm_tail."""
+    near_dup > low_quality > pii_heavy > lm_tail.
+
+    ``persist_level`` (e.g. ``"DISK_ONLY"``, ``"MEMORY_AND_DISK"``) sets an
+    explicit **stage-materialization boundary** after the map-only flags and
+    the exact-dedup join.  Without it the single manifest action is one lazy
+    DAG in which every downstream branch re-derives its upstream: the
+    near-dup verify join scans its input ~3x and the LM rescore once more,
+    so the exact-dedup shuffle re-executes ~5x and the source scan ~8x —
+    correct, but quadratic-feeling wall time as stages are added.  With it,
+    the annotated+exact-flagged frame is computed once and every branch
+    reads the persisted blocks, which is the in-session equivalent of what
+    a 100 TB multi-job pipeline does by writing each stage boundary to
+    durable storage.  The caller owns cleanup (``spark.catalog.clearCache()``
+    or unpersisting via the returned frame's lineage) once the manifest is
+    materialized."""
     from sketchlib.dedup.exact import dedup_exact
     from sketchlib.dedup.minhash import near_dup_pairs
 
@@ -128,6 +143,10 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
                    ann[id_col] == F.col("__keep_id"), "left")
     ann = ann.withColumn("__exact_dup", F.col("__keep_id").isNull()) \
              .drop("__keep_id")
+    if persist_level is not None:
+        from pyspark import StorageLevel
+
+        ann = ann.persist(getattr(StorageLevel, persist_level))
 
     if near_dup:
         # near-dup runs on exact-dedup survivors only (exact dups would
@@ -260,6 +279,10 @@ def main(argv=None) -> int:
                          "corpus-trained unigram LM (milli-nats) is below "
                          "this threshold")
     ap.add_argument("--lm-vocab-size", type=int, default=50_000)
+    ap.add_argument("--persist-level", default="DISK_ONLY",
+                    help="StorageLevel name for the stage-materialization "
+                         "boundary after annotate+exact-dedup (NONE to "
+                         "disable and run the fully lazy DAG)")
     ap.add_argument("--mix-targets", default=None,
                     help='JSON {"source": share, ...} summing to 1: re-mix '
                          "kept docs to these proportions by bpe-token mass "
@@ -285,11 +308,14 @@ def main(argv=None) -> int:
                             blocklist=bl, url_col=args.url_col,
                             max_pii=args.max_pii,
                             min_mean_logp_milli=args.min_mean_logp_milli,
-                            lm_vocab_size=args.lm_vocab_size)
+                            lm_vocab_size=args.lm_vocab_size,
+                            persist_level=(None if args.persist_level == "NONE"
+                                           else args.persist_level))
     if args.mix_targets:
         manifest = apply_mix(manifest, docs, json.loads(args.mix_targets),
                              args.source_col, args.id_col)
     manifest.write.mode("overwrite").parquet(args.output)
+    spark.catalog.clearCache()  # manifest is durable; drop the boundary
     manifest = spark.read.parquet(args.output)  # summarize the written file
     print(json.dumps(summarize(manifest, docs, args.id_col, args.text_col)))
     if not preexisting:  # don't tear down a session we merely joined

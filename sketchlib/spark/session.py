@@ -6,7 +6,12 @@ Encodes the settings this repo measured to matter (BENCH/BASELINE.md):
   JVM<->Python cost; tasks must carry >= ~300k rows to amortize it, but
   stay small enough to keep all cores busy at bench scale;
 * Arrow ``maxRecordsPerBatch`` 200k — fewer, larger IPC batches;
-* AQE on — coalesces the sketch-blob shuffle and splits stragglers.
+* AQE on — coalesces the sketch-blob shuffle and splits stragglers;
+* ``spark.rdd.compress`` on — DISK_ONLY stage boundaries (corpus job)
+  store serialized blocks; uncompressed, a text corpus persisted at a
+  boundary is ~4-5x its parquet size and can exhaust local disk (measured:
+  the 24M-row e2e bench ran out of /tmp without it).  LZ4 block compression
+  costs ~nothing against the IO it saves.
 """
 
 from __future__ import annotations
@@ -26,7 +31,8 @@ def build_session(app: str, local_cpus: str | int | None = None,
     b = (b.config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
-         .config("spark.sql.execution.arrow.pyspark.enabled", "true"))
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.rdd.compress", "true"))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -175,3 +175,21 @@ def test_blocklist_with_url_as_id(spark):
     rows_out = m.collect()
     assert len(rows_out) == 6
     assert all(r["drop_reason"] == "blocked_domain" for r in rows_out)
+
+
+def test_persist_boundary_identical_manifest(spark):
+    """persist_level only changes the execution shape (one materialized
+    stage boundary instead of per-branch re-derivation) — the manifest
+    must be row-identical, and the boundary must actually be cached."""
+    docs = _docs(spark)
+    lazy = {r["doc_id"]: r for r in
+            clean_corpus(docs, min_quality=3).collect()}
+    spark.catalog.clearCache()
+    persisted = clean_corpus(docs, min_quality=3, persist_level="DISK_ONLY")
+    got = {r["doc_id"]: r for r in persisted.collect()}
+    assert got == lazy
+    # the boundary is registered with the cache manager (InMemoryRelation
+    # appears in the optimized plan of the manifest)
+    plan = persisted._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan
+    spark.catalog.clearCache()

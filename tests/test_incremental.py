@@ -1,0 +1,95 @@
+"""Incremental cross-corpus dedup: Bloom-split exactness, sketch-mode
+over-drop bound, null handling, mode equivalence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.dedup.incremental import drop_seen, seen_bloom
+from sketchlib.spark.specs import BloomSpec
+
+
+def _corpora(spark):
+    seen = spark.createDataFrame(
+        [(i, f"seen document number {i} body text") for i in range(200)],
+        "doc_id long, text string")
+    # 300 new docs: ids 1000+; 80 are exact re-crawls of seen docs
+    # (whitespace/case variants — normalization must still match),
+    # 220 genuinely new
+    rows = []
+    for i in range(80):
+        rows.append((1000 + i, f"  SEEN document NUMBER {i} body   text "))
+    for i in range(220):
+        rows.append((1080 + i, f"fresh document {i} never seen before"))
+    new = spark.createDataFrame(rows, "doc_id long, text string")
+    return seen, new
+
+
+def test_exact_anti_join_mode(spark):
+    seen, new = _corpora(spark)
+    kept = drop_seen(new, seen)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert ids == set(range(1080, 1300))
+    assert kept.columns == new.columns  # temp columns cleaned up
+
+
+def test_bloom_split_is_exact(spark):
+    seen, new = _corpora(spark)
+    blob = seen_bloom(seen)
+    split = {r["doc_id"] for r in
+             drop_seen(new, seen, bloom_blob=blob).collect()}
+    plain = {r["doc_id"] for r in drop_seen(new, seen).collect()}
+    assert split == plain == set(range(1080, 1300))
+
+
+def test_sketch_mode_no_false_negatives_and_bounded_overdrop(spark):
+    seen, new = _corpora(spark)
+    # tiny filter -> measurable fpp; no false negatives regardless
+    spec = BloomSpec(m_bits=1 << 12, k=4)
+    blob = seen_bloom(seen, spec=spec)
+    kept = {r["doc_id"] for r in
+            drop_seen(new, bloom_blob=blob, spec=spec).collect()}
+    # every true duplicate is dropped (Bloom has no false negatives)
+    assert not kept & set(range(1000, 1080))
+    # over-drop of genuinely-new docs bounded: theoretical fpp for
+    # m=4096, k=4, n=200 is ~0.04%; allow generous slack
+    fresh = set(range(1080, 1300))
+    assert len(fresh - kept) <= 5
+
+
+def test_null_text_never_dropped(spark):
+    seen, new = _corpora(spark)
+    new = new.unionByName(spark.createDataFrame(
+        [(9999, None)], "doc_id long, text string"))
+    blob = seen_bloom(seen)
+    for kept in (drop_seen(new, seen),
+                 drop_seen(new, seen, bloom_blob=blob),
+                 drop_seen(new, bloom_blob=blob)):
+        assert 9999 in {r["doc_id"] for r in kept.select("doc_id").collect()}
+
+
+def test_temp_name_collision_guard(spark):
+    seen, new = _corpora(spark)
+    trap = new.withColumn("__fp", F.lit(0)).withColumn(
+        "__seen_maybe", F.lit(True))
+    kept = drop_seen(trap, seen)
+    assert {"__fp", "__seen_maybe"} <= set(kept.columns)  # user cols intact
+    assert kept.count() == 220
+
+
+def test_requires_an_input(spark):
+    _, new = _corpora(spark)
+    with pytest.raises(ValueError):
+        drop_seen(new)
+
+
+def test_bloom_split_join_input_is_prefiltered(spark):
+    """The exact anti-join's left side must be the probe-true candidates,
+    not the whole increment: assert the join subtree contains the Python
+    probe filter."""
+    seen, new = _corpora(spark)
+    blob = seen_bloom(seen)
+    df = drop_seen(new, seen, bloom_blob=blob)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    # both union branches filter on the probe; the join appears once
+    assert len(re.findall(r"SortMergeJoin .*LeftAnti|BroadcastHashJoin .*LeftAnti", plan)) == 1
