@@ -1495,6 +1495,31 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "rnk"))
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted reservoir sample (sampling.py
+    weighted_sample_per_group — Efraimidis-Spirakis with hash-uniform u):
+    20 docs per source weighted by n_chars.  The hash draw is Spark-side,
+    so the oracle checks the engine-checkable invariants: per-source
+    sample size = min(k, positive-weight rows) and bit-stability across
+    partitionings (checksum equality computed Spark-side, TRUE in the
+    oracle)."""
+    from sketchlib.sampling import weighted_sample_per_group
+
+    docs = (_read(spark, sf_dir, "documents")
+            .select("doc_id", "source", "n_chars"))
+    s1 = weighted_sample_per_group(docs, "source", "n_chars", 20, "doc_id")
+    s2 = weighted_sample_per_group(docs.repartition(7), "source",
+                                   "n_chars", 20, "doc_id")
+    a = s1.groupBy("source").agg(F.count("*").alias("n_sampled"),
+                                 F.sum("doc_id").alias("__ck_a"))
+    b = s2.groupBy("source").agg(F.sum("doc_id").alias("__ck_b"))
+    return (a.join(b, "source")
+            .select("source", "n_sampled",
+                    (F.col("__ck_a") == F.col("__ck_b")).alias(
+                        "partition_stable"))
+            .orderBy("source"))
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary-growth curve (sketchlib/text/vocab.py): one
     corpus scan into 10 per-id-bucket HLL sketches, cumulative prefix
@@ -1686,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "incremental_dedup": q_incremental_dedup,
         "vocab_growth": q_vocab_growth,
+        "weighted_sample": q_weighted_sample,
         "tfidf_keywords": q_tfidf_keywords,
         "dsir_selection": q_dsir_selection,
         "blocklist_filter": q_blocklist_filter,
@@ -2117,6 +2143,12 @@ def _pipeline_oracles() -> dict[str, str]:
             "CAST(SUM(COALESCE(v.lp, (SELECT lp FROM oov))) AS BIGINT) "
             "AS sum_logp_milli "
             "FROM toks s LEFT JOIN vl v USING (tok) GROUP BY s.doc_id"
+        ),
+        "weighted_sample": (
+            "SELECT source, least(20, count(*) FILTER (WHERE n_chars IS "
+            "NOT NULL AND n_chars > 0)) AS n_sampled, "
+            "TRUE AS partition_stable "
+            "FROM documents GROUP BY source ORDER BY source"
         ),
         "vocab_growth": (
             "WITH base AS (SELECT doc_id, text FROM documents "

@@ -29,6 +29,17 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def n_shuffles(p: str) -> int:
+    """Count shuffle exchanges (NOT broadcasts) in a formatted plan.
+
+    Formatted explain prints every node once in the tree and once as a
+    "(n) Exchange" detail header; counting the numbered detail headers
+    counts each physical node exactly once, and the ``Exchange\\b`` word
+    boundary excludes ``BroadcastExchange`` (its header reads
+    "(n) BroadcastExchange")."""
+    return len(re.findall(r"\(\d+\) Exchange\b", p))
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -63,8 +74,8 @@ def main() -> None:
                    "deserialized)", "ReadSchema" in p and "html" not in p))
     checks.append(("partition pruning: lang=en reaches PartitionFilters",
                    "PartitionFilters: [isnotnull(lang" in p or "lang#" in p.split("PartitionFilters", 1)[-1][:200]))
-    checks.append(("exactly one exchange of sketch blobs (plus AQE read)",
-                   p.count("Exchange") <= 2))
+    checks.append(("exactly one shuffle exchange (the sketch-blob shuffle)",
+                   n_shuffles(p) == 1))
     sections.append(("distinct_count(pages[lang=en], url, [lang, day])", p, checks))
 
     # 1b. prehash fast path: hash computed JVM-side before Python stage
@@ -75,7 +86,7 @@ def main() -> None:
               ("raw url column never crosses to Python (only the 8-byte "
                "fingerprint column feeds mapInArrow)",
                "__fp64" in p),
-              ("one shuffle of blobs", p.count("Exchange") <= 2)]
+              ("exactly one shuffle exchange (blobs)", n_shuffles(p) == 1)]
     sections.append(("distinct_count(pages, url, [lang, day], prehash64=True)",
                      p, checks))
 
@@ -84,15 +95,15 @@ def main() -> None:
     p = plan_of(df)
     checks = [("scan reads only l_suppkey/l_orderkey",
                "l_comment" not in p and "l_extendedprice" not in p),
-              ("one shuffle", p.count("Exchange") <= 2)]
+              ("exactly one shuffle exchange", n_shuffles(p) == 1)]
     sections.append(("distinct_count(lineitem, l_suppkey, [l_orderkey])", p, checks))
 
     # 3. heavy hitters single-pass final stage
     df = heavy_hitters(li, "l_suppkey", k=10)
     p = plan_of(df)
     checks = [("no cartesian product", "CartesianProduct" not in p),
-              ("single grouped final pass (<=2 exchanges)",
-               p.count("Exchange") <= 2)]
+              ("single grouped final pass (<=2 shuffle exchanges: "
+               "candidate union + final group)", n_shuffles(p) <= 2)]
     sections.append(("heavy_hitters(lineitem, l_suppkey, k=10)", p, checks))
 
     # 4. minhash near-dup: bucket join, no cross join
@@ -147,8 +158,7 @@ def main() -> None:
               # section), so ONE shuffle == exactly two "(n) Exchange"-style
               # mentions; count detail headers only and exclude broadcasts
               ("exactly one shuffle exchange",
-               len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
-               and "BroadcastExchange" not in p),
+               n_shuffles(p) == 1 and "BroadcastExchange" not in p),
               ("no Python stage", "Python" not in p and "MapIn" not in p)]
     sections.append(("cap_per_group(documents, [lang, source], 3)", p, checks))
 

@@ -103,13 +103,21 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     pref = _prefix_index(sh, id_col, threshold)
     a = pref.select("g", F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     b = pref.select("g", F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    # persisted before fan-out: the broadcast id-set below is materialized
+    # by a separate AQE subquery job that compiles its own exchanges and
+    # would otherwise re-run the whole prefix-index self-join (same
+    # measured pathology as minhash.near_dup_pairs — see its docstring);
+    # cached blocks are shared across jobs, shuffle files are not
+    from pyspark import StorageLevel
+
     cands = (a.join(b, "g")
              .filter((F.col("id_a") < F.col("id_b"))
                      # length filter: J <= min(|A|,|B|) / max(|A|,|B|)
                      & (F.col("sz_a") * F.lit(1.0) >= threshold * F.col("sz_b"))
                      & (F.col("sz_b") * F.lit(1.0) >= threshold * F.col("sz_a")))
              .select("id_a", "id_b")
-             .distinct())
+             .distinct()
+             .persist(StorageLevel.MEMORY_AND_DISK))
     cand_ids = (cands.select(F.col("id_a").alias(id_col))
                 .union(cands.select(F.col("id_b").alias(id_col)))
                 .distinct())

@@ -157,6 +157,44 @@ def mix_by_source(df: DataFrame, source_col: str, targets: dict[str, float],
     return df.filter(bucket < F.coalesce(thresh[F.col(source_col)], F.lit(0)))
 
 
+def weighted_sample_per_group(df: DataFrame, group_cols, weight_col: str,
+                              k: int, id_cols,
+                              salt: str = "wsample-v1") -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: the ``k`` rows
+    per group with the largest Efraimidis–Spirakis key ``u^(1/w)``
+    (Efraimidis & Spirakis 2006), where ``u`` is a hash-uniform of
+    ``id_cols`` + ``salt`` — so the draw is reproducible, partition-
+    independent, and growth-stable like every sampler in this module
+    (new rows can displace old ones but never re-randomize them).
+
+    For ``k = 1`` the inclusion probability is exactly ``w_i / sum(w)``;
+    change ``salt`` for an independent draw.  Rows with null or
+    non-positive weight are excluded (they have no sampling mass).
+
+    Ranking uses the monotone transform ``ln(u)/w`` (descending) instead
+    of ``u^(1/w)`` — same order, no pow underflow for large weights.
+    Plan shape: map-only key derivation + one row_number window per
+    group; Catalyst's rank-limit pushdown (``WindowGroupLimit``) pre-caps
+    map-side, so a hub group never concentrates a reducer."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    group_cols = _as_list(group_cols)
+    id_cols = _as_list(id_cols)
+    m = 1 << 52
+    u = (F.pmod(F.xxhash64(F.lit(salt), *[F.col(c) for c in id_cols]),
+                F.lit(m)) + F.lit(0.5)) / F.lit(float(m))
+    es_key = F.log(u) / F.col(weight_col)
+    rn = "__rn"
+    while rn in df.columns:
+        rn += "_"
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc(es_key), *[F.col(c).asc() for c in id_cols])
+    return (df.filter(F.col(weight_col).isNotNull()
+                      & (F.col(weight_col) > 0))
+            .withColumn(rn, F.row_number().over(w))
+            .filter(F.col(rn) <= k).drop(rn))
+
+
 def sample_by_hash(df: DataFrame, key_cols, fraction: float,
                    salt: str = "sample-v1") -> DataFrame:
     """Deterministic ~``fraction`` subsample: keep rows whose key hashes into

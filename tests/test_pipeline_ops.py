@@ -115,21 +115,30 @@ class TestDedup:
         assert not any(11 in p for p in got)
 
     def test_minhash_verify_prefilters_candidates(self, spark, docs_df):
-        """The verify join must re-shingle only candidate docs: both
-        verify-side scans sit behind a left-semi join on the candidate-id
-        set, and the executed (AQE-final) plan serves the candidate-id
-        subtree from the pair shuffle via ReusedExchange — i.e. the Python
-        signature pass runs once, not once per reference."""
+        """The verify join must re-shingle only candidate docs, and the
+        Python signature pass must run once: both verify-side scans sit
+        behind a left-semi join on the candidate-id set, and every
+        downstream reference of the candidate pairs (main chain + the two
+        id-set union arms) is served from the persisted InMemoryRelation
+        instead of recompiling the signature+banding subtree per AQE
+        subquery job.  (The plan string nests the cached subtree's own
+        AdaptiveSparkPlan, so assertions run on the full string, not a
+        final-plan split.)"""
         from sketchlib.dedup import near_dup_pairs
 
         p = near_dup_pairs(docs_df, threshold=0.5, n_hashes=64, bands=16)
         p.collect()  # drive AQE to the final plan on p's own QueryExecution
         plan = p._jdf.queryExecution().executedPlan().toString()
-        final = plan.split("== Initial Plan ==")[0]
-        assert "isFinalPlan=true" in final
-        assert final.count("LeftSemi") == 2  # one per verify side (sh_a, sh_b)
-        # candidate-id union reads the pair-distinct shuffle twice via reuse
-        assert final.count("ReusedExchange") >= 2
+        # one semi prefilter per verify side (final + mirrored initial plan)
+        assert plan.count("LeftSemi") >= 2
+        # candidate pairs served from cache wherever referenced (cached
+        # blocks, unlike shuffle files, are shared across AQE subquery jobs)
+        assert "InMemoryTableScan [id_a" in plan
+        assert "InMemoryRelation" in plan
+        # and the cache actually holds the pair blocks after the collect
+        sc = spark.sparkContext
+        assert any(info.name() and "memory" in info.storageLevel().description().lower()
+                   for info in sc._jsc.sc().getRDDStorageInfo())
 
     def test_minhash_candidates_superset_of_true_pairs(self, spark, docs_df):
         """Banding recall: every pair above threshold must surface as a
@@ -149,6 +158,64 @@ class TestDedup:
         true_pairs = {(r["id_a"], r["id_b"])
                       for r in allp.filter("j >= 0.5").collect()}
         assert true_pairs <= cands
+
+    def test_oph_near_dup_matches_perm_output(self, spark, docs_df):
+        """OPH signatures feed the same exact verify, so the final pair set
+        must equal the k-permutation path on this corpus (recall is the
+        only thing that could differ; both find these well-above-threshold
+        pairs)."""
+        from sketchlib.dedup import near_dup_pairs
+
+        perm = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in near_dup_pairs(docs_df, threshold=0.5, n_hashes=64,
+                                        bands=16).collect()}
+        oph = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in near_dup_pairs(docs_df, threshold=0.5, n_hashes=64,
+                                       bands=16, method="oph").collect()}
+        assert oph == perm
+
+    def test_oph_signature_determinism_and_estimator(self, spark, docs_df):
+        """OPH signatures are partition-independent, and the per-slot
+        collision rate between two docs estimates their Jaccard (identical
+        docs agree on every slot; disjoint docs on ~none)."""
+        from sketchlib.dedup.minhash import minhash_signatures
+
+        a = {r["doc_id"]: r["sig"] for r in minhash_signatures(
+            docs_df, n_hashes=64, method="oph").collect()}
+        b = {r["doc_id"]: r["sig"] for r in minhash_signatures(
+            docs_df.repartition(5), n_hashes=64, method="oph").collect()}
+        assert a == b
+        # docs 0 and 1 are case-duplicates -> identical shingle sets
+        assert a[0] == a[1]
+        sig0, sig11 = np.asarray(a[0]), np.asarray(a[11])
+        assert (sig0 == sig11).mean() < 0.2  # unrelated docs
+
+    def test_oph_rejects_non_power_of_two(self, spark, docs_df):
+        import pytest
+
+        from sketchlib.dedup.minhash import minhash_signatures
+
+        with pytest.raises(ValueError):
+            minhash_signatures(docs_df, n_hashes=48, method="oph")
+        with pytest.raises(ValueError):
+            minhash_signatures(docs_df, n_hashes=64, method="bogus")
+
+    def test_oph_kernel_sparse_docs_densify(self, spark):
+        """Docs with fewer shingles than bins exercise the rotation
+        densification: every slot is filled, empty-bin slots only collide
+        when source bin AND borrow distance agree."""
+        from sketchlib.dedup.minhash import _OPH_EMPTY, _oph_sigs
+
+        rng = np.random.default_rng(7)
+        hashes = rng.integers(0, 2**64, size=10, dtype=np.uint64)
+        starts = np.array([0, 3], dtype=np.int64)
+        ends = np.array([3, 10], dtype=np.int64)
+        out = _oph_sigs(hashes, starts, ends, 64)
+        assert out.shape == (2, 64)
+        assert not (out == _OPH_EMPTY).any()
+        # same input twice -> identical rows
+        again = _oph_sigs(hashes, starts, ends, 64)
+        assert (out == again).all()
 
     def test_ngram_jaccard_exact_vs_brute_force(self, spark, docs_df):
         """ngram_jaccard_pairs is EXACT: its output must equal the full
@@ -180,12 +247,15 @@ class TestDedup:
             .ngram_jaccard_pairs(docs_df, threshold=0.5)
         p.collect()
         plan = p._jdf.queryExecution().executedPlan().toString()
-        final = plan.split("== Initial Plan ==")[0]
-        assert "isFinalPlan=true" in final
-        assert final.count("ReusedExchange") >= 1
-        assert "Window" not in final
-        assert "LeftSemi" in final
-        assert "CartesianProduct" not in final
+        # the candidate set is persisted, so its subtree nests its own
+        # AdaptiveSparkPlan inside InMemoryRelation — assert on the full
+        # string (absence checks are safe there; presence checks can only
+        # be satisfied by operators the query genuinely compiled)
+        assert "isFinalPlan=true" in plan
+        assert "InMemoryTableScan" in plan  # candidate pairs cache-served
+        assert "Window" not in plan
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
 
     def test_ngram_jaccard_rejects_bad_threshold(self, spark, docs_df):
         from sketchlib.dedup import ngram_jaccard_pairs

@@ -165,3 +165,65 @@ def test_mix_by_source_weighted_and_validates(spark):
         mix_by_source(df, "src", {"big": 0.7, "small": 0.2}, "doc_id")
     with pytest.raises(ValueError):
         mix_by_source(df, "src", {"big": 0.5, "absent": 0.5}, "doc_id")
+
+
+# --- weighted_sample_per_group -------------------------------------------
+
+def test_weighted_sample_caps_and_determinism(spark):
+    from sketchlib.sampling import weighted_sample_per_group
+
+    rows = [(g, i, float(1 + (i % 5))) for g in ("a", "b") for i in range(40)]
+    df = spark.createDataFrame(rows, "grp string, id long, w double")
+    got = weighted_sample_per_group(df, "grp", "w", 7, "id")
+    per = {r["grp"]: 0 for r in got.collect()}
+    for r in got.collect():
+        per[r["grp"]] = per.get(r["grp"], 0) + 1
+    assert per == {"a": 7, "b": 7}
+    a = sorted(map(tuple, weighted_sample_per_group(
+        df.repartition(1), "grp", "w", 7, "id").collect()))
+    b = sorted(map(tuple, weighted_sample_per_group(
+        df.repartition(9), "grp", "w", 7, "id").collect()))
+    assert a == b
+
+
+def test_weighted_sample_k1_matches_weight_shares(spark):
+    """k=1 Efraimidis-Spirakis inclusion probability is exactly w_i/sum(w):
+    over many independent salts, the heavy item (w=7 of total 10) must win
+    ~70% of draws."""
+    from sketchlib.sampling import weighted_sample_per_group
+
+    df = spark.createDataFrame(
+        [("g", 0, 1.0), ("g", 1, 1.0), ("g", 2, 1.0), ("g", 3, 7.0)],
+        "grp string, id long, w double")
+    wins = 0
+    n_trials = 200
+    for t in range(n_trials):
+        [r] = weighted_sample_per_group(df, "grp", "w", 1, "id",
+                                        salt=f"trial-{t}").collect()
+        wins += r["id"] == 3
+    # Binomial(200, 0.7): sd ~ 6.5; allow 4 sd
+    assert abs(wins - 140) <= 26, wins
+
+
+def test_weighted_sample_excludes_nonpositive_and_validates(spark):
+    import pytest
+    from sketchlib.sampling import weighted_sample_per_group
+
+    df = spark.createDataFrame(
+        [("g", 1, 0.0), ("g", 2, -3.0), ("g", 3, None), ("g", 4, 2.0)],
+        "grp string, id long, w double")
+    got = weighted_sample_per_group(df, "grp", "w", 10, "id").collect()
+    assert [r["id"] for r in got] == [4]
+    with pytest.raises(ValueError):
+        weighted_sample_per_group(df, "grp", "w", 0, "id")
+
+
+def test_weighted_sample_plan_pre_caps(spark):
+    from sketchlib.sampling import weighted_sample_per_group
+
+    df = spark.createDataFrame(
+        [("g", i, 1.0 + i) for i in range(100)],
+        "grp string, id long, w double")
+    plan = weighted_sample_per_group(df, "grp", "w", 5, "id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
