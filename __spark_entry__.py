@@ -484,6 +484,20 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(docs, threshold=0.8, n_hashes=128, bands=32)
 
 
+def q_minhash_oph_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as minhash_near_dup_pairs but with the one-permutation
+    hashing signature kernel (sketchlib/dedup/minhash.py _oph_sigs —
+    O(shingles + k) per doc instead of O(shingles x k)).  Candidates are
+    exact-verified, so the oracle is the identical exact-Jaccard join;
+    matching it machine-checks that OPH banding recall loses none of these
+    well-above-threshold pairs."""
+    from sketchlib.dedup import near_dup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return near_dup_pairs(docs, threshold=0.8, n_hashes=128, bands=32,
+                          method="oph")
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT word-3-gram Jaccard near-dup pairs at threshold 0.6 via
     DF-ordered prefix filtering (All-Pairs, Bayardo et al. WWW'07) — unlike
@@ -1688,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_distribution": q_lang_id_distribution,
         "dedup_exact_summary": q_dedup_exact_summary,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+        "minhash_oph_near_dup_pairs": q_minhash_oph_near_dup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "per_source_cap": q_per_source_cap,
@@ -1840,6 +1855,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "lang_id_distribution": lang_id,
         "dedup_exact_summary": dedup,
         "minhash_near_dup_pairs": minhash,
+        "minhash_oph_near_dup_pairs": minhash,
         "ngram_jaccard_pairs": (
             f"WITH sh AS ({shingles}) "
             "SELECT id_a, id_b, jaccard FROM ("

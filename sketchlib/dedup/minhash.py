@@ -120,7 +120,7 @@ _OPH_ROT_C = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio mix constant
 
 
 def _oph_sigs(hashes: np.ndarray, starts: np.ndarray, ends: np.ndarray,
-              n_hashes: int) -> np.ndarray:
+              n_hashes: int, chunk_rows: int = 8192) -> np.ndarray:
     """One-permutation-hashing signatures (Li, Owen & Zhang 2012) with
     rotation densification (Shrivastava & Li 2014 "Improved Densification"):
     every shingle hash lands in the bin given by its top ``log2(n_hashes)``
@@ -129,37 +129,62 @@ def _oph_sigs(hashes: np.ndarray, starts: np.ndarray, ends: np.ndarray,
     ``distance * C`` so two docs only agree on an empty bin when the
     borrowed source AND the borrow distance agree.
 
-    Cost: O(total_shingles + rows * n_hashes) — the classic k-permutation
-    kernel is O(total_shingles * n_hashes), which measured at 8 ms/doc on
-    ~330-token web pages (19k executor-seconds per 2.4M docs).  Collision
+    Cost: O(total_shingles log chunk + rows * n_hashes) — the classic
+    k-permutation kernel is O(total_shingles * n_hashes).  Collision
     probability per co-occupied bin is an unbiased Jaccard estimator, so
     banding recall matches the permutation family closely; every candidate
-    is exact-verified downstream, so precision is unaffected."""
+    is exact-verified downstream, so precision is unaffected.
+
+    Implementation notes (both scale-critical, found the hard way on 200k-row
+    Arrow batches):
+
+    * per-bin minima via sort + ``np.minimum.reduceat`` segments, NOT
+      ``np.minimum.at`` — ufunc ``.at`` is unbuffered and ~50x slower
+      (2.8 s vs 60 ms on a 10k-row batch);
+    * rows are processed in ``chunk_rows`` slices so the densification
+      temporaries (several (rows, 2*n_hashes) int64 arrays) stay ~16 MB
+      regardless of Arrow batch size — unchunked at
+      ``maxRecordsPerBatch=200k`` they hit ~2 GB per worker and 32
+      local-mode workers OOM-killed the executors.
+
+    ``starts``/``ends`` must describe contiguous segments of ``hashes``
+    (zero-length gaps allowed), which is what the caller's cumsum bounds
+    produce; rows here have >= 1 shingle (caller filters empties)."""
     nbits = (n_hashes - 1).bit_length()
     if (1 << nbits) != n_hashes:
         raise ValueError("oph requires power-of-two n_hashes")
     n_rows = starts.shape[0]
-    total = int(ends[-1] - starts[0]) if n_rows else 0
     out = np.full((n_rows, n_hashes), _OPH_EMPTY, dtype=np.uint64)
-    if total:
-        lens = (ends - starts).astype(np.int64)
-        row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
-        h = hashes[int(starts[0]):int(ends[-1])]
-        bins = (h >> np.uint64(64 - nbits)).astype(np.int64)
-        np.minimum.at(out.reshape(-1), row_idx * n_hashes + bins, h)
-    # densification: nearest non-empty bin to the right, circular
-    nonempty = out != _OPH_EMPTY
-    pos = np.where(np.concatenate([nonempty, nonempty], axis=1),
-                   np.arange(2 * n_hashes, dtype=np.int64)[None, :],
-                   np.int64(1 << 30))
-    nxt = np.minimum.accumulate(pos[:, ::-1], axis=1)[:, ::-1][:, :n_hashes]
-    # rows with at least one shingle always have >= 1 non-empty bin
-    src = (nxt % n_hashes).astype(np.int64)
-    dist = (nxt - np.arange(n_hashes, dtype=np.int64)[None, :]).astype(np.uint64)
-    with np.errstate(over="ignore"):
-        dense = (np.take_along_axis(out, src, axis=1)
-                 + dist * _OPH_ROT_C)
-    return np.where(nonempty, out, dense)
+    bin_pos = np.arange(n_hashes, dtype=np.int64)[None, :]
+    pos2 = np.arange(2 * n_hashes, dtype=np.int64)[None, :]
+    for c0 in range(0, n_rows, chunk_rows):
+        c1 = min(c0 + chunk_rows, n_rows)
+        lens = (ends[c0:c1] - starts[c0:c1]).astype(np.int64)
+        total = int(lens.sum())
+        sub = out[c0:c1]
+        if total:
+            h = hashes[int(starts[c0]):int(ends[c1 - 1])]
+            # chunk-local keys fit int32 (chunk_rows * n_hashes << 2^31):
+            # half the sort bandwidth of an int64 key
+            row_idx = np.repeat(np.arange(c1 - c0, dtype=np.int32), lens)
+            bins = (h >> np.uint64(64 - nbits)).astype(np.int32)
+            key = row_idx * np.int32(n_hashes) + bins
+            order = np.argsort(key, kind="stable")
+            sk = key[order]
+            seg = np.flatnonzero(np.diff(sk)) + 1
+            seg = np.concatenate([np.zeros(1, dtype=seg.dtype), seg])
+            sub.reshape(-1)[sk[seg]] = np.minimum.reduceat(h[order], seg)
+        # densification: nearest non-empty bin to the right, circular
+        nonempty = sub != _OPH_EMPTY
+        pos = np.where(np.concatenate([nonempty, nonempty], axis=1),
+                       pos2, np.int64(1 << 30))
+        nxt = np.minimum.accumulate(pos[:, ::-1], axis=1)[:, ::-1][:, :n_hashes]
+        src = (nxt % n_hashes).astype(np.int64)
+        dist = (nxt - bin_pos).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            dense = np.take_along_axis(sub, src, axis=1) + dist * _OPH_ROT_C
+        out[c0:c1] = np.where(nonempty, sub, dense)
+    return out
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",

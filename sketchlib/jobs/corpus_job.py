@@ -65,7 +65,8 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
                  max_pii: int | None = None,
                  min_mean_logp_milli: int | None = None,
                  lm_vocab_size: int = 50_000,
-                 persist_level: str | None = None) -> DataFrame:
+                 persist_level: str | None = None,
+                 minhash_method: str = "perm") -> DataFrame:
     """Manifest DataFrame: (id, keep, drop_reason, pred_lang, quality,
     n_chars, n_bpe_tokens) — one row per input doc.
 
@@ -99,7 +100,13 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
     a 100 TB multi-job pipeline does by writing each stage boundary to
     durable storage.  The caller owns cleanup (``spark.catalog.clearCache()``
     or unpersisting via the returned frame's lineage) once the manifest is
-    materialized."""
+    materialized.
+
+    ``minhash_method`` selects the near-dup signature kernel
+    (:func:`sketchlib.dedup.minhash.minhash_signatures`): ``"perm"``
+    (classic) or ``"oph"`` (one-permutation hashing — O(shingles + k)
+    per doc; candidates are exact-verified either way so the manifest
+    decisions are kernel-independent for pairs above threshold)."""
     from sketchlib.dedup.exact import dedup_exact
     from sketchlib.dedup.minhash import near_dup_pairs
 
@@ -153,7 +160,7 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
         # flood the LSH buckets with jaccard=1.0 pairs)
         survivors = ann.filter(~F.col("__exact_dup")).select(id_col, text_col)
         pairs = near_dup_pairs(survivors, text_col, id_col,
-                               threshold=jaccard)
+                               threshold=jaccard, method=minhash_method)
         near_losers = (pairs.select(F.col("id_b").alias("__near_id"))
                        .distinct())
         ann = (ann.join(near_losers, ann[id_col] == F.col("__near_id"),
@@ -268,6 +275,11 @@ def main(argv=None) -> int:
     ap.add_argument("--min-quality", type=int, default=3)
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--no-near-dup", action="store_true")
+    ap.add_argument("--minhash-method", default="perm",
+                    choices=("perm", "oph"),
+                    help="MinHash signature kernel: classic k-permutation "
+                         "or one-permutation hashing (O(shingles + k) per "
+                         "doc; same exact verify)")
     ap.add_argument("--blocklist", default=None,
                     help="parquet/csv of blocked domains (first column); "
                          "drops docs whose --url-col domain matches")
@@ -310,7 +322,8 @@ def main(argv=None) -> int:
                             min_mean_logp_milli=args.min_mean_logp_milli,
                             lm_vocab_size=args.lm_vocab_size,
                             persist_level=(None if args.persist_level == "NONE"
-                                           else args.persist_level))
+                                           else args.persist_level),
+                            minhash_method=args.minhash_method)
     if args.mix_targets:
         manifest = apply_mix(manifest, docs, json.loads(args.mix_targets),
                              args.source_col, args.id_col)

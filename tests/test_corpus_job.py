@@ -40,6 +40,17 @@ def test_clean_corpus_reasons(spark):
     assert m[0]["n_bpe_tokens"] > 0
 
 
+def test_clean_corpus_oph_kernel_same_manifest(spark):
+    """The OPH signature kernel must reach the identical manifest: every
+    decision is made on exact-verified pairs, so the kernel choice only
+    affects candidate generation cost."""
+    perm = sorted(map(tuple, clean_corpus(_docs(spark), min_quality=3)
+                      .collect()))
+    oph = sorted(map(tuple, clean_corpus(_docs(spark), min_quality=3,
+                                         minhash_method="oph").collect()))
+    assert perm == oph
+
+
 def test_summary_disjoint_counts(spark):
     docs = _docs(spark)
     manifest = clean_corpus(docs, min_quality=3)
