@@ -164,6 +164,11 @@ def _oph_sigs(hashes: np.ndarray, starts: np.ndarray, ends: np.ndarray,
         sub = out[c0:c1]
         if total:
             h = hashes[int(starts[c0]):int(ends[c1 - 1])]
+            # row_idx below assumes the chunk's segments are contiguous
+            # (starts[i+1] == ends[i]); a gap would silently misalign
+            # every row after it
+            if h.shape[0] != total:
+                raise ValueError("oph segments must be contiguous")
             # chunk-local keys fit int32 (chunk_rows * n_hashes << 2^31):
             # half the sort bandwidth of an int64 key
             row_idx = np.repeat(np.arange(c1 - c0, dtype=np.int32), lens)

@@ -217,6 +217,48 @@ class TestDedup:
         again = _oph_sigs(hashes, starts, ends, 64)
         assert (out == again).all()
 
+    def test_oph_kernel_brute_force_and_chunk_invariance(self, spark):
+        """The vectorized kernel must be bit-identical to a per-row
+        brute-force transcription of OPH + rotation densification, and the
+        row-chunking (a memory knob) must never change the output — pinned
+        across chunk sizes that split rows mid-batch."""
+        from sketchlib.dedup.minhash import (_OPH_EMPTY, _OPH_ROT_C,
+                                             _oph_sigs)
+
+        def brute(hashes, starts, ends, k):
+            nbits = (k - 1).bit_length()
+            out = np.full((len(starts), k), _OPH_EMPTY, dtype=np.uint64)
+            for r in range(len(starts)):
+                pre = np.full(k, _OPH_EMPTY, dtype=np.uint64)
+                for h in hashes[starts[r]:ends[r]]:
+                    b = int(h) >> (64 - nbits)
+                    if h < pre[b]:
+                        pre[b] = h
+                for b in range(k):
+                    if pre[b] != _OPH_EMPTY:
+                        out[r, b] = pre[b]
+                        continue
+                    d = 1
+                    while pre[(b + d) % k] == _OPH_EMPTY:
+                        d += 1
+                    out[r, b] = np.uint64(
+                        (int(pre[(b + d) % k]) + d * int(_OPH_ROT_C))
+                        % (1 << 64))
+            return out
+
+        rng = np.random.default_rng(42)
+        for k in (16, 64):
+            # shingle counts straddle sparse (< k) and dense (> k) rows
+            lens = rng.integers(1, 3 * k, size=37)
+            ends = np.cumsum(lens).astype(np.int64)
+            starts = np.concatenate([[0], ends[:-1]]).astype(np.int64)
+            hashes = rng.integers(0, 2**64, size=int(ends[-1]),
+                                  dtype=np.uint64)
+            want = brute(hashes, starts, ends, k)
+            for chunk in (1, 5, 37, 8192):
+                got = _oph_sigs(hashes, starts, ends, k, chunk_rows=chunk)
+                assert (got == want).all(), (k, chunk)
+
     def test_ngram_jaccard_exact_vs_brute_force(self, spark, docs_df):
         """ngram_jaccard_pairs is EXACT: its output must equal the full
         all-pairs Jaccard join at the same threshold (checked at a low
