@@ -1673,6 +1673,120 @@ def q_accuracy_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_orderkey"))
 
 
+# theta-containment join discovery: the (table, column) universe the gate
+# profiles — shared by the Spark query and the generated DuckDB oracle
+_DISCOVERY_COLUMNS = [
+    ("customer", "c_custkey"), ("customer", "c_nationkey"),
+    ("orders", "o_custkey"), ("orders", "o_orderkey"),
+    ("lineitem", "l_orderkey"), ("lineitem", "l_suppkey"),
+    ("supplier", "s_suppkey"), ("nation", "n_nationkey"),
+]
+
+
+def q_ams_f2_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS/Count-Sketch second frequency moment (sketchlib/ams.py): F2 =
+    self-join size = the skew statistic. One distributed sketch build per
+    element column (blob-only shuffle), median-of-rows estimate checked
+    within 6.8 row-standard-errors (sqrt(2/w) relative, Thorup–Zhang 2004)
+    of the exact SUM(count^2) — one row per element column, covering both
+    the heavy (100 suppliers) and flat (15k orderkeys) frequency shapes."""
+    from sketchlib.ams import AmsSketch
+    from sketchlib.spark.specs import AmsSpec
+
+    li = _read(spark, sf_dir, "lineitem")
+    margin = 6.8 * (2.0 / (1 << 12)) ** 0.5  # ~0.15 relative
+    rows = []
+    for col in ("l_orderkey", "l_suppkey"):
+        spec = AmsSpec(width=1 << 12, depth=7)
+        [r] = sketch_agg(li, col, (), spec).collect()
+        est = AmsSketch.from_bytes(bytes(r["sketch"])).estimate_f2()
+        [e] = (li.groupBy(col).count()
+               .agg(F.sum(F.col("count") * F.col("count")).alias("f2")).collect())
+        exact = int(e["f2"])
+        rows.append((col, exact, bool(abs(est - exact) <= margin * exact)))
+    return spark.createDataFrame(
+        rows, "element string, exact_f2 long, within_bound boolean")
+
+
+def q_cms_join_size_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join size estimation without running the join
+    (sketchlib/spark/joinest.py): CMS inner product over orders ⋈ lineitem
+    on orderkey. Published sandwich (Cormode–Muthukrishnan §4.2): estimate
+    never below the true join size; above by at most eps*|R|*|S| with
+    probability 1-delta."""
+    from sketchlib.spark.joinest import join_size_estimate
+    from sketchlib.spark.specs import CmsSpec
+
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    jse = join_size_estimate(orders, "o_orderkey", li, "l_orderkey",
+                             CmsSpec(width=1 << 12, depth=5))
+    exact = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+    return spark.createDataFrame(
+        [(int(exact), bool(jse.estimate >= exact),
+          bool(jse.estimate <= exact + jse.upper_margin))],
+        "exact_join_size long, lower_ok boolean, upper_ok boolean")
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler (sketchlib/spark/profile.py): exact scalars
+    from one codegen aggregate + per-column HLL distinct estimates from one
+    melted scan (8-byte JVM fingerprints per cell, N columns = N groups, not
+    N shuffles). Exact fields are hash-compared; the distinct estimate is
+    verified within the HLL bound against exact COUNT(DISTINCT)."""
+    from sketchlib.spark.profile import profile_columns
+
+    orders = _read(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderkey", "o_orderstatus"]
+    prof = profile_columns(orders, cols)
+    [r] = orders.agg(*[F.countDistinct(c).alias(c) for c in cols]).collect()
+    exact = spark.createDataFrame([(c, int(r[c])) for c in cols],
+                                  "column string, exact_distinct long")
+    j = prof.join(exact, "column")
+    within = (F.abs(F.col("distinct_estimate") - F.col("exact_distinct"))
+              <= F.greatest(F.lit(_HLL_MARGIN) * F.col("exact_distinct"),
+                            F.lit(2.0))).alias("within_bound")
+    return j.select("column", "n_rows", "n_nulls", "min_value", "max_value",
+                    "exact_distinct", within)
+
+
+def q_join_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joinable-column discovery across the warehouse
+    (sketchlib/spark/discovery.py): one melted theta-sketch scan per table,
+    then all pairwise containments driver-side from <=32 KB sketches — the
+    FK->PK candidate graph with zero raw-data joins. The oracle recomputes
+    every cross-table containment exactly; the data's containment plateaus
+    (1.0 / 0.75 / 0.25 / ...) sit far from the 0.5 threshold, so estimate
+    error (<=3% at k=4096) cannot flip a pair."""
+    from sketchlib.spark.discovery import column_sketches, joinable_pairs
+
+    tables = sorted({t for t, _ in _DISCOVERY_COLUMNS})
+    tabs = {t: _read(spark, sf_dir, t) for t in tables}
+    cols: dict[str, list[str]] = {}
+    for t, c in _DISCOVERY_COLUMNS:
+        cols.setdefault(t, []).append(c)
+    sks = column_sketches(tabs, cols, k=4096)
+    return joinable_pairs(spark, sks, threshold=0.5)
+
+
+def _join_discovery_oracle() -> str:
+    """Exact-containment oracle for q_join_discovery: one UNION ALL branch
+    per ordered cross-table column pair, each emitting its (col_a, col_b)
+    row iff exact containment >= 0.5."""
+    branches = []
+    for ta, ca in _DISCOVERY_COLUMNS:
+        for tb, cb in _DISCOVERY_COLUMNS:
+            if ta == tb:
+                continue
+            branches.append(
+                f"SELECT '{ta}.{ca}' AS col_a, '{tb}.{cb}' AS col_b "
+                f"WHERE (SELECT COUNT(*) FROM (SELECT DISTINCT {ca} AS v "
+                f"FROM {ta} WHERE {ca} IS NOT NULL) x "
+                f"WHERE v IN (SELECT {cb} FROM {tb})) "
+                f">= 0.5 * (SELECT COUNT(DISTINCT {ca}) FROM {ta})")
+    return " UNION ALL ".join(branches)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hll_distinct_suppliers_per_order": q_hll_distinct_suppliers_per_order,
@@ -1743,6 +1857,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "ams_f2_bound": q_ams_f2_bound,
+        "cms_join_size_bound": q_cms_join_size_bound,
+        "column_profile": q_column_profile,
+        "join_discovery": q_join_discovery,
     }
 
 
@@ -2458,4 +2576,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT DISTINCT lang FROM documents), "
             "(SELECT UNNEST([0.5, 0.9]::DOUBLE[]) AS q)"
         ),
+        "ams_f2_bound": (
+            "SELECT 'l_orderkey' AS element, CAST(SUM(c * c) AS BIGINT) AS exact_f2, "
+            "TRUE AS within_bound "
+            "FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey) "
+            "UNION ALL "
+            "SELECT 'l_suppkey', CAST(SUM(c * c) AS BIGINT), TRUE "
+            "FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_suppkey)"
+        ),
+        "cms_join_size_bound": (
+            "SELECT (SELECT COUNT(*) FROM orders JOIN lineitem "
+            "ON o_orderkey = l_orderkey) AS exact_join_size, "
+            "TRUE AS lower_ok, TRUE AS upper_ok"
+        ),
+        "column_profile": (
+            "SELECT 'o_custkey' AS \"column\", COUNT(*) AS n_rows, "
+            "COUNT(*) - COUNT(o_custkey) AS n_nulls, "
+            "CAST(MIN(o_custkey) AS VARCHAR) AS min_value, "
+            "CAST(MAX(o_custkey) AS VARCHAR) AS max_value, "
+            "COUNT(DISTINCT o_custkey) AS exact_distinct, TRUE AS within_bound "
+            "FROM orders "
+            "UNION ALL "
+            "SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey), "
+            "CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR), "
+            "COUNT(DISTINCT o_orderkey), TRUE FROM orders "
+            "UNION ALL "
+            "SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus), "
+            "CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR), "
+            "COUNT(DISTINCT o_orderstatus), TRUE FROM orders"
+        ),
+        "join_discovery": _join_discovery_oracle(),
     }

@@ -93,6 +93,26 @@ class CountMinSketch:
             ests[:, r] = self.table[r, cols[:, r].astype(np.int64)]
         return ests.min(axis=1)
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Join-size estimate: min over rows of sum_j A[r,j]*B[r,j].
+
+        Cormode–Muthukrishnan 2005 §4.2: for streams A, B with per-key counts
+        a_k, b_k, the estimate is >= sum_k a_k*b_k always (all terms
+        non-negative; colliding keys only add), and <= true + eps*N_A*N_B
+        with probability 1-delta. Row sums use exact Python ints — a uint64
+        dot product would silently wrap on adversarial streams.
+        """
+        if (other.width, other.depth) != (self.width, self.depth):
+            raise ValueError("cannot inner-product count-min sketches with different (w, d)")
+        best = None
+        for r in range(self.depth):
+            a = self.table[r]
+            b = other.table[r]
+            nz = np.flatnonzero((a != 0) & (b != 0))
+            s = sum(int(a[j]) * int(b[j]) for j in nz.tolist())
+            best = s if best is None else min(best, s)
+        return int(best if best is not None else 0)
+
     def merge(self, other: "CountMinSketch") -> None:
         if (other.width, other.depth) != (self.width, self.depth):
             raise ValueError("cannot merge count-min sketches with different (w, d)")

@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import types as T
 
+from ..ams import AmsSketch
 from ..bloom import BloomFilter
 from ..cms import CountMinSketch
 from ..kll import KllSketch
@@ -111,6 +112,47 @@ class CmsSpec:
         return sketch.count_additions
 
 
+class AmsSpec:
+    """AMS/Count-Sketch F2 sketch: linear sketch -> streaming stage 1
+    (``hash_dedup = False``, multiplicities are the whole point); merge =
+    cell-wise sum; estimate = median-of-rows F2 (self-join size)."""
+
+    name = "ams"
+    hash_dedup = False
+    estimate_type = T.LongType()
+
+    def __init__(self, width: int = 1 << 12, depth: int = 7,
+                 hash_name: str = "murmur3") -> None:
+        self.width = width
+        self.depth = depth
+        self.hash_name = hash_name
+
+    def make(self) -> AmsSketch:
+        return AmsSketch(width=self.width, depth=self.depth)
+
+    def prepare(self, pdf: pd.DataFrame, element_cols: Sequence[str]) -> np.ndarray:
+        return hash_columns(pdf, element_cols, self.hash_name)
+
+    def prepare_arrow(self, batch, element_cols: Sequence[str]) -> np.ndarray:
+        return hash_arrow_columns(batch, element_cols, self.hash_name)
+
+    def ingest(self, sketch: AmsSketch, prepared: np.ndarray) -> None:
+        sketch.add_hashes(prepared)
+
+    def to_bytes(self, sketch: AmsSketch) -> bytes:
+        return sketch.to_bytes()
+
+    def from_bytes(self, blob: bytes) -> AmsSketch:
+        return AmsSketch.from_bytes(blob)
+
+    def merge(self, a: AmsSketch, b: AmsSketch) -> AmsSketch:
+        a.merge(b)
+        return a
+
+    def estimate(self, sketch: AmsSketch) -> int:
+        return sketch.estimate_f2()
+
+
 class _QuantileSpecBase:
     """Shared binding for value-based (not hash-based) quantile sketches:
     ``prepare`` extracts the float64 value column; stage 1 streams values into
@@ -185,17 +227,28 @@ class ThetaSpec:
     hash_dedup = True
     estimate_type = T.LongType()
 
-    def __init__(self, k: int = 4096, hash_name: str = "murmur3") -> None:
+    def __init__(self, k: int = 4096, hash_name: str = "murmur3",
+                 prehashed: bool = False) -> None:
         self.k = k
         self.hash_name = hash_name
+        #: element column already IS the 64-bit hash (JVM ``F.xxhash64`` —
+        #: same fast path and same caveats as ``HllSpec.prehashed``)
+        self.prehashed = prehashed
 
     def make(self) -> ThetaSketch:
         return ThetaSketch(k=self.k)
 
     def prepare(self, pdf: pd.DataFrame, element_cols: Sequence[str]) -> np.ndarray:
+        if self.prehashed:
+            return np.ascontiguousarray(
+                pdf[element_cols[0]].to_numpy(np.int64)).view(np.uint64)
         return hash_columns(pdf, element_cols, self.hash_name)
 
     def prepare_arrow(self, batch, element_cols: Sequence[str]) -> np.ndarray:
+        if self.prehashed:
+            return np.ascontiguousarray(
+                batch.column(element_cols[0]).to_numpy(zero_copy_only=False)
+            ).view(np.uint64)
         return hash_arrow_columns(batch, element_cols, self.hash_name)
 
     def ingest(self, sketch: ThetaSketch, prepared: np.ndarray) -> None:

@@ -134,6 +134,20 @@ class ThetaSketch:
         frac = 1.0 if theta == _MAX_THETA else float(theta) / _HASH_SPACE
         return int(round(c / frac)), c
 
+    def containment(self, other: "ThetaSketch") -> float:
+        """Estimate of |A ∩ B| / |A| (how much of A is covered by B).
+
+        Ratio of witness counts under the common θ — the θ scaling cancels,
+        so this is the direct Bernoulli-fraction estimator (RSE ≈
+        sqrt((1-C)/(C·c_a)) around containment C with c_a retained A
+        witnesses); 0.0 for an empty A view.
+        """
+        _theta, a, b = self._common_view(other)
+        if a.shape[0] == 0:
+            return 0.0
+        c = int(np.intersect1d(a, b, assume_unique=True).shape[0])
+        return c / a.shape[0]
+
     def jaccard(self, other: "ThetaSketch") -> float:
         theta, a, b = self._common_view(other)
         u = int(np.union1d(a, b).shape[0])
