@@ -340,6 +340,29 @@ def main() -> None:
                              r"|FlatMapGroupsInPandas", p))]
     sections.append(("top_keywords(documents, idf_model, k=3)", p, checks))
 
+    # 19. table profiler: melted sketch scan — fingerprints computed in
+    # whole-stage codegen BEFORE the explode, one blob shuffle for all
+    # columns, no Python until the per-group blob merge
+    from sketchlib.spark.aggregate import HllSpec, sketch_agg as _sk_agg
+    from pyspark.sql import functions as _F
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    kv = _F.explode(_F.array(*[
+        _F.struct(_F.lit(c).alias("column"),
+                  _F.when(_F.col(c).isNotNull(), _F.xxhash64(c)).alias("h"))
+        for c in ["o_custkey", "o_orderkey", "o_orderstatus"]])).alias("kv")
+    melted = orders.select(kv).select("kv.column", "kv.h")
+    p = plan_of(_sk_agg(melted, "h", ["column"], HllSpec(prehashed=True)))
+    checks = [("scan reads only the profiled columns",
+               "ReadSchema" in p and "o_totalprice" not in p
+               and "o_comment" not in p),
+              ("exactly one shuffle exchange for ALL profiled columns "
+               "(blob-only; N columns != N shuffles)", n_shuffles(p) == 1),
+              ("fingerprints are JVM expressions (xxhash64 inside the "
+               "Generate/Project, before any Python stage)", "xxhash64" in p)]
+    sections.append(("profile_columns(orders, 3 cols) — melted sketch scan",
+                     p, checks))
+
     out = ["# BENCH/PLANS — physical-plan audit",
            "",
            "Generated by `python scripts/explain_audit.py`. Each section is "
