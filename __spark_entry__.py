@@ -19,6 +19,7 @@ exactly when the sketch math is out of bound. Queries over groups with
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -335,6 +336,48 @@ def q_tdigest_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
 
     docs = _read(spark, sf_dir, "documents")
     return _quantile_rank_bound(docs, "n_chars", ["lang"], [0.5, 0.9], TDigestSpec())
+
+
+def q_ddsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch relative-error quantiles of lineitem.l_extendedprice
+    (sketchlib/ddsketch.py — Masson, Rim & Lee, VLDB 2019).  Unlike the
+    KLL/t-digest gates (rank-bound checks with trivial oracles), DDSketch's
+    bucket function is closed-form — ``ceil(ln(x)/ln(gamma))`` — so the
+    DuckDB oracle recomputes the quantile BUCKET INDEX itself and the
+    integer answer is hash-compared end-to-end.  ``within_bound`` verifies
+    distributedly that the chosen bucket's value boundaries sandwich the
+    target rank (count(x <= gamma^(i-1)) < target <= count(x <= gamma^i)),
+    which is exactly the invariant the alpha-relative-error theorem needs.
+    The sketch blob is bit-identical under any partitioning (tested), so
+    one collect of the merged blob is the whole driver-side cost."""
+    from sketchlib.ddsketch import DDSketch
+    from sketchlib.spark.specs import DdSpec
+
+    probs = [0.25, 0.5, 0.75, 0.95, 0.99]
+    li = _read(spark, sf_dir, "lineitem")
+    spec = DdSpec(alpha=0.01)
+    [r] = sketch_agg(li, "l_extendedprice", (), spec).collect()
+    sk = DDSketch.from_bytes(bytes(r["sketch"]))
+    n = sk.count_additions
+    rows = []
+    for q in probs:
+        store, idx = sk.quantile_index(q)
+        assert store == "pos"  # prices are positive
+        target = int(math.floor(q * (n - 1))) + 1
+        rows.append((float(q), int(idx), int(target),
+                     float(sk.gamma ** (idx - 1)), float(sk.gamma ** idx)))
+    grid = spark.createDataFrame(
+        rows, "q double, bucket_index long, target long, lo double, hi double")
+    v = F.col("l_extendedprice")
+    agg = (li.crossJoin(F.broadcast(grid))
+           .groupBy("q", "bucket_index", "target")
+           .agg(F.sum((v <= F.col("lo")).cast("long")).alias("below"),
+                F.sum((v <= F.col("hi")).cast("long")).alias("upto")))
+    within = ((F.col("below") < F.col("target"))
+              & (F.col("upto") >= F.col("target"))).alias("within_bound")
+    return (agg.select("q", "bucket_index",
+                       F.lit(int(n)).cast("long").alias("n_values"), within)
+            .orderBy("q"))
 
 
 def q_hll_salted_tree_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1708,6 +1751,61 @@ def q_ams_f2_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "element string, exact_f2 long, within_bound boolean")
 
 
+def q_fd_covariance_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent Directions covariance sketch over the embeddings table
+    (sketchlib/similarity/freqdir.py — Liberty 2013 / GLPW 2015): for every
+    unit probe x, 0 <= x'(A'A)x - x'(B'B)x <= ||A||_F^2 / ell.  The
+    embeddings are quantized to a 1/4096 grid first so the EXACT quadratic
+    forms are integers — engine-reproducible with no float-accumulation
+    hazard: for one-hot probes e_j the exact form is sum(q_j^2), for the
+    uniform probe (1/sqrt(d)) * ones it is sum((sum_j q_j)^2) / d (kept in
+    fixed-point units in the output).  The oracle recomputes the integer
+    forms from the same ROUND(v * 4096) quantization; ``within_bound``
+    checks the published sandwich against the distributed FD sketch (built
+    per-partition, blob-merged — raw embeddings never leave their
+    partitions)."""
+    from sketchlib.similarity.freqdir import fd_sketch
+
+    scale = 4096
+    d = 64
+    ell = 16
+    onehots = [0, 21, 42, 63]
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    qcol = F.transform("embedding",
+                       lambda v: F.round(v.cast("double") * scale).cast("long"))
+    base = emb.select(qcol.alias("__q"))
+    # exact integer quadratic forms, one distributed aggregate
+    exacts = base.select(
+        *[(F.element_at("__q", j + 1) * F.element_at("__q", j + 1)).alias(f"e{j}")
+          for j in onehots],
+        F.aggregate("__q", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("__s"))
+    [ex] = (exacts.agg(*[F.sum(f"e{j}").alias(f"e{j}") for j in onehots],
+                       F.sum(F.col("__s") * F.col("__s")).alias("uniform"))
+            .collect())
+    # distributed FD build over A = Q / scale
+    arr = base.select(F.transform("__q", lambda x: x.cast("double") / scale)
+                      .alias("__a"))
+    fd = fd_sketch(arr, "__a", ell=ell, d=d)
+    B = fd.sketch()
+    bound = fd.covariance_error_bound()
+    tol = 1e-6 * max(fd.frobenius_sq, 1.0)
+    rows = []
+    import numpy as np
+    for name, x, exact_fp, denom in (
+            [(f"e{j}", np.eye(d)[j], int(ex[f"e{j}"]), float(scale * scale))
+             for j in onehots]
+            + [("uniform", np.full(d, 1.0 / np.sqrt(d)), int(ex["uniform"]),
+                float(scale * scale * d))]):
+        sketch_qf = float(((B @ x) ** 2).sum())
+        exact_qf = exact_fp / denom
+        ok = (-tol <= exact_qf - sketch_qf) and (exact_qf - sketch_qf <= bound + tol)
+        rows.append((name, exact_fp, bool(ok)))
+    return spark.createDataFrame(
+        rows, "probe string, exact_qform_fp long, within_bound boolean"
+    ).orderBy("probe")
+
+
 def q_cms_join_size_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-join size estimation without running the join
     (sketchlib/spark/joinest.py): CMS inner product over orders ⋈ lineitem
@@ -1811,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_set_algebra_bound": q_theta_set_algebra_bound,
         "tdigest_event_value_quantiles": q_tdigest_event_value_quantiles,
         "kll_price_quantiles": q_kll_price_quantiles,
+        "ddsketch_price_quantiles": q_ddsketch_price_quantiles,
         "tdigest_doc_length_quantiles": q_tdigest_doc_length_quantiles,
         "text_stats": q_text_stats,
         "lang_id_distribution": q_lang_id_distribution,
@@ -1858,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "ams_f2_bound": q_ams_f2_bound,
+        "fd_covariance_bound": q_fd_covariance_bound,
         "cms_join_size_bound": q_cms_join_size_bound,
         "column_profile": q_column_profile,
         "join_discovery": q_join_discovery,
@@ -2571,6 +2671,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT q, TRUE AS within_bound "
             "FROM (SELECT UNNEST([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]) AS q)"
         ),
+        "ddsketch_price_quantiles": (
+            # recompute the DDSketch quantile bucket indices from the
+            # closed-form bucket function; gamma is emitted as the exact
+            # double the sketch computed ((1+alpha)/(1-alpha), alpha=0.01)
+            # so both engines take ln of the SAME value
+            "WITH params AS (SELECT UNNEST([0.25, 0.5, 0.75, 0.95, 0.99]"
+            "::DOUBLE[]) AS q), "
+            "buckets AS (SELECT CAST(CEIL(LN(l_extendedprice) / LN("
+            f"{(1.01 / 0.99)!r})) AS BIGINT) AS idx, COUNT(*) AS c "
+            "FROM lineitem GROUP BY 1), "
+            "cum AS (SELECT idx, SUM(c) OVER (ORDER BY idx) AS cw FROM buckets), "
+            "tot AS (SELECT COUNT(l_extendedprice) AS n FROM lineitem) "
+            "SELECT q, (SELECT MIN(idx) FROM cum, tot "
+            "WHERE cw >= FLOOR(q * (n - 1)) + 1) AS bucket_index, "
+            "(SELECT n FROM tot) AS n_values, TRUE AS within_bound "
+            "FROM params ORDER BY q"
+        ),
         "tdigest_doc_length_quantiles": (
             "SELECT lang, q, TRUE AS within_bound "
             "FROM (SELECT DISTINCT lang FROM documents), "
@@ -2583,6 +2700,21 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'l_suppkey', CAST(SUM(c * c) AS BIGINT), TRUE "
             "FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_suppkey)"
+        ),
+        "fd_covariance_bound": (
+            # same 1/4096 quantization as the Spark side: both engines ROUND
+            # the same double (float32 -> float64 is exact; * 2^12 is exact)
+            "WITH q AS (SELECT list_transform(embedding, "
+            "v -> CAST(ROUND(CAST(v AS DOUBLE) * 4096) AS BIGINT)) AS qe "
+            "FROM embeddings WHERE embedding IS NOT NULL) "
+            + " UNION ALL ".join(
+                [f"SELECT 'e{j}' AS probe, "
+                 f"CAST(SUM(qe[{j + 1}] * qe[{j + 1}]) AS BIGINT) "
+                 "AS exact_qform_fp, TRUE AS within_bound FROM q"
+                 for j in (0, 21, 42, 63)]
+                + ["SELECT 'uniform', CAST(SUM(s * s) AS BIGINT), TRUE "
+                   "FROM (SELECT CAST(list_sum(qe) AS BIGINT) AS s FROM q)"])
+            + " ORDER BY probe"
         ),
         "cms_join_size_bound": (
             "SELECT (SELECT COUNT(*) FROM orders JOIN lineitem "

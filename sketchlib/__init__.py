@@ -24,6 +24,7 @@ Layering:
 
 from .bloom import BloomFilter  # noqa: F401
 from .cms import CountMinSketch  # noqa: F401
+from .ddsketch import DDSketch  # noqa: F401
 from .hll import HllSketch  # noqa: F401
 from .kll import KllSketch  # noqa: F401
 from .tdigest import TDigest  # noqa: F401

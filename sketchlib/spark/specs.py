@@ -18,6 +18,7 @@ from pyspark.sql import types as T
 from ..ams import AmsSketch
 from ..bloom import BloomFilter
 from ..cms import CountMinSketch
+from ..ddsketch import DDSketch
 from ..kll import KllSketch
 from ..tdigest import TDigest
 from ..theta import ThetaSketch
@@ -217,6 +218,28 @@ class KllSpec(_QuantileSpecBase):
 
     def from_bytes(self, blob: bytes) -> KllSketch:
         return KllSketch.from_bytes(blob)
+
+
+class DdSpec(_QuantileSpecBase):
+    """DDSketch relative-error quantiles: value-based stage 1 like
+    KLL/t-digest, but the merged state is an EXACT bucket histogram —
+    bit-identical under any partitioning or merge tree (the bucket function
+    is closed-form, so no insertion-order dependence at all)."""
+
+    name = "ddsketch"
+
+    def __init__(self, alpha: float = 0.01, min_positive: float = 1e-9) -> None:
+        self.alpha = alpha
+        self.min_positive = min_positive
+
+    def make(self) -> DDSketch:
+        return DDSketch(alpha=self.alpha, min_positive=self.min_positive)
+
+    def to_bytes(self, sketch: DDSketch) -> bytes:
+        return sketch.to_bytes()
+
+    def from_bytes(self, blob: bytes) -> DDSketch:
+        return DDSketch.from_bytes(blob)
 
 
 class ThetaSpec:
