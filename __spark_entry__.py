@@ -1255,6 +1255,36 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "vec_id", F.col("rnk").cast("int").alias("rnk"))
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 (sketchlib/similarity/pq.py — Jégou
+    et al. TPAMI 2011): the compression stage of IVFADC, which turns a
+    100 TB float embedding column into an m-bytes-per-row code column
+    scored by per-query lookup tables.  Machine-checked end-to-end: the
+    embeddings are quantized to a 1/4096 integer grid (all arithmetic is
+    then exact in doubles < 2^53) and the codebook is the SQL-reproducible
+    ``first_ids`` variant, so the DuckDB oracle re-derives codebook,
+    per-row codes (argmin with lowest-index tie-break), ADC distances, and
+    the final ranking bit-for-bit.  The k-means codebook path and the
+    exact-cosine rerank path are pinned in tests/test_pq.py."""
+    from sketchlib.similarity.pq import adc_topk, pq_encode, train_codebooks
+
+    scale = 4096
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    qdf = emb.select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda v: F.round(v.cast("double") * scale)).alias("qe"))
+    cb = train_codebooks(qdf, vec_col="qe", m=8, ksub=16,
+                         method="first_ids", id_col="vec_id")
+    enc = pq_encode(qdf, cb, vec_col="qe")
+    qrows = qdf.filter(F.col("vec_id").isin([0, 7, 21])).collect()
+    queries = [(r["vec_id"], list(r["qe"])) for r in qrows]
+    res = adc_topk(enc, queries, cb, k=5)
+    return res.select("query_id", "vec_id",
+                      F.col("adc_dist").cast("long").alias("adc_fp"),
+                      F.col("rnk").cast("int").alias("rnk"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact distinct suppliers per order via HLL two-stage
     aggregation on sf0.001."""
@@ -1956,6 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "pq_adc_topk": q_pq_adc_topk,
         "ams_f2_bound": q_ams_f2_bound,
         "fd_covariance_bound": q_fd_covariance_bound,
         "cms_join_size_bound": q_cms_join_size_bound,
@@ -2556,6 +2587,37 @@ def _pipeline_oracles() -> dict[str, str]:
         ),
         "ann_cosine_topk": ann,
         "ivf_ann_topk": ann,
+        "pq_adc_topk": (
+            # full PQ replay: 1/4096 grid quantization, first-16-ids
+            # codebook per 8-dim subspace, argmin encode (lowest-index
+            # tie-break), ADC = sum of per-subspace LUT entries — all
+            # integer-valued doubles, so every step is engine-exact
+            "WITH q AS (SELECT vec_id, list_transform(embedding, "
+            "v -> ROUND(CAST(v AS DOUBLE) * 4096)) AS qe "
+            "FROM embeddings WHERE embedding IS NOT NULL), "
+            "cw AS (SELECT sub, "
+            "row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS cidx, "
+            "qe[sub*8+1 : sub*8+8] AS c "
+            "FROM (SELECT vec_id, qe FROM q ORDER BY vec_id LIMIT 16), "
+            "(SELECT UNNEST(range(8)) AS sub)), "
+            "enc AS (SELECT vec_id, sub, cidx FROM ("
+            "SELECT q.vec_id, cw.sub, cw.cidx, row_number() OVER ("
+            "PARTITION BY q.vec_id, cw.sub ORDER BY "
+            "list_sum([(q.qe[cw.sub*8+i] - cw.c[i]) * (q.qe[cw.sub*8+i] - cw.c[i]) "
+            "for i in range(1, 9)]), cw.cidx) AS rn FROM q, cw) WHERE rn = 1), "
+            "lut AS (SELECT qq.vec_id AS query_id, cw.sub, cw.cidx, "
+            "list_sum([(qq.qe[cw.sub*8+i] - cw.c[i]) * (qq.qe[cw.sub*8+i] - cw.c[i]) "
+            "for i in range(1, 9)]) AS dist "
+            "FROM (SELECT * FROM q WHERE vec_id IN (0, 7, 21)) qq, cw), "
+            "adc AS (SELECT l.query_id, e.vec_id, "
+            "CAST(SUM(l.dist) AS BIGINT) AS adc_fp "
+            "FROM enc e JOIN lut l ON e.sub = l.sub AND e.cidx = l.cidx "
+            "GROUP BY 1, 2) "
+            "SELECT query_id, vec_id, adc_fp, rnk FROM ("
+            "SELECT query_id, vec_id, adc_fp, CAST(row_number() OVER ("
+            "PARTITION BY query_id ORDER BY adc_fp, vec_id) AS INT) AS rnk "
+            "FROM adc) WHERE rnk <= 5"
+        ),
     }
 
 
