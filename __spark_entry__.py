@@ -937,6 +937,74 @@ def q_streaming_kll_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_streaming_ddsketch_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state with the SIXTH sketch family: DdSpec through the same
+    ``applyInPandasWithState`` operator, two ``availableNow`` passes with
+    checkpoint resume — and the only streaming quantile gate whose ANSWER
+    is machine-checked rather than rank-bounded: DDSketch's median estimate
+    is exactly ``2*gamma^i/(gamma+1)`` for a closed-form bucket i, so the
+    bucket index is recovered exactly from the streamed estimate and
+    hash-compared against the DuckDB oracle's ``CEIL(LN(v)/LN(gamma))``
+    replay over ALL events (both passes must have folded into state for the
+    per-group n and bucket to match).  ``n_values`` comes from the state
+    sketch's count_additions — an exact cross-restart row count."""
+    import shutil
+
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".tmp_stream_dd_gate")
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+
+    ev = (_read(spark, sf_dir, "events")
+          .select("event_type", "user_id", "value")
+          .filter(F.col("value").isNotNull()))
+    schema = ev.schema
+    collected: dict[str, tuple[float, int]] = {}
+    alpha = 0.01
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+
+    def run_pass():
+        from sketchlib.spark.specs import DdSpec
+        from sketchlib.streaming import streaming_sketch_agg
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = streaming_sketch_agg(stream, "value", ["event_type"],
+                                   DdSpec(alpha=alpha))
+        q = (agg.writeStream
+             .foreachBatch(lambda bdf, _b: collected.update(
+                 {r["event_type"]: (r["estimate"], r["count_additions"])
+                  for r in bdf.collect()}))
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "availableNow streaming pass did not finish in 300s")
+
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        (ev.filter(F.col("user_id") % 2 == 0)
+         .coalesce(2).write.mode("append").parquet(src))
+        run_pass()
+        (ev.filter(F.col("user_id") % 2 == 1)
+         .coalesce(2).write.mode("append").parquet(src))
+        run_pass()
+        rows = []
+        for etype, (est, n) in collected.items():
+            # invert the representative: est == 2*gamma^i/(gamma+1) exactly
+            idx = int(round(math.log(est * (gamma + 1.0) / 2.0)
+                            / math.log(gamma)))
+            rows.append((etype, int(n), idx))
+        return (spark.createDataFrame(
+            rows, "event_type string, n_values long, median_bucket long")
+            .orderBy("event_type"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_streaming_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming state with a NON-HLL sketch: ThetaSpec (KMV set sketch)
     through the same ``applyInPandasWithState`` operator
@@ -1960,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_theta_distinct": q_streaming_theta_distinct,
         "streaming_tdigest_median": q_streaming_tdigest_median,
         "streaming_kll_median": q_streaming_kll_median,
+        "streaming_ddsketch_median": q_streaming_ddsketch_median,
         "streaming_cms_point_counts": q_streaming_cms_point_counts,
         "streaming_dedup_events": q_streaming_dedup_events,
         "media_features": q_media_features,
@@ -2254,6 +2323,19 @@ def _pipeline_oracles() -> dict[str, str]:
             "SELECT event_type, COUNT(*) AS n_events, "
             "TRUE AS median_rank_ok FROM events WHERE value IS NOT NULL "
             "GROUP BY event_type ORDER BY event_type"
+        ),
+        "streaming_ddsketch_median": (
+            "WITH b AS (SELECT event_type, "
+            f"CAST(CEIL(LN(value) / LN({(1.01 / 0.99)!r})) AS BIGINT) AS idx, "
+            "COUNT(*) AS c FROM events WHERE value IS NOT NULL GROUP BY 1, 2), "
+            "cum AS (SELECT event_type, idx, "
+            "SUM(c) OVER (PARTITION BY event_type ORDER BY idx) AS cw FROM b), "
+            "tot AS (SELECT event_type, COUNT(value) AS n FROM events "
+            "GROUP BY 1) "
+            "SELECT t.event_type, t.n AS n_values, "
+            "(SELECT MIN(idx) FROM cum WHERE cum.event_type = t.event_type "
+            "AND cw >= FLOOR(0.5 * (t.n - 1)) + 1) AS median_bucket "
+            "FROM tot t ORDER BY event_type"
         ),
         "streaming_kll_median": (
             "SELECT event_type, COUNT(*) AS n_events, "
