@@ -145,6 +145,57 @@ def main() -> None:
     sections.append(("ivf_topk(embeddings, nprobe=2) — in-scan assignment",
                      p2, checks2))
 
+    # 5b. PQ: encode is map-only; the ADC scan reads ONLY (id, code) — the
+    # float embedding column must never be deserialized (that pruning is
+    # the whole point of PQ at scale); rerank candidates go through a
+    # broadcast semi-join
+    from sketchlib.similarity.pq import adc_topk, pq_encode, train_codebooks
+
+    cb = train_codebooks(emb, m=8, ksub=16, method="first_ids",
+                         id_col="vec_id")
+    enc_df = pq_encode(emb, cb)
+    p = plan_of(enc_df)
+    checks = [("encode is map-only (no exchange)", "Exchange" not in p),
+              ("single vectorized Python stage (ArrowEvalPython pandas_udf)",
+               p.count("ArrowEvalPython (") == 1)]
+    sections.append(("pq_encode(embeddings, first_ids codebook)", p, checks))
+
+    # materialize the code table WITHOUT the vector column, as a deployed
+    # PQ index table would be (codes are written next to cluster_id; the
+    # float column stays in the base table for rerank only)
+    codes_dir = os.path.join(REPO, ".benchdata", "pq_codes")
+    (enc_df.select("vec_id", "pq_code")
+     .write.mode("overwrite").parquet(codes_dir))
+    codes_only = spark.read.parquet(codes_dir)
+    qv = [(r["vec_id"], list(r["embedding"])) for r in q0]
+    p = plan_of(adc_topk(codes_only, qv, cb, k=5))
+    checks = [("ADC scan never touches the float embedding column "
+               "(codes + LUT lookups only)", "embedding" not in p),
+              ("no cartesian product", "CartesianProduct" not in p),
+              ("one shuffle (the per-query rank window over "
+               "fetch*partitions candidate rows)", n_shuffles(p) == 1)]
+    sections.append(("adc_topk(codes, k=5) — no rerank", p, checks))
+
+    p = plan_of(adc_topk(enc_df, qv, cb, k=5, rerank=50))
+    checks = [("rerank restricts the full-precision column to ADC "
+               "candidates via a broadcast semi-join",
+               "LeftSemi" in p and "BroadcastExchange" in p),
+              ("no cartesian product", "CartesianProduct" not in p)]
+    sections.append(("adc_topk(embeddings, k=5, rerank=50)", p, checks))
+
+    # 5c. DDSketch / FD two-stage agg: one blob-only exchange, like HLL
+    from sketchlib.spark.aggregate import sketch_agg
+    from sketchlib.spark.specs import DdSpec
+
+    p = plan_of(sketch_agg(li, "l_extendedprice", ["l_returnflag"],
+                           DdSpec(alpha=0.01)))
+    checks = [("scan reads only the value + group columns",
+               "l_comment" not in p and "l_orderkey" not in p),
+              ("exactly one shuffle exchange (bucket-histogram blobs)",
+               n_shuffles(p) == 1)]
+    sections.append(("sketch_agg(lineitem, l_extendedprice, [l_returnflag], "
+                     "DdSpec)", p, checks))
+
     # 6. per-group cap: Catalyst rank-limit pushdown pre-caps map-side
     from sketchlib.sampling import cap_per_group, hash_split
 
