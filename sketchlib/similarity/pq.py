@@ -218,7 +218,8 @@ def adc_topk(encoded: DataFrame, queries: list[tuple], codebooks: np.ndarray,
                 idx = np.argpartition(col, top - 1)[:top]
                 for i in idx:
                     out.append((qid, ids[i], float(col[i])))
-            yield pd.DataFrame(out, columns=["query_id", id_col, "adc_dist"])
+            if out:  # empty all-NA frames poison concat dtype inference
+                yield pd.DataFrame(out, columns=["query_id", id_col, "adc_dist"])
 
     local = encoded.select(id_col, code_col).mapInPandas(scan, schema)
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc(id_col))

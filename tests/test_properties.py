@@ -189,3 +189,41 @@ def test_prefix_filter_principle_lossless(sets, t):
                     sorted(a), sorted(b), t, jac)
                 # the length filter must not drop it either
                 assert len(a) >= t * len(b) and len(b) >= t * len(a)
+
+
+float_vals = st.lists(
+    st.floats(min_value=-1e12, max_value=1e12,
+              allow_nan=False, allow_infinity=False),
+    min_size=0, max_size=300)
+
+
+@given(float_vals, cut_seed)
+@settings(**SETTINGS)
+def test_ddsketch_merge_equals_single_bitforbit_and_relative_error(vals, seed):
+    """DDSketch: any partitioning merges to the SAME BYTES as the one-shot
+    build (closed-form buckets: no order dependence at all), and every
+    quantile answer is within alpha of the lower-nearest-rank exact value
+    (values below min_positive collapse to the zero bucket)."""
+    from sketchlib.ddsketch import DDSketch
+
+    arr = np.asarray(vals, dtype=np.float64)
+    single = DDSketch(alpha=0.02)
+    single.add_values(arr)
+    merged = DDSketch(alpha=0.02)
+    for part in _random_split(arr, seed):
+        sk = DDSketch(alpha=0.02)
+        sk.add_values(part)
+        merged.merge(sk)
+    assert merged == single
+    assert merged.to_bytes() == single.to_bytes()
+    rt = DDSketch.from_bytes(single.to_bytes())
+    assert rt == single and rt.to_bytes() == single.to_bytes()
+    if arr.size:
+        s = np.sort(arr)
+        for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+            true = float(s[int(np.floor(q * (arr.size - 1)))])
+            est = single.quantile(q)
+            if abs(true) <= single.min_positive:
+                assert est == 0.0
+            else:
+                assert abs(est - true) <= 0.02 * abs(true) + 1e-12
