@@ -7,7 +7,8 @@ columns produced by the two-stage aggregation are queryable from plain
     SELECT lang, hll_estimate(sketch) FROM sketches_by_lang
     SELECT hll_estimate(hll_merge_all(sketch)) FROM partials      -- via agg
     SELECT bloom_estimate(sketch), cms_total(sketch) ...
-    SELECT tdigest_quantile(sketch, 0.5), kll_quantile(sketch, 0.9) ...
+    SELECT tdigest_quantile(sketch, 0.5), kll_quantile(sketch, 0.9),
+           ddsketch_quantile(ddsketch_merge_all(sketch), 0.99) ...
 
 (Per-group *building* stays with the Python API — Spark has no Python UDAF
 with a partial/final split, SURVEY.md §7 — but merge/estimate compose in SQL
@@ -25,6 +26,7 @@ from pyspark.sql import types as T
 def register_sql_functions(spark: SparkSession) -> None:
     from ..bloom import BloomFilter
     from ..cms import CountMinSketch
+    from ..ddsketch import DDSketch
     from ..hll import HllSketch
     from ..kll import KllSketch
     from ..tdigest import TDigest
@@ -79,6 +81,26 @@ def register_sql_functions(spark: SparkSession) -> None:
                           float(KllSketch.from_bytes(bytes(b)).quantile(float(q)))
                           for b, q in zip(blobs, qs)])
 
+    @F.pandas_udf(T.DoubleType())
+    def ddsketch_quantile(blobs: pd.Series, qs: pd.Series) -> pd.Series:
+        return pd.Series([None if b is None else
+                          float(DDSketch.from_bytes(bytes(b)).quantile(float(q)))
+                          for b, q in zip(blobs, qs)])
+
+    @F.pandas_udf(T.BinaryType())
+    def ddsketch_merge_all(lists: pd.Series) -> pd.Series:
+        out = []
+        for blobs in lists:
+            merged = None
+            for b in blobs:
+                sk = DDSketch.from_bytes(bytes(b))
+                if merged is None:
+                    merged = sk
+                else:
+                    merged.merge(sk)
+            out.append(None if merged is None else merged.to_bytes())
+        return pd.Series(out)
+
     @F.pandas_udf(T.LongType())
     def theta_estimate(blobs: pd.Series) -> pd.Series:
         return pd.Series([None if b is None else
@@ -119,6 +141,8 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("cms_total", cms_total)
     spark.udf.register("tdigest_quantile", tdigest_quantile)
     spark.udf.register("kll_quantile", kll_quantile)
+    spark.udf.register("ddsketch_quantile", ddsketch_quantile)
+    spark.udf.register("ddsketch_merge_all", ddsketch_merge_all)
     spark.udf.register("theta_estimate", theta_estimate)
     spark.udf.register("theta_merge_all", theta_merge_all)
     spark.udf.register("theta_intersect_estimate", theta_intersect_estimate)

@@ -56,6 +56,25 @@ def test_quantile_sql(spark, sf_dir):
     assert lo <= kl["m"] <= hi
 
 
+def test_ddsketch_sql_quantile_and_merge(spark, sf_dir):
+    from sketchlib.spark.aggregate import sketch_agg
+    from sketchlib.spark.specs import DdSpec
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spec = DdSpec(alpha=0.01)
+    sketch_agg(ev, "value", (), spec).createOrReplaceTempView("dd")
+    sketch_agg(ev, "value", ["event_type"], spec).createOrReplaceTempView("ddg")
+    [one] = spark.sql("SELECT ddsketch_quantile(sketch, 0.5) AS m FROM dd").collect()
+    # merging the per-group sketches in SQL must answer exactly like the
+    # global build (bucket-wise sum is partition-invariant)
+    [merged] = spark.sql(
+        "SELECT ddsketch_quantile(ddsketch_merge_all(collect_list(sketch)), 0.5)"
+        " AS m FROM ddg").collect()
+    assert merged["m"] == one["m"]
+    exact = ev.selectExpr("percentile(value, 0.5)").first()[0]
+    assert abs(one["m"] - exact) <= 0.011 * exact
+
+
 def test_theta_sql_set_algebra(spark, sf_dir):
     from sketchlib.spark.aggregate import sketch_agg
     from sketchlib.spark.specs import ThetaSpec
