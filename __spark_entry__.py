@@ -1353,6 +1353,36 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rnk").cast("int").alias("rnk"))
 
 
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVFADC composition (Jégou et al. TPAMI 2011): IVF coarse
+    quantizer (seeded spherical k-means) -> per-row PQ codes -> probed ADC
+    candidate scoring -> exact-cosine rerank of the candidates.  Run at
+    full probe with rerank covering every ADC candidate, so the output is
+    provably the exact top-5 and shares the same DuckDB oracle as
+    ann_cosine_topk / ivf_ann_topk; the pruned/approximate configurations
+    (partial nprobe, bounded rerank, recall floors) are pinned in
+    tests/test_pq.py and tests/test_ivf.py.  This is the 100 TB shape: the
+    scan that scores candidates reads only (id, cluster_id, code) — m bytes
+    of code per row — and full-precision vectors are touched only for the
+    reranked candidate ids behind a broadcast semi-join."""
+    from sketchlib.similarity.ivf import ivf_assign, train_centroids
+    from sketchlib.similarity.pq import adc_topk, pq_encode, train_codebooks
+
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    n = emb.count()
+    cents = train_centroids(emb, n_clusters=8, sample_rows=2000, seed=7)
+    cb = train_codebooks(emb, m=8, ksub=16, sample_rows=2000, seed=7)
+    indexed = pq_encode(ivf_assign(emb, cents), cb)
+    qrows = emb.filter(F.col("vec_id").isin([0, 7, 21])).collect()
+    queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    # full probe: every cluster is a candidate source (nprobe == n_clusters
+    # is implicit here because ADC scans the whole code table); rerank == n
+    # makes the candidate set exhaustive, so rerank output == exact top-5
+    res = adc_topk(indexed, queries, cb, k=5, rerank=int(n))
+    return res.select("query_id", "vec_id",
+                      F.col("rnk").cast("int").alias("rnk"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact distinct suppliers per order via HLL two-stage
     aggregation on sf0.001."""
@@ -2056,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "pq_adc_topk": q_pq_adc_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
         "ams_f2_bound": q_ams_f2_bound,
         "fd_covariance_bound": q_fd_covariance_bound,
         "cms_join_size_bound": q_cms_join_size_bound,
@@ -2669,6 +2700,7 @@ def _pipeline_oracles() -> dict[str, str]:
         ),
         "ann_cosine_topk": ann,
         "ivf_ann_topk": ann,
+        "ivf_pq_topk": ann,
         "pq_adc_topk": (
             # full PQ replay: 1/4096 grid quantization, first-16-ids
             # codebook per 8-dim subspace, argmin encode (lowest-index

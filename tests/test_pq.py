@@ -107,6 +107,38 @@ class TestAdc:
                        for r in reranked]) == \
             sorted([(r["query_id"], r["vec_id"], r["rnk"]) for r in exact])
 
+    def test_ivf_pq_probed_composition(self, emb):
+        """The deployed IVFADC shape: probe the query's nearest clusters,
+        ADC-score only rows in probed clusters (cluster_id filter on the
+        code table), exact-rerank the candidates.  Probing must prune rows
+        and still recover most of the exact top-10."""
+        import numpy as np
+        from sketchlib.similarity.ivf import ivf_assign, train_centroids
+
+        cents = train_centroids(emb, n_clusters=8, sample_rows=500, seed=7)
+        cb = train_codebooks(emb, m=16, ksub=64, sample_rows=500, seed=11)
+        indexed = pq_encode(ivf_assign(emb, cents), cb)
+        queries = self._queries(emb, ids=(0, 7, 21))
+        cmat = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        rows = emb.collect()
+        ids = np.asarray([r["vec_id"] for r in rows])
+        mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+        hits = total = 0
+        for qid, qv in queries:
+            q = np.asarray(qv, dtype=np.float64)
+            probed = np.argsort(-(cmat @ (q / np.linalg.norm(q))))[:4].tolist()
+            pruned = indexed.filter(F.col("cluster_id").isin(probed))
+            assert pruned.count() < len(rows)  # probing actually prunes
+            got = {r["vec_id"] for r in
+                   adc_topk(pruned, [(qid, qv)], cb, k=10, rerank=50,
+                            rerank_df=emb).collect()}
+            qn = q / np.linalg.norm(q)
+            sims = (mat / np.linalg.norm(mat, axis=1, keepdims=True)) @ qn
+            exact = set(ids[np.lexsort((ids, -sims))[:10]].tolist())
+            hits += len(got & exact)
+            total += len(exact)
+        assert hits / total >= 0.5, hits / total
+
     def test_kmeans_recall_floor(self, emb):
         """Recall@10 of raw ADC (no rerank) against the exact L2 top-10 (the
         metric PQ approximates). Seeded -> the number is deterministic; pin
