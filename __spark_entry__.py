@@ -1353,6 +1353,24 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rnk").cast("int").alias("rnk"))
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sessionization (sketchlib/spark/sessions.py): 30-minute
+    inactivity gap, gaps-and-islands in pure JVM window expressions — one
+    shuffle (the per-user window), zero Python.  Everything the gate emits
+    is an exact integer (session index, event count, duration in
+    microseconds), and boundaries/durations depend only on timestamp
+    DIFFERENCES, so the result is timezone- and engine-exact; the DuckDB
+    oracle replays lag/cumsum island detection.  The streaming twin
+    (built-in session_window state operator, watermark-evicted) is pinned
+    in tests/test_sessions.py."""
+    from sketchlib.spark.sessions import session_stats
+
+    ev = _read(spark, sf_dir, "events")
+    s = session_stats(ev, gap_seconds=1800)
+    return (s.select("user_id", "session_idx", "n_events", "duration_us")
+            .orderBy("user_id", "session_idx"))
+
+
 def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVFADC composition (Jégou et al. TPAMI 2011): IVF coarse
     quantizer (seeded spherical k-means) -> per-row PQ codes -> probed ADC
@@ -2087,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "pq_adc_topk": q_pq_adc_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
+        "session_stats": q_session_stats,
         "ams_f2_bound": q_ams_f2_bound,
         "fd_covariance_bound": q_fd_covariance_bound,
         "cms_join_size_bound": q_cms_join_size_bound,
@@ -2701,6 +2720,19 @@ def _pipeline_oracles() -> dict[str, str]:
         "ann_cosine_topk": ann,
         "ivf_ann_topk": ann,
         "ivf_pq_topk": ann,
+        "session_stats": (
+            "WITH o AS (SELECT user_id, epoch_us(ts) AS us FROM events "
+            "WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+            "m AS (SELECT user_id, us, CASE WHEN us - LAG(us) OVER ("
+            "PARTITION BY user_id ORDER BY us) > 1800000000 "
+            "THEN 1 ELSE 0 END AS new FROM o), "
+            "s AS (SELECT user_id, us, CAST(1 + SUM(new) OVER ("
+            "PARTITION BY user_id ORDER BY us) AS BIGINT) AS session_idx "
+            "FROM m) "
+            "SELECT user_id, session_idx, COUNT(*) AS n_events, "
+            "MAX(us) - MIN(us) AS duration_us "
+            "FROM s GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
         "pq_adc_topk": (
             # full PQ replay: 1/4096 grid quantization, first-16-ids
             # codebook per 8-dim subspace, argmin encode (lowest-index

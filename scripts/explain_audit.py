@@ -196,6 +196,24 @@ def main() -> None:
     sections.append(("sketch_agg(lineitem, l_extendedprice, [l_returnflag], "
                      "DdSpec)", p, checks))
 
+    # 5d. sessionization: gaps-and-islands in JVM window exprs — the lag
+    # marker and the running sum share ONE window (one shuffle), and the
+    # session_stats groupBy rides the same partitioning (no second
+    # exchange); zero Python
+    from sketchlib.spark.sessions import session_stats
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    p = plan_of(session_stats(ev, gap_seconds=1800))
+    checks = [("one shuffle total: lag + cumsum share a window and the "
+               "per-session groupBy reuses its hash partitioning",
+               n_shuffles(p) == 1),
+              ("no Python stage (pure JVM window/agg expressions)",
+               not re.search(r"EvalPython|MapInPandas|MapInArrow"
+                             r"|FlatMapGroupsInPandas", p)),
+              ("scan reads only user/ts",
+               "event_type" not in p and "props" not in p)]
+    sections.append(("session_stats(events, gap=30min)", p, checks))
+
     # 6. per-group cap: Catalyst rank-limit pushdown pre-caps map-side
     from sketchlib.sampling import cap_per_group, hash_split
 
