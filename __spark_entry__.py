@@ -289,6 +289,54 @@ def q_theta_set_algebra_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
          <= F.greatest(ed * F.lit(m_d), F.lit(8.0))).alias("within_bound_d"))
 
 
+def q_theta_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention from per-day Theta sketches — the cohort
+    query a web-analytics user asks of 10^12 events: |users(day) ∩
+    users(day+1)| for consecutive days, computed entirely from the ≤32 KB
+    per-day sketches (ONE sketch build pass over the events table; every
+    pairwise overlap afterwards is driver-side set algebra on retained
+    hashes — at 365 days that is 66k pair estimates with ZERO further data
+    scans, where exact SQL would need a self-join per pair).  Bound: the
+    intersection error scales with the RESULT's witness count
+    (RSE ≈ 1/sqrt(c), Theta-Sketch Framework), and below k the sketch is
+    the exact distinct set, so estimates here are exact.  The oracle
+    recomputes the exact overlaps; the first five consecutive-day pairs
+    are emitted."""
+    from sketchlib.spark.specs import ThetaSpec
+    from sketchlib.theta import ThetaSketch
+
+    ev = (_read(spark, sf_dir, "events")
+          .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+          .select(F.col("ts").cast("date").alias("day"), "user_id"))
+    spec = ThetaSpec(k=4096)
+    daily = {r["day"]: ThetaSketch.from_bytes(bytes(r["sketch"]))
+             for r in sketch_agg(ev, "user_id", ["day"], spec).collect()}
+    days = sorted(daily)
+    import datetime as _dt
+    pairs = [(d, d + _dt.timedelta(days=1)) for d in days
+             if d + _dt.timedelta(days=1) in daily][:5]
+    rows = []
+    for da, db in pairs:
+        est, c = daily[da].intersect_count(daily[db])
+        margin = 6.0 / math.sqrt(max(c, 1))
+        rows.append((da.isoformat(), db.isoformat(), int(est), float(margin)))
+    est_df = spark.createDataFrame(
+        rows, "day_a string, day_b string, est long, margin double")
+    du = ev.distinct()
+    a, b = du.alias("a"), du.alias("b")
+    exact = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                    & (F.col("b.day") == F.date_add(F.col("a.day"), 1)))
+             .groupBy(F.date_format("a.day", "yyyy-MM-dd").alias("day_a"),
+                      F.date_format("b.day", "yyyy-MM-dd").alias("day_b"))
+             .agg(F.count(F.lit(1)).alias("exact_overlap")))
+    j = exact.join(F.broadcast(est_df), ["day_a", "day_b"])
+    within = (F.abs(F.col("est") - F.col("exact_overlap"))
+              <= F.greatest(F.col("exact_overlap") * F.col("margin"),
+                            F.lit(8.0))).alias("within_bound")
+    return (j.select("day_a", "day_b", "exact_overlap", within)
+            .orderBy("day_a"))
+
+
 def _quantile_rank_bound(df: DataFrame, value_col: str, group_cols: list[str],
                          probs: list[float], spec, margin: float = 0.05) -> DataFrame:
     """(group_cols..., q, within_bound): sketch quantile's rank distance to q
@@ -2053,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_weighted_top_suppliers": q_cms_weighted_top_suppliers,
         "hll_intersection_bound": q_hll_intersection_bound,
         "theta_set_algebra_bound": q_theta_set_algebra_bound,
+        "theta_retention_matrix": q_theta_retention_matrix,
         "tdigest_event_value_quantiles": q_tdigest_event_value_quantiles,
         "kll_price_quantiles": q_kll_price_quantiles,
         "ddsketch_price_quantiles": q_ddsketch_price_quantiles,
@@ -2855,6 +2904,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O' "
             "INTERSECT "
             "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')"
+        ),
+        "theta_retention_matrix": (
+            "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id "
+            "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+            "p AS (SELECT a.d AS da, b.d AS db, COUNT(*) AS overlap "
+            "FROM du a JOIN du b ON a.user_id = b.user_id AND b.d = a.d + 1 "
+            "GROUP BY 1, 2) "
+            "SELECT strftime(da, '%Y-%m-%d') AS day_a, "
+            "strftime(db, '%Y-%m-%d') AS day_b, overlap AS exact_overlap, "
+            "TRUE AS within_bound FROM p ORDER BY day_a LIMIT 5"
         ),
         "theta_set_algebra_bound": (
             "SELECT "
