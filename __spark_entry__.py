@@ -1392,7 +1392,7 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda v: F.round(v.cast("double") * scale)).alias("qe"))
     cb = train_codebooks(qdf, vec_col="qe", m=8, ksub=16,
                          method="first_ids", id_col="vec_id")
-    enc = pq_encode(qdf, cb, vec_col="qe")
+    enc = pq_encode(qdf, cb, vec_col="qe", exact_distances=True)
     qrows = qdf.filter(F.col("vec_id").isin([0, 7, 21])).collect()
     queries = [(r["vec_id"], list(r["qe"])) for r in qrows]
     res = adc_topk(enc, queries, cb, k=5)

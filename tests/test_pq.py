@@ -30,15 +30,19 @@ class TestEncode:
     def test_matches_numpy_transcription(self, emb):
         cb = train_codebooks(emb, m=8, ksub=16, sample_rows=400, seed=3)
         rows = emb.limit(50).collect()
-        got = _collect_codes(pq_encode(emb.limit(50), cb))
+        exact = _collect_codes(pq_encode(emb.limit(50), cb,
+                                         exact_distances=True))
+        blas = _collect_codes(pq_encode(emb.limit(50), cb))
         for r in rows:
             x = np.asarray(r["embedding"], dtype=np.float64)
-            want = []
             for j in range(8):
                 sub = x[j * 8:(j + 1) * 8]
                 d = ((cb[j] - sub[None, :]) ** 2).sum(axis=1)
-                want.append(int(np.argmin(d)))
-            assert list(got[r["vec_id"]]) == want
+                # exact kernel: bit-for-bit argmin parity
+                assert exact[r["vec_id"]][j] == int(np.argmin(d))
+                # BLAS kernel: chosen codeword must be (near-)optimal — it
+                # may differ from argmin only at float-epsilon ties
+                assert d[blas[r["vec_id"]][j]] <= d.min() + 1e-9
 
     def test_null_vector_null_code(self, spark):
         df = spark.createDataFrame(
