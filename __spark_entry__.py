@@ -177,6 +177,64 @@ def q_cms_top_suppliers_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select("l_suppkey", "exact_count", ok)
 
 
+def q_mg_exact_counts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries frequent-items summary in exact mode: with k above the
+    supplier domain size no decrement ever fires (total_decrement == 0), so
+    every retained counter IS the exact frequency — the whole distributed
+    build/merge/point-query path is value-hash-checked against a plain
+    GROUP BY, the deterministic complement to the CMS sandwich gates."""
+    from sketchlib.mg import MisraGriesSketch
+    from sketchlib.spark.aggregate import sketch_agg
+    from sketchlib.spark.heavy_hitters import estimate_counts
+    from sketchlib.spark.specs import MgSpec
+
+    li = _read(spark, sf_dir, "lineitem")
+    spec = MgSpec(k=4096)
+    [row] = sketch_agg(li, "l_suppkey", (), spec).collect()
+    blob = bytes(row["sketch"])
+    sk = MisraGriesSketch.from_bytes(blob)
+    if sk.total_decrement != 0:
+        raise AssertionError(
+            "mg_exact_counts_suppliers needs exact mode; raise k above the "
+            "supplier domain size")
+    keys = li.select("l_suppkey").distinct()
+    return (estimate_counts(keys, "l_suppkey", blob, spec)
+            .select("l_suppkey", F.col("est_count").alias("mg_count")))
+
+
+def q_mg_top_suppliers_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries sandwich on a deliberately undersized summary (k=16 over
+    the full supplier domain): for the exact top-10 suppliers verify
+    est <= exact <= est + total_decrement with total_decrement <= n/(k+1)
+    (Agarwal et al. 2012, Theorem 2.1) — deterministic bounds with no
+    failure probability, unlike CMS's (eps, delta) guarantee."""
+    from pyspark.sql import Window
+
+    from sketchlib.mg import MisraGriesSketch
+    from sketchlib.spark.aggregate import sketch_agg
+    from sketchlib.spark.heavy_hitters import estimate_counts
+    from sketchlib.spark.specs import MgSpec
+
+    li = _read(spark, sf_dir, "lineitem")
+    spec = MgSpec(k=16)
+    [row] = sketch_agg(li, "l_suppkey", (), spec).collect()
+    blob = bytes(row["sketch"])
+    sk = MisraGriesSketch.from_bytes(blob)
+    n = li.count()
+    if not sk.total_decrement <= n / (spec.k + 1):
+        raise AssertionError("Misra-Gries global decrement bound violated")
+
+    exact = li.groupBy("l_suppkey").agg(F.count("*").alias("exact_count"))
+    w = Window.orderBy(F.desc("exact_count"), F.asc("l_suppkey"))
+    top = (exact.withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") <= 10).drop("__rn"))
+    est = estimate_counts(top, "l_suppkey", blob, spec)
+    ok = ((F.col("est_count") <= F.col("exact_count"))
+          & (F.col("exact_count")
+             <= F.col("est_count") + F.lit(sk.total_decrement))).alias("mg_ok")
+    return est.select("l_suppkey", "exact_count", ok)
+
+
 def q_cms_heavy_hitters_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter enumeration parity: every exact top-10 supplier must be
     surfaced by the CMS+bounded-candidates enumeration (k=20 oversampling
@@ -2097,6 +2155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "bloom_distinct_custkeys_bound": q_bloom_distinct_custkeys_bound,
         "cms_top_suppliers_bound": q_cms_top_suppliers_bound,
+        "mg_exact_counts_suppliers": q_mg_exact_counts_suppliers,
+        "mg_top_suppliers_bound": q_mg_top_suppliers_bound,
         "cms_heavy_hitters_suppliers": q_cms_heavy_hitters_suppliers,
         "cms_weighted_top_suppliers": q_cms_weighted_top_suppliers,
         "hll_intersection_bound": q_hll_intersection_bound,
@@ -2886,6 +2946,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cms_top_suppliers_bound": (
             "SELECT l_suppkey, COUNT(*) AS exact_count, TRUE AS cms_ok "
+            "FROM lineitem GROUP BY l_suppkey "
+            "ORDER BY exact_count DESC, l_suppkey LIMIT 10"
+        ),
+        "mg_exact_counts_suppliers": (
+            "SELECT l_suppkey, COUNT(*) AS mg_count "
+            "FROM lineitem GROUP BY l_suppkey"
+        ),
+        "mg_top_suppliers_bound": (
+            "SELECT l_suppkey, COUNT(*) AS exact_count, TRUE AS mg_ok "
             "FROM lineitem GROUP BY l_suppkey "
             "ORDER BY exact_count DESC, l_suppkey LIMIT 10"
         ),

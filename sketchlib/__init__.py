@@ -27,6 +27,7 @@ from .cms import CountMinSketch  # noqa: F401
 from .ddsketch import DDSketch  # noqa: F401
 from .hll import HllSketch  # noqa: F401
 from .kll import KllSketch  # noqa: F401
+from .mg import MisraGriesSketch  # noqa: F401
 from .tdigest import TDigest  # noqa: F401
 from .theta import ThetaSketch  # noqa: F401
 

@@ -17,6 +17,7 @@ from pyspark.sql import types as T
 
 from ..ams import AmsSketch
 from ..bloom import BloomFilter
+from ..mg import MisraGriesSketch
 from ..cms import CountMinSketch
 from ..ddsketch import DDSketch
 from ..kll import KllSketch
@@ -152,6 +153,48 @@ class AmsSpec:
 
     def estimate(self, sketch: AmsSketch) -> int:
         return sketch.estimate_f2()
+
+
+class MgSpec:
+    """Misra–Gries frequent-items summary: deterministic per-key sandwich
+    (estimate <= true <= estimate + total_decrement, total_decrement <=
+    n/(k+1) under any merge tree — Agarwal et al. 2012).  Multiplicities are
+    the point -> streaming stage 1 (``hash_dedup = False``); merge =
+    pointwise add + (k+1)-th-largest decrement.  ``estimate`` = the largest
+    certified frequency lower bound (the top counter)."""
+
+    name = "mg"
+    hash_dedup = False
+    estimate_type = T.LongType()
+
+    def __init__(self, k: int = 64, hash_name: str = "murmur3") -> None:
+        self.k = k
+        self.hash_name = hash_name
+
+    def make(self) -> MisraGriesSketch:
+        return MisraGriesSketch(k=self.k)
+
+    def prepare(self, pdf: pd.DataFrame, element_cols: Sequence[str]) -> np.ndarray:
+        return hash_columns(pdf, element_cols, self.hash_name)
+
+    def prepare_arrow(self, batch, element_cols: Sequence[str]) -> np.ndarray:
+        return hash_arrow_columns(batch, element_cols, self.hash_name)
+
+    def ingest(self, sketch: MisraGriesSketch, prepared: np.ndarray) -> None:
+        sketch.add_hashes(prepared)
+
+    def to_bytes(self, sketch: MisraGriesSketch) -> bytes:
+        return sketch.to_bytes()
+
+    def from_bytes(self, blob: bytes) -> MisraGriesSketch:
+        return MisraGriesSketch.from_bytes(blob)
+
+    def merge(self, a: MisraGriesSketch, b: MisraGriesSketch) -> MisraGriesSketch:
+        a.merge(b)
+        return a
+
+    def estimate(self, sketch: MisraGriesSketch) -> int:
+        return int(sketch.counts.max()) if sketch.counts.shape[0] else 0
 
 
 class _QuantileSpecBase:
