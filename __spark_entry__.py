@@ -1265,6 +1265,100 @@ def q_streaming_cms_point_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_streaming_mg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state with the Misra–Gries frequent-items summary: MgSpec
+    through ``applyInPandasWithState``, two ``availableNow`` passes with
+    checkpoint resume — the seventh sketch family as streaming state.  The
+    emitted per-group ``estimate`` is the probe user's certified LOWER
+    bound; the gate checks the deterministic sandwich
+    ``est <= exact <= est + floor(n/(k+1))`` (Agarwal et al. 2012 — the
+    emitted ``count_additions`` n upper-bounds the cumulative decrement)
+    AND pins ``count_additions`` to the exact per-group stream length, an
+    exact-equality check on blob serialize/restore across the restart."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from sketchlib.spark.aggregate import hash_columns
+    from sketchlib.spark.specs import MgSpec
+
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".tmp_stream_mg_gate")
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+
+    PROBE = 42  # multiple of 7 -> survives the 1/7 sample filter
+    probe_hash = int(hash_columns(
+        pd.DataFrame({"user_id": pd.Series([PROBE], dtype="int64")}),
+        ["user_id"])[0])
+    K = 256
+
+    class _MgProbeSpec(MgSpec):
+        """estimate() = the probe key's certified lower bound."""
+
+        def __init__(self, ph: int) -> None:
+            super().__init__(k=K)
+            self.ph = ph
+
+        def estimate(self, sk) -> int:
+            return int(sk.estimate_hashes(
+                np.array([self.ph], dtype="<u8"))[0])
+
+    ev = (_read(spark, sf_dir, "events")
+          .select("event_type", "user_id")
+          .filter(F.col("user_id") % 7 == 0))
+    schema = ev.schema
+    collected: dict[str, tuple[int, int]] = {}
+
+    def run_pass():
+        from sketchlib.streaming import streaming_sketch_agg
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = streaming_sketch_agg(stream, "user_id", ["event_type"],
+                                   _MgProbeSpec(probe_hash))
+        q = (agg.writeStream
+             .foreachBatch(lambda bdf, _b: collected.update(
+                 {r["event_type"]: (r["estimate"], r["count_additions"])
+                  for r in bdf.collect()}))
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "availableNow streaming pass did not finish in 300s")
+
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        (ev.filter(F.col("user_id") % 2 == 0)
+         .coalesce(2).write.mode("append").parquet(src))
+        run_pass()
+        (ev.filter(F.col("user_id") % 2 == 1)
+         .coalesce(2).write.mode("append").parquet(src))
+        run_pass()
+        est = spark.createDataFrame(
+            [(k, int(v[0]), int(v[1])) for k, v in collected.items()],
+            "event_type string, est long, n_rows long")
+        exact = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("exact_rows"),
+            F.count(F.when(F.col("user_id") == PROBE, 1))
+            .alias("exact_probe"))
+        return (est.join(exact, "event_type")
+                .select(
+                    "event_type", "exact_probe",
+                    (F.col("n_rows") == F.col("exact_rows")).alias("n_exact"),
+                    ((F.col("est") <= F.col("exact_probe"))
+                     & (F.col("exact_probe") <= F.col("est")
+                        + F.floor(F.col("n_rows") / F.lit(K + 1))))
+                    .alias("within_bound"))
+                .orderBy("event_type"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-occurrence dedup (dropDuplicatesWithinWatermark on
     JVM state): two availableNow passes over a growing file source; keys
@@ -2187,6 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kll_median": q_streaming_kll_median,
         "streaming_ddsketch_median": q_streaming_ddsketch_median,
         "streaming_cms_point_counts": q_streaming_cms_point_counts,
+        "streaming_mg_counts": q_streaming_mg_counts,
         "streaming_dedup_events": q_streaming_dedup_events,
         "media_features": q_media_features,
         "extract_text_parity": q_extract_text_parity,
@@ -2507,6 +2602,15 @@ def _pipeline_oracles() -> dict[str, str]:
             "SELECT event_type, COUNT(*) AS n_rows, "
             "COUNT(CASE WHEN user_id = 42 THEN 1 END) AS exact_probe, "
             "TRUE AS within_bound FROM events WHERE user_id % 7 = 0 "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        "streaming_mg_counts": (
+            # n_exact pins the MG state's count_additions across the restart;
+            # within_bound is the deterministic Misra-Gries sandwich
+            "SELECT event_type, "
+            "COUNT(CASE WHEN user_id = 42 THEN 1 END) AS exact_probe, "
+            "TRUE AS n_exact, TRUE AS within_bound "
+            "FROM events WHERE user_id % 7 = 0 "
             "GROUP BY event_type ORDER BY event_type"
         ),
         "streaming_dedup_events": (

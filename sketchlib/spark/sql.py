@@ -29,6 +29,7 @@ def register_sql_functions(spark: SparkSession) -> None:
     from ..ddsketch import DDSketch
     from ..hll import HllSketch
     from ..kll import KllSketch
+    from ..mg import MisraGriesSketch
     from ..tdigest import TDigest
     from ..theta import ThetaSketch
 
@@ -134,6 +135,36 @@ def register_sql_functions(spark: SparkSession) -> None:
                 ThetaSketch.from_bytes(bytes(y)))[0]
             for x, y in zip(a, b)])
 
+    @F.pandas_udf(T.BinaryType())
+    def mg_merge_all(lists: pd.Series) -> pd.Series:
+        out = []
+        for blobs in lists:
+            merged = None
+            for b in blobs:
+                sk = MisraGriesSketch.from_bytes(bytes(b))
+                if merged is None:
+                    merged = sk
+                else:
+                    merged.merge(sk)
+            out.append(None if merged is None else merged.to_bytes())
+        return pd.Series(out)
+
+    @F.pandas_udf(T.LongType())
+    def mg_point_estimate(blobs: pd.Series, hashes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series([
+            None if (b is None or h is None) else
+            int(MisraGriesSketch.from_bytes(bytes(b)).estimate_hashes(
+                np.array([np.int64(h)], dtype=np.int64).view(np.uint64))[0])
+            for b, h in zip(blobs, hashes)])
+
+    @F.pandas_udf(T.LongType())
+    def mg_error_bound(blobs: pd.Series) -> pd.Series:
+        return pd.Series([None if b is None else
+                          MisraGriesSketch.from_bytes(bytes(b)).error_bound()
+                          for b in blobs])
+
     spark.udf.register("hll_estimate", hll_estimate)
     spark.udf.register("hll_merge_all", hll_merge_all)
     spark.udf.register("hll_count_additions", hll_count_additions)
@@ -147,3 +178,6 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("theta_merge_all", theta_merge_all)
     spark.udf.register("theta_intersect_estimate", theta_intersect_estimate)
     spark.udf.register("theta_a_not_b_estimate", theta_a_not_b_estimate)
+    spark.udf.register("mg_merge_all", mg_merge_all)
+    spark.udf.register("mg_point_estimate", mg_point_estimate)
+    spark.udf.register("mg_error_bound", mg_error_bound)

@@ -97,6 +97,38 @@ def test_theta_sql_set_algebra(spark, sf_dir):
     assert abs(row["est_d"] - n_d) <= max(0.5 * max(n_d, 1), 16)
 
 
+def test_mg_sql_point_estimate_and_merge(spark, sf_dir):
+    import pandas as pd
+    from sketchlib.spark.aggregate import build_partials, hash_columns, sketch_agg
+    from sketchlib.spark.specs import MgSpec
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    probe = orders.groupBy("o_custkey").count().orderBy(
+        F.desc("count"), "o_custkey").first()
+    probe_key, probe_n = probe["o_custkey"], probe["count"]
+    probe_hash = int(hash_columns(
+        pd.DataFrame({"o_custkey": pd.Series([probe_key], dtype="int64")}),
+        ["o_custkey"])[0])
+    ph_signed = probe_hash - (1 << 64) if probe_hash >= (1 << 63) else probe_hash
+
+    sketch_agg(orders, "o_custkey", (), MgSpec(k=128)
+               ).createOrReplaceTempView("mgsk")
+    [row] = spark.sql(f"""
+        SELECT mg_point_estimate(sketch, {ph_signed}L) AS est,
+               mg_error_bound(sketch) AS eb FROM mgsk""").collect()
+    # deterministic sandwich: est <= f(x) <= est + total_decrement
+    assert row["est"] <= probe_n <= row["est"] + row["eb"]
+    assert row["eb"] <= orders.count() // (128 + 1)
+
+    # SQL merge of partials keeps the same sandwich under a different tree
+    build_partials(orders.repartition(6), "o_custkey", (),
+                   MgSpec(k=128)).createOrReplaceTempView("mgpart")
+    [m] = spark.sql(f"""
+        SELECT mg_point_estimate(s, {ph_signed}L) AS est, mg_error_bound(s) AS eb
+        FROM (SELECT mg_merge_all(collect_list(sketch)) AS s FROM mgpart)""").collect()
+    assert m["est"] <= probe_n <= m["est"] + m["eb"]
+
+
 def test_theta_merge_all_sql(spark, sf_dir):
     from sketchlib.spark.aggregate import build_partials
     from sketchlib.spark.specs import ThetaSpec
