@@ -32,6 +32,7 @@ import struct
 import numpy as np
 
 from .bloom import _h2
+from ._wire import read_array, unpack
 
 WIRE_MAGIC = b"AM"
 WIRE_VERSION = 1
@@ -128,14 +129,18 @@ class AmsSketch:
     def from_bytes(cls, blob: bytes) -> "AmsSketch":
         if blob[:2] != WIRE_MAGIC:
             raise ValueError("not an AMS blob")
-        version, _pad, log_w, depth, count_additions = struct.unpack_from("<BBiiQ", blob, 2)
+        version, _pad, log_w, depth, count_additions = unpack(
+            "<BBiiQ", blob, 2, "AMS")
         if version > WIRE_VERSION:
             raise ValueError(f"incompatible AMS wire version {version}")
+        if not 0 <= log_w <= 30 or not 1 <= depth <= 64:
+            raise ValueError(f"AMS parameters out of range: log_w={log_w} "
+                             f"depth={depth}")
         width = 1 << log_w
         off = 2 + struct.calcsize("<BBiiQ")
         if len(blob) - off != width * depth * 8:
             raise ValueError("AMS payload length mismatch")
-        table = (np.frombuffer(blob, dtype="<i8", count=width * depth, offset=off)
+        table = (read_array(blob, "<i8", width * depth, off, "AMS")
                  .astype(np.int64).reshape(depth, width))
         return cls(width=width, depth=depth, table=table, count_additions=count_additions)
 

@@ -21,6 +21,7 @@ import math
 import struct
 
 import numpy as np
+from ._wire import read_array, unpack
 
 WIRE_MAGIC = b"BF"
 WIRE_VERSION = 1
@@ -127,16 +128,17 @@ class BloomFilter:
     def from_bytes(cls, blob: bytes) -> "BloomFilter":
         if blob[:2] != WIRE_MAGIC:
             raise ValueError("not a Bloom filter blob")
-        version, _pad, log_m, k, count_additions = struct.unpack_from("<BBiiQ", blob, 2)
+        version, _pad, log_m, k, count_additions = unpack(
+            "<BBiiQ", blob, 2, "Bloom")
         if version > WIRE_VERSION:
             raise ValueError(f"incompatible Bloom wire version {version}")
-        m_bits = 1 << log_m
-        if not 1 <= k <= 64 or m_bits < 8:
+        if not 3 <= log_m <= 40 or not 1 <= k <= 64:
             raise ValueError("invalid Bloom parameters")
+        m_bits = 1 << log_m
         off = 2 + struct.calcsize("<BBiiQ")
         if len(blob) - off != m_bits // 8:
             raise ValueError("Bloom payload length mismatch")
-        bits = np.frombuffer(blob, dtype=np.uint8, count=m_bits // 8, offset=off).copy()
+        bits = read_array(blob, np.uint8, m_bits // 8, off, "Bloom").copy()
         return cls(m_bits=m_bits, k=k, bits=bits, count_additions=count_additions)
 
     def __eq__(self, other: object) -> bool:

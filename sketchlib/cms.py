@@ -21,6 +21,7 @@ import struct
 import numpy as np
 
 from .bloom import _h2
+from ._wire import read_array, unpack
 
 WIRE_MAGIC = b"CM"
 WIRE_VERSION = 1
@@ -129,15 +130,19 @@ class CountMinSketch:
     def from_bytes(cls, blob: bytes) -> "CountMinSketch":
         if blob[:2] != WIRE_MAGIC:
             raise ValueError("not a count-min blob")
-        version, _pad, log_w, depth, count_additions = struct.unpack_from("<BBiiQ", blob, 2)
+        version, _pad, log_w, depth, count_additions = unpack(
+            "<BBiiQ", blob, 2, "count-min")
         if version > WIRE_VERSION:
             raise ValueError(f"incompatible count-min wire version {version}")
+        if not 0 <= log_w <= 30 or not 1 <= depth <= 64:
+            raise ValueError(f"count-min parameters out of range: "
+                             f"log_w={log_w} depth={depth}")
         width = 1 << log_w
         off = 2 + struct.calcsize("<BBiiQ")
         expected = width * depth * 8
         if len(blob) - off != expected:
             raise ValueError("count-min payload length mismatch")
-        table = (np.frombuffer(blob, dtype="<u8", count=width * depth, offset=off)
+        table = (read_array(blob, "<u8", width * depth, off, "count-min")
                  .astype(np.uint64).reshape(depth, width))
         return cls(width=width, depth=depth, table=table, count_additions=count_additions)
 

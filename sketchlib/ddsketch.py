@@ -41,6 +41,7 @@ import math
 import struct
 
 import numpy as np
+from ._wire import read_array, unpack
 
 WIRE_MAGIC = b"DD"
 WIRE_VERSION = 1
@@ -201,7 +202,7 @@ class DDSketch:
         if blob[:2] != WIRE_MAGIC:
             raise ValueError("not a DDSketch blob")
         version, _pad, alpha, min_positive, count_additions, zero_count, \
-            n_pos, n_neg = struct.unpack_from("<BBddQQii", blob, 2)
+            n_pos, n_neg = unpack("<BBddQQii", blob, 2, "DDSketch")
         if version > WIRE_VERSION:
             raise ValueError(f"incompatible DDSketch wire version {version}")
         if n_pos < 0 or n_neg < 0:
@@ -211,10 +212,20 @@ class DDSketch:
             raise ValueError("DDSketch payload length mismatch")
         sk = cls(alpha=alpha, min_positive=min_positive)
         for store, count in ((sk.pos, n_pos), (sk.neg, n_neg)):
-            arr = np.frombuffer(blob, dtype="<i8", count=2 * count,
-                                offset=off).reshape(-1, 2)
+            arr = read_array(blob, "<i8", 2 * count, off, "DDSketch"
+                             ).reshape(-1, 2)
             off += 16 * count
+            if count and int(arr[:, 1].min()) <= 0:
+                raise ValueError("non-positive DDSketch bucket count")
             store.update({int(i): int(c) for i, c in arr})
+            if len(store) != count:
+                raise ValueError("duplicate DDSketch bucket index")
+        # bucket totals must reconcile with the header counters: a corrupted
+        # count_additions would otherwise surface later as an impossible
+        # quantile rank instead of a parse error
+        if count_additions != zero_count + sum(sk.pos.values()) + sum(
+                sk.neg.values()):
+            raise ValueError("DDSketch counters inconsistent with buckets")
         sk.count_additions = count_additions
         sk.zero_count = zero_count
         return sk

@@ -49,6 +49,7 @@ import numpy as np
 
 from . import _bias_tables
 from .hashing import HASHES, murmur3_64_flat, to_flat_bytes
+from ._wire import read_array, unpack
 
 DIRECT_COUNTER_MAX_ELEMENTS = 100  # HllConstants.cs:42
 WIRE_MAJOR = 3  # CardinalityEstimatorSerializer.cs:54
@@ -357,36 +358,36 @@ class HllSketch:
         (CardinalityEstimatorSerializer.cs:257-326) and the direct-count
         replay rule (CardinalityEstimator.cs:297-307)."""
         off = 0
-        major, minor = struct.unpack_from("<HH", blob, off)
+        major, minor = unpack("<HH", blob, off, "HLL")
         off += 4
         if major > WIRE_MAJOR:
             raise ValueError(f"incompatible wire format version {major}.{minor}")
         if major == 2:
             off += 1  # v2 hash-function id byte; the hash is caller-supplied here
-        (p,) = struct.unpack_from("<i", blob, off)
+        (p,) = unpack("<i", blob, off, "HLL")
         off += 4
         if not 4 <= p <= 16:
             raise ValueError(f"invalid bitsPerIndex {p}")
         m = 1 << p
-        (flags,) = struct.unpack_from("<B", blob, off)
+        (flags,) = unpack("<B", blob, off, "HLL")
         off += 1
         is_sparse = bool(flags & 2)
         is_direct = bool(flags & 1)
 
         if is_direct:
-            (n,) = struct.unpack_from("<i", blob, off)
+            (n,) = unpack("<i", blob, off, "HLL")
             off += 4
             if not 0 <= n <= DIRECT_COUNTER_MAX_ELEMENTS:
                 raise ValueError(f"invalid direct count {n}")
-            direct = np.unique(np.frombuffer(blob, dtype="<u8", count=n, offset=off).astype(np.uint64))
+            direct = np.unique(read_array(blob, "<u8", n, off, "HLL").astype(np.uint64))
             off += 8 * n
             sketch = cls(p=p, direct=direct)
         elif is_sparse:
-            (n,) = struct.unpack_from("<i", blob, off)
+            (n,) = unpack("<i", blob, off, "HLL")
             off += 4
             if not 0 <= n <= m:
                 raise ValueError(f"invalid sparse count {n}")
-            entries = np.frombuffer(blob, dtype=[("idx", "<u2"), ("rank", "u1")], count=n, offset=off)
+            entries = read_array(blob, [("idx", "<u2"), ("rank", "u1")], n, off, "HLL")
             off += 3 * n
             registers = np.zeros(m, dtype=np.uint8)
             idx = entries["idx"].astype(np.int64)
@@ -396,18 +397,18 @@ class HllSketch:
             sketch = cls(p=p, use_direct_counting=False, registers=registers, is_sparse=True)
             sketch._maybe_promote()
         else:
-            (n,) = struct.unpack_from("<i", blob, off)
+            (n,) = unpack("<i", blob, off, "HLL")
             off += 4
             if n != m:
                 raise ValueError(f"dense length {n} != m {m}")
-            registers = np.frombuffer(blob, dtype=np.uint8, count=n, offset=off).copy()
+            registers = read_array(blob, np.uint8, n, off, "HLL").copy()
             off += n
             sketch = cls(p=p, use_direct_counting=False, registers=registers, is_sparse=False)
         # reference predicate is (major >= 2 AND minor >= 1) — NOT tuple
         # order: a hypothetical v3.0 blob carries no count_additions
         # (CardinalityEstimatorSerializer quirk, matched deliberately)
         if major >= 2 and minor >= 1:
-            (count_additions,) = struct.unpack_from("<Q", blob, off)
+            (count_additions,) = unpack("<Q", blob, off, "HLL")
             sketch.count_additions = int(count_additions)
         return sketch
 

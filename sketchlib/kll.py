@@ -24,6 +24,7 @@ import math
 import struct
 
 import numpy as np
+from ._wire import read_array, unpack
 
 WIRE_MAGIC = b"KL"
 WIRE_VERSION = 1
@@ -186,19 +187,19 @@ class KllSketch:
         if blob[:2] != WIRE_MAGIC:
             raise ValueError("not a KLL blob")
         version, _pad, k, n_levels, count_additions, vmin, vmax, coin = (
-            struct.unpack_from("<BBHiQddQ", blob, 2))
+            unpack("<BBHiQddQ", blob, 2, "KLL"))
         if version > WIRE_VERSION:
             raise ValueError(f"incompatible KLL wire version {version}")
         if not 0 < n_levels <= 64:
             raise ValueError(f"invalid KLL level count {n_levels}")
         off = 2 + struct.calcsize("<BBHiQddQ")
-        counts = struct.unpack_from(f"<{n_levels}i", blob, off)
+        counts = unpack(f"<{n_levels}i", blob, off, "KLL")
         off += 4 * n_levels
         if any(c < 0 for c in counts) or len(blob) - off != 8 * sum(counts):
             raise ValueError("KLL payload length mismatch")
         compactors = []
         for c in counts:
-            compactors.append(np.frombuffer(blob, dtype="<f8", count=c, offset=off)
+            compactors.append(read_array(blob, "<f8", c, off, "KLL")
                               .astype(np.float64))
             off += 8 * c
         return cls(k=k, compactors=compactors, count_additions=count_additions,

@@ -29,6 +29,7 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+from .._wire import read_array, unpack
 
 WIRE_MAGIC = b"FD"
 WIRE_VERSION = 1
@@ -136,15 +137,17 @@ class FrequentDirections:
     def from_bytes(cls, blob: bytes) -> "FrequentDirections":
         if blob[:2] != WIRE_MAGIC:
             raise ValueError("not a frequent-directions blob")
-        version, _pad, ell, d, n_rows, n_buf, fro = struct.unpack_from(
-            "<BBiiQid", blob, 2)
+        version, _pad, ell, d, n_rows, n_buf, fro = unpack(
+            "<BBiiQid", blob, 2, "frequent-directions")
         if version > WIRE_VERSION:
             raise ValueError(f"incompatible FD wire version {version}")
         off = 2 + struct.calcsize("<BBiiQid")
         if len(blob) - off != n_buf * d * 8:
             raise ValueError("FD payload length mismatch")
         sk = cls(ell=ell, d=d)
-        rows = (np.frombuffer(blob, dtype="<f8", count=n_buf * d, offset=off)
+        if not 0 <= n_buf <= 2 * ell:
+            raise ValueError(f"FD buffered-row count out of range: {n_buf}")
+        rows = (read_array(blob, "<f8", n_buf * d, off, "frequent-directions")
                 .reshape(n_buf, d))
         sk._buf[:n_buf] = rows
         sk._n_buf = n_buf

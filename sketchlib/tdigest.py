@@ -25,6 +25,7 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+from ._wire import read_array, unpack
 
 WIRE_MAGIC = b"TD"
 WIRE_VERSION = 1
@@ -175,15 +176,15 @@ class TDigest:
     def from_bytes(cls, blob: bytes) -> "TDigest":
         if blob[:2] != WIRE_MAGIC:
             raise ValueError("not a t-digest blob")
-        version, _pad, delta, n, count_additions, vmin, vmax = struct.unpack_from(
-            "<BBiiQdd", blob, 2)
+        version, _pad, delta, n, count_additions, vmin, vmax = unpack(
+            "<BBiiQdd", blob, 2, "t-digest")
         if version > WIRE_VERSION:
             raise ValueError(f"incompatible t-digest wire version {version}")
         off = 2 + struct.calcsize("<BBiiQdd")
         if len(blob) - off != 16 * n:
             raise ValueError("t-digest payload length mismatch")
-        means = np.frombuffer(blob, dtype="<f8", count=n, offset=off).astype(np.float64)
-        weights = np.frombuffer(blob, dtype="<f8", count=n, offset=off + 8 * n).astype(np.float64)
+        means = read_array(blob, "<f8", n, off, "t-digest").astype(np.float64)
+        weights = read_array(blob, "<f8", n, off + 8 * n, "t-digest").astype(np.float64)
         return cls(delta=delta, means=means, weights=weights, vmin=vmin, vmax=vmax,
                    count_additions=count_additions)
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+from ._wire import read_array, unpack
 
 _MAX_THETA = np.uint64(0xFFFFFFFFFFFFFFFF)  # θ = 1.0 (exact mode)
 _HASH_SPACE = float(1 << 64)
@@ -172,7 +173,7 @@ class ThetaSketch:
     def from_bytes(cls, blob: bytes) -> "ThetaSketch":
         if blob[:4] != _MAGIC:
             raise ValueError("not a theta sketch blob")
-        k, theta, n = struct.unpack_from("<IQI", blob, 4)
+        k, theta, n = unpack("<IQI", blob, 4, "theta")
         if not 16 <= k <= (1 << 26):
             raise ValueError(f"k out of range: {k}")
         if n > k:
@@ -183,12 +184,11 @@ class ThetaSketch:
             raise ValueError(f"blob length {len(blob)} != expected {need}")
         sk = cls(k)
         sk.theta = np.uint64(theta)
-        sk.hashes = np.frombuffer(blob, dtype="<u8", count=n, offset=off
-                                  ).astype(np.uint64)
+        sk.hashes = read_array(blob, "<u8", n, off, "theta").astype(np.uint64)
         if n and not (bool(np.all(sk.hashes[1:] > sk.hashes[:-1]))
                       and sk.hashes[-1] < sk.theta):
             raise ValueError("hashes not sorted-unique below theta")
-        (sk.count_additions,) = struct.unpack_from("<Q", blob, off + 8 * n)
+        (sk.count_additions,) = unpack("<Q", blob, off + 8 * n, "theta")
         return sk
 
     @classmethod
