@@ -32,6 +32,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .._wire import unpack
+
+#: sanity cap on header-claimed image dimensions: a corrupt header must not
+#: make a decoder allocate an arbitrary pixel buffer (the real-codec decoders
+#: are already bounded by the payload length; the fake containers synthesize
+#: pixels from the header alone, so they need an explicit bound)
+_MAX_PIXELS = 1 << 26  # 64M pixels = 192 MB RGB, far above any fixture
+
+
+def _check_dims(width: int, height: int) -> None:
+    if width <= 0 or height <= 0 or width * height > _MAX_PIXELS:
+        raise ValueError(f"implausible image dimensions {width}x{height}")
+
 MEDIA_META_SCHEMA = T.StructType([
     T.StructField("kind", T.StringType()),       # image | audio | video
     T.StructField("codec", T.StringType()),
@@ -93,7 +106,8 @@ def decode_image_stub(payload: bytes) -> np.ndarray:
     """
     if payload[:4] != _FAKE_MAGIC:
         raise ValueError("unknown image codec")
-    width, height, seed = struct.unpack_from("<iiq", payload, 4)
+    width, height, seed = unpack("<iiq", payload, 4, "fake-image")
+    _check_dims(width, height)
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
 
@@ -117,9 +131,13 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         while pos < len(payload) and not payload[pos:pos + 1].isspace():
             pos += 1
         tokens.append(payload[start:pos])
-    w, h, maxval = (int(t) for t in tokens)
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except (ValueError, UnicodeDecodeError):
+        raise ValueError("malformed PPM header tokens") from None
     if maxval != 255:
         raise ValueError(f"only maxval 255 supported, got {maxval}")
+    _check_dims(w, h)
     pos += 1  # exactly one whitespace byte before the raster
     need = w * h * 3
     data = payload[pos:pos + need]
@@ -135,15 +153,16 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     BGR channel order."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP")
-    (data_off,) = struct.unpack_from("<I", payload, 10)
-    w, h = struct.unpack_from("<ii", payload, 18)
-    (bpp,) = struct.unpack_from("<H", payload, 28)
-    (compression,) = struct.unpack_from("<I", payload, 30)
+    (data_off,) = unpack("<I", payload, 10, "BMP")
+    w, h = unpack("<ii", payload, 18, "BMP")
+    (bpp,) = unpack("<H", payload, 28, "BMP")
+    (compression,) = unpack("<I", payload, 30, "BMP")
     if bpp != 24 or compression != 0:
         raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp}, "
                          f"compression={compression})")
     bottom_up = h > 0
     h = abs(h)
+    _check_dims(w, h)
     stride = (w * 3 + 3) & ~3
     need = stride * h
     raster = payload[data_off:data_off + need]
@@ -286,7 +305,9 @@ def decode_frame_stub(payload: bytes, ts_ms: int) -> np.ndarray:
     frame (e.g. via PyAV); signature and error contract are final."""
     if payload[:4] != _FAKE_VMAGIC:
         raise ValueError("unknown video codec")
-    width, height, duration_ms, seed = struct.unpack_from("<iiqq", payload, 4)
+    width, height, duration_ms, seed = unpack("<iiqq", payload, 4,
+                                              "fake-video")
+    _check_dims(width, height)
     if not 0 <= ts_ms <= duration_ms:
         raise ValueError("timestamp beyond duration")
     rng = np.random.default_rng((seed << 20) ^ ts_ms)
@@ -349,10 +370,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
-        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        (size,) = unpack("<I", payload, pos + 4, "WAV")
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
-            fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt = unpack("<HHIIHH", body, 0, "WAV")
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -362,6 +383,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if audio_format != 1 or bits != 16:
         raise ValueError(f"only 16-bit PCM supported (format={audio_format}, "
                          f"bits={bits})")
+    if not 1 <= channels <= 64:
+        raise ValueError(f"implausible channel count {channels}")
     samples = np.frombuffer(
         data[:len(data) - (len(data) % (2 * channels))], dtype="<i2")
     return samples.reshape(-1, channels), sample_rate

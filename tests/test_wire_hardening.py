@@ -152,3 +152,76 @@ def test_struct_error_never_escapes():
         with pytest.raises(ValueError):
             cls.from_bytes(magic)
         assert not isinstance(struct.error, ValueError)
+
+
+# ---------------------------------------------------------------------------
+# media decoders: same contract as the sketch wire — a corrupt payload inside
+# a 100 TB mapInPandas decode stage must raise ValueError (which the per-row
+# skip logic catches), never struct.error / ZeroDivisionError / a giant
+# header-claimed allocation.
+# ---------------------------------------------------------------------------
+
+def _media_payloads():
+    import numpy as np
+    from sketchlib.multimodal.media import (encode_bmp, encode_ppm,
+                                            encode_wav, pack_fake_image,
+                                            pack_fake_video)
+    img = np.arange(60, dtype=np.uint8).reshape(5, 4, 3)
+    samples = (np.linspace(-3000, 3000, 64).astype(np.int16).reshape(-1, 2))
+    return {
+        "ppm": encode_ppm(img),
+        "bmp": encode_bmp(img),
+        "wav": encode_wav(samples, 8000),
+        "fake_image": pack_fake_image(4, 5, seed=7),
+        "fake_video": pack_fake_video(4, 5, duration_ms=3000, seed=7),
+    }
+
+
+def _decode_any(name, payload):
+    from sketchlib.multimodal.media import (decode_frame_stub, decode_image,
+                                            decode_wav)
+    if name == "wav":
+        decode_wav(payload)
+    elif name == "fake_video":
+        decode_frame_stub(payload, 0)
+    else:
+        decode_image(payload)
+
+
+@pytest.mark.parametrize("name", ["ppm", "bmp", "wav", "fake_image",
+                                  "fake_video"])
+def test_media_truncations_raise_valueerror(name):
+    payload = _media_payloads()[name]
+    _decode_any(name, payload)  # the intact payload decodes
+    for cut in range(len(payload)):
+        try:
+            _decode_any(name, payload[:cut])
+        except ValueError:
+            pass  # the required failure mode
+
+
+@pytest.mark.parametrize("name", ["ppm", "bmp", "wav", "fake_image",
+                                  "fake_video"])
+def test_media_byte_flips_raise_valueerror_and_stay_bounded(name):
+    payload = _media_payloads()[name]
+    for pos in range(min(len(payload), 64)):  # header region
+        for flip in (0x01, 0x80, 0xFF):
+            mutated = bytearray(payload)
+            mutated[pos] ^= flip
+            try:
+                _decode_any(name, bytes(mutated))
+            except ValueError:
+                pass  # decoders must not allocate from implausible dims:
+            # _check_dims caps header-claimed pixels, so reaching here
+            # (successful decode of a flipped payload) is bounded work
+
+
+def test_media_dimension_bounds():
+    import struct as _s
+    from sketchlib.multimodal.media import (_FAKE_MAGIC, decode_image_stub)
+    huge = _FAKE_MAGIC + _s.pack("<iiq", 1 << 20, 1 << 20, 7)
+    with pytest.raises(ValueError):
+        decode_image_stub(huge)
+    neg = _FAKE_MAGIC + _s.pack("<iiq", -3, 5, 7)
+    with pytest.raises(ValueError):
+        decode_image_stub(neg)
