@@ -358,8 +358,9 @@ def q_theta_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection error scales with the RESULT's witness count
     (RSE ≈ 1/sqrt(c), Theta-Sketch Framework), and below k the sketch is
     the exact distinct set, so estimates here are exact.  The oracle
-    recomputes the exact overlaps; the first five consecutive-day pairs
-    are emitted."""
+    recomputes the exact overlaps; the first five nonzero-overlap
+    consecutive-day pairs are emitted (the oracle's inner-join + LIMIT
+    row universe)."""
     from sketchlib.spark.specs import ThetaSpec
     from sketchlib.theta import ThetaSketch
 
@@ -371,8 +372,13 @@ def q_theta_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
              for r in sketch_agg(ev, "user_id", ["day"], spec).collect()}
     days = sorted(daily)
     import datetime as _dt
+    # estimate EVERY consecutive pair (driver-side set algebra, no scans) and
+    # LIMIT after the exact join: the oracle's LIMIT 5 ranges over pairs with
+    # nonzero overlap (its inner join emits no zero-overlap row), so a
+    # pre-truncated pair list would lose a row whenever an early pair had
+    # zero common users while the oracle backfilled with the next pair
     pairs = [(d, d + _dt.timedelta(days=1)) for d in days
-             if d + _dt.timedelta(days=1) in daily][:5]
+             if d + _dt.timedelta(days=1) in daily]
     rows = []
     for da, db in pairs:
         est, c = daily[da].intersect_count(daily[db])
@@ -392,7 +398,7 @@ def q_theta_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
               <= F.greatest(F.col("exact_overlap") * F.col("margin"),
                             F.lit(8.0))).alias("within_bound")
     return (j.select("day_a", "day_b", "exact_overlap", within)
-            .orderBy("day_a"))
+            .orderBy("day_a").limit(5))
 
 
 def _quantile_rank_bound(df: DataFrame, value_col: str, group_cols: list[str],

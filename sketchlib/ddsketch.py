@@ -61,7 +61,7 @@ class DDSketch:
 
     __slots__ = ("alpha", "gamma", "min_positive", "max_buckets",
                  "pos", "neg", "zero_count", "count_additions",
-                 "_min_index", "_log_gamma")
+                 "_log_gamma")
 
     def __init__(self, alpha: float = 0.01, min_positive: float = 1e-9,
                  max_buckets: int = DEFAULT_MAX_BUCKETS) -> None:
@@ -74,8 +74,6 @@ class DDSketch:
         self._log_gamma = math.log(self.gamma)
         self.min_positive = float(min_positive)
         self.max_buckets = int(max_buckets)
-        self._min_index = int(math.ceil(math.log(self.min_positive)
-                                        / self._log_gamma))
         self.pos: dict[int, int] = {}
         self.neg: dict[int, int] = {}
         self.zero_count = 0
@@ -88,31 +86,41 @@ class DDSketch:
         identical to ``ceil(log(x)/log(gamma))`` evaluated per value)."""
         return np.ceil(np.log(magnitudes) / self._log_gamma).astype(np.int64)
 
-    def _store_add(self, store: dict[int, int], idx: np.ndarray) -> None:
-        vals, counts = np.unique(idx, return_counts=True)
-        for i, c in zip(vals.tolist(), counts.tolist()):
-            store[i] = store.get(i, 0) + c
-        if len(store) > self.max_buckets:
-            raise ValueError(
-                f"DDSketch exceeded max_buckets={self.max_buckets}; the data "
-                f"range spans more than alpha={self.alpha} resolves — raise "
-                f"max_buckets or alpha")
+    def _bucket_cap_error(self) -> ValueError:
+        return ValueError(
+            f"DDSketch exceeded max_buckets={self.max_buckets}; the data "
+            f"range spans more than alpha={self.alpha} resolves — raise "
+            f"max_buckets or alpha")
 
     def add_values(self, values: np.ndarray) -> None:
+        """Ingest a batch.  Validates the bucket cap BEFORE mutating any
+        state: a raising add must leave the sketch exactly as it was (else
+        count_additions disagrees with the bucket totals and the
+        re-serialized blob fails its own consistency check)."""
         v = np.asarray(values, dtype=np.float64)
         v = v[~np.isnan(v)]
         if v.shape[0] == 0:
             return
-        self.count_additions += int(v.shape[0])
         mag = np.abs(v)
         tiny = mag <= self.min_positive
-        self.zero_count += int(np.count_nonzero(tiny))
         p = v[(v > 0) & ~tiny]
         n = v[(v < 0) & ~tiny]
-        if p.shape[0]:
-            self._store_add(self.pos, self._indices(p))
-        if n.shape[0]:
-            self._store_add(self.neg, self._indices(-n))
+        staged = []
+        for store, vals in ((self.pos, p), (self.neg, n)):
+            if vals.shape[0] == 0:
+                continue
+            idx, counts = np.unique(self._indices(np.abs(vals)),
+                                    return_counts=True)
+            items = list(zip(idx.tolist(), counts.tolist()))
+            grown = len(store) + sum(1 for i, _ in items if i not in store)
+            if grown > self.max_buckets:
+                raise self._bucket_cap_error()
+            staged.append((store, items))
+        for store, items in staged:
+            for i, c in items:
+                store[i] = store.get(i, 0) + c
+        self.count_additions += int(v.shape[0])
+        self.zero_count += int(np.count_nonzero(tiny))
 
     # -- merge -----------------------------------------------------------------
 
@@ -120,11 +128,17 @@ class DDSketch:
         if (other.alpha, other.min_positive) != (self.alpha, self.min_positive):
             raise ValueError("cannot merge DDSketches with different "
                              "(alpha, min_positive)")
+        # the permissive cap wins so merge order can't affect whether a
+        # legal union of buckets is accepted
+        self.max_buckets = max(self.max_buckets, other.max_buckets)
+        # cap check before mutation (same no-partial-state rule as add_values)
+        for store, ostore in ((self.pos, other.pos), (self.neg, other.neg)):
+            grown = len(store) + sum(1 for i in ostore if i not in store)
+            if grown > self.max_buckets:
+                raise ValueError("merged DDSketch exceeded max_buckets")
         for store, ostore in ((self.pos, other.pos), (self.neg, other.neg)):
             for i, c in ostore.items():
                 store[i] = store.get(i, 0) + c
-        if max(len(self.pos), len(self.neg)) > self.max_buckets:
-            raise ValueError("merged DDSketch exceeded max_buckets")
         self.zero_count += other.zero_count
         self.count_additions += other.count_additions
 
@@ -190,11 +204,15 @@ class DDSketch:
         return arr.astype("<i8").tobytes()
 
     def to_bytes(self) -> bytes:
-        header = struct.pack("<BBddQQii", WIRE_VERSION, 0, self.alpha,
+        # max_buckets rides in the blob: a deserialize-then-continue workflow
+        # (checkpoint resume, cross-task merge) must inherit the cap the
+        # sketch was built with, or a legitimately-large restored sketch
+        # spuriously raises on its next add/merge
+        header = struct.pack("<BBddQQiii", WIRE_VERSION, 0, self.alpha,
                              self.min_positive,
                              self.count_additions & ((1 << 64) - 1),
                              self.zero_count & ((1 << 64) - 1),
-                             len(self.pos), len(self.neg))
+                             len(self.pos), len(self.neg), self.max_buckets)
         return WIRE_MAGIC + header + self._packed(self.pos) + self._packed(self.neg)
 
     @classmethod
@@ -202,15 +220,19 @@ class DDSketch:
         if blob[:2] != WIRE_MAGIC:
             raise ValueError("not a DDSketch blob")
         version, _pad, alpha, min_positive, count_additions, zero_count, \
-            n_pos, n_neg = unpack("<BBddQQii", blob, 2, "DDSketch")
+            n_pos, n_neg, max_buckets = unpack("<BBddQQiii", blob, 2,
+                                               "DDSketch")
         if version > WIRE_VERSION:
             raise ValueError(f"incompatible DDSketch wire version {version}")
         if n_pos < 0 or n_neg < 0:
             raise ValueError("negative DDSketch store size")
-        off = 2 + struct.calcsize("<BBddQQii")
+        if max_buckets < 1 or max(n_pos, n_neg) > max_buckets:
+            raise ValueError("DDSketch store size exceeds its max_buckets")
+        off = 2 + struct.calcsize("<BBddQQiii")
         if len(blob) - off != 16 * (n_pos + n_neg):
             raise ValueError("DDSketch payload length mismatch")
-        sk = cls(alpha=alpha, min_positive=min_positive)
+        sk = cls(alpha=alpha, min_positive=min_positive,
+                 max_buckets=max_buckets)
         for store, count in ((sk.pos, n_pos), (sk.neg, n_neg)):
             arr = read_array(blob, "<i8", 2 * count, off, "DDSketch"
                              ).reshape(-1, 2)

@@ -50,6 +50,8 @@ import struct
 
 import numpy as np
 
+from ._wire import read_array, unpack
+
 WIRE_MAGIC = b"FI"  # frequent items
 WIRE_VERSION = 1
 
@@ -191,16 +193,30 @@ class MisraGriesSketch:
             raise ValueError("not a Misra-Gries blob")
         if len(blob) < 2 + struct.calcsize("<BBiiqq"):
             raise ValueError("Misra-Gries blob shorter than its header")
-        version, _pad, k, n, count_additions, total_decrement = (
-            struct.unpack_from("<BBiiqq", blob, 2))
+        version, _pad, k, n, count_additions, total_decrement = unpack(
+            "<BBiiqq", blob, 2, "Misra-Gries")
         if version > WIRE_VERSION:
             raise ValueError(f"incompatible Misra-Gries wire version {version}")
+        if k < 1 or not 0 <= n <= k:
+            raise ValueError(f"Misra-Gries parameters out of range: k={k} "
+                             f"n={n}")
         off = 2 + struct.calcsize("<BBiiqq")
         if len(blob) - off != n * 16:
             raise ValueError("Misra-Gries payload length mismatch")
-        keys = np.frombuffer(blob, dtype="<u8", count=n, offset=off).astype(np.uint64)
-        counts = np.frombuffer(blob, dtype="<i8", count=n,
-                               offset=off + n * 8).astype(np.int64)
+        keys = read_array(blob, "<u8", n, off, "Misra-Gries"
+                          ).astype(np.uint64)
+        counts = read_array(blob, "<i8", n, off + n * 8, "Misra-Gries"
+                            ).astype(np.int64)
+        # class invariants (docstring above): keys strictly increasing
+        # (estimate_hashes searchsorted depends on it) and counters positive;
+        # the header totals must also be plausible, or the certified
+        # sandwich est <= true <= est + total_decrement is silently wrong
+        if n and not bool(np.all(keys[1:] > keys[:-1])):
+            raise ValueError("Misra-Gries keys not strictly increasing")
+        if n and int(counts.min()) <= 0:
+            raise ValueError("non-positive Misra-Gries counter")
+        if count_additions < 0 or total_decrement < 0:
+            raise ValueError("negative Misra-Gries totals")
         return cls(k=k, keys=keys, counts=counts,
                    count_additions=count_additions,
                    total_decrement=total_decrement)

@@ -142,11 +142,17 @@ class FrequentDirections:
         if version > WIRE_VERSION:
             raise ValueError(f"incompatible FD wire version {version}")
         off = 2 + struct.calcsize("<BBiiQid")
+        # parameter sanity BEFORE cls() — the constructor allocates the
+        # 2*ell x d buffer, so a corrupt ell/d field must not drive a
+        # header-claimed multi-GB allocation (same rule as media decoders)
+        if not 1 <= ell <= (1 << 20) or not 1 <= d <= (1 << 20) \
+                or ell * d > (1 << 26):
+            raise ValueError(f"FD parameters out of range: ell={ell} d={d}")
+        if not 0 <= n_buf <= 2 * ell:
+            raise ValueError(f"FD buffered-row count out of range: {n_buf}")
         if len(blob) - off != n_buf * d * 8:
             raise ValueError("FD payload length mismatch")
         sk = cls(ell=ell, d=d)
-        if not 0 <= n_buf <= 2 * ell:
-            raise ValueError(f"FD buffered-row count out of range: {n_buf}")
         rows = (read_array(blob, "<f8", n_buf * d, off, "frequent-directions")
                 .reshape(n_buf, d))
         sk._buf[:n_buf] = rows

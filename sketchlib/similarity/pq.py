@@ -230,8 +230,11 @@ def adc_topk(encoded: DataFrame, queries: list[tuple], codebooks: np.ndarray,
             top = min(fetch, codes.shape[0])
             for qi, qid in enumerate(qids):
                 col = dists[qi]
-                idx = np.argpartition(col, top - 1)[:top]
-                for i in idx:
+                # keep EVERY row tied at the cut distance: argpartition alone
+                # breaks boundary ties by partition order, which the global
+                # (adc_dist, id) window can't repair once a tied id is dropped
+                thr = np.partition(col, top - 1)[top - 1]
+                for i in np.flatnonzero(col <= thr):
                     out.append((qid, ids[i], float(col[i])))
             if out:  # empty all-NA frames poison concat dtype inference
                 yield pd.DataFrame(out, columns=["query_id", id_col, "adc_dist"])

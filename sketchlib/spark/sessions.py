@@ -32,17 +32,24 @@ from pyspark.sql import types as T
 def _epoch_us(df: DataFrame, ts_col: str) -> Column:
     """Microseconds-since-epoch as a long, for both TIMESTAMP and
     TIMESTAMP_NTZ columns.  The NTZ path never consults a timezone (no
-    DST discontinuity can enter the arithmetic): whole seconds come from
-    the epoch-subtraction interval (DayTimeInterval casts to long as
-    SECONDS — a documented-by-test trap, see tests), the sub-second part
-    from the exact DECIMAL ``date_part('SECOND')`` fraction."""
+    DST discontinuity can enter the arithmetic): epoch days from the DATE
+    part and time-of-day microseconds from the exact DECIMAL
+    ``date_part('SECOND')`` field.  Both components use FLOOR semantics
+    (date truncation floors; time-of-day is always in [0, 86400s)), so
+    pre-epoch fractional timestamps stay exact — the tempting
+    epoch-subtraction interval cast truncates TOWARD ZERO as whole
+    SECONDS (a documented-by-test trap, see tests) and would pair a
+    truncated -0s with a positive +.5s fraction."""
+    c = F.col(ts_col)
     if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
-        epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
-        sec = (F.col(ts_col) - epoch).cast("long")
-        frac_us = (F.date_part(F.lit("SECOND"), F.col(ts_col)) % 1
-                   * 1_000_000).cast("long")
-        return sec * F.lit(1_000_000) + frac_us
-    return F.unix_micros(F.col(ts_col))
+        days = F.datediff(F.to_date(c),
+                          F.lit("1970-01-01").cast("date")).cast("long")
+        tod_us = ((F.hour(c).cast("long") * 3600
+                   + F.minute(c).cast("long") * 60) * F.lit(1_000_000)
+                  + (F.date_part(F.lit("SECOND"), c)
+                     * 1_000_000).cast("long"))
+        return days * F.lit(86_400_000_000) + tod_us
+    return F.unix_micros(c)
 
 
 def sessionize(df: DataFrame, ts_col: str = "ts", user_col: str = "user_id",

@@ -33,24 +33,32 @@ def register_sql_functions(spark: SparkSession) -> None:
     from ..tdigest import TDigest
     from ..theta import ThetaSketch
 
+    def _merge_all_udf(from_bytes):
+        """One fold-merge-blobs body for every family: in-place merges
+        return None (keep the accumulator), set-algebra merges (Theta)
+        return the merged sketch."""
+        @F.pandas_udf(T.BinaryType())
+        def merge_all(lists: pd.Series) -> pd.Series:
+            out = []
+            for blobs in lists:
+                merged = None
+                for b in blobs:
+                    sk = from_bytes(bytes(b))
+                    merged = sk if merged is None else (merged.merge(sk)
+                                                        or merged)
+                out.append(None if merged is None else merged.to_bytes())
+            return pd.Series(out)
+        return merge_all
+
+    hll_merge_all = _merge_all_udf(HllSketch.from_bytes)
+    ddsketch_merge_all = _merge_all_udf(DDSketch.from_bytes)
+    theta_merge_all = _merge_all_udf(ThetaSketch.from_bytes)
+    mg_merge_all = _merge_all_udf(MisraGriesSketch.from_bytes)
+
     @F.pandas_udf(T.LongType())
     def hll_estimate(blobs: pd.Series) -> pd.Series:
         return pd.Series([None if b is None else HllSketch.from_bytes(bytes(b)).count()
                           for b in blobs])
-
-    @F.pandas_udf(T.BinaryType())
-    def hll_merge_all(lists: pd.Series) -> pd.Series:
-        out = []
-        for blobs in lists:
-            merged = None
-            for b in blobs:
-                sk = HllSketch.from_bytes(bytes(b))
-                if merged is None:
-                    merged = sk
-                else:
-                    merged.merge(sk)
-            out.append(None if merged is None else merged.to_bytes())
-        return pd.Series(out)
 
     @F.pandas_udf(T.LongType())
     def hll_count_additions(blobs: pd.Series) -> pd.Series:
@@ -88,36 +96,11 @@ def register_sql_functions(spark: SparkSession) -> None:
                           float(DDSketch.from_bytes(bytes(b)).quantile(float(q)))
                           for b, q in zip(blobs, qs)])
 
-    @F.pandas_udf(T.BinaryType())
-    def ddsketch_merge_all(lists: pd.Series) -> pd.Series:
-        out = []
-        for blobs in lists:
-            merged = None
-            for b in blobs:
-                sk = DDSketch.from_bytes(bytes(b))
-                if merged is None:
-                    merged = sk
-                else:
-                    merged.merge(sk)
-            out.append(None if merged is None else merged.to_bytes())
-        return pd.Series(out)
-
     @F.pandas_udf(T.LongType())
     def theta_estimate(blobs: pd.Series) -> pd.Series:
         return pd.Series([None if b is None else
                           ThetaSketch.from_bytes(bytes(b)).count()
                           for b in blobs])
-
-    @F.pandas_udf(T.BinaryType())
-    def theta_merge_all(lists: pd.Series) -> pd.Series:
-        out = []
-        for blobs in lists:
-            merged = None
-            for b in blobs:
-                sk = ThetaSketch.from_bytes(bytes(b))
-                merged = sk if merged is None else merged.merge(sk)
-            out.append(None if merged is None else merged.to_bytes())
-        return pd.Series(out)
 
     @F.pandas_udf(T.LongType())
     def theta_intersect_estimate(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -134,20 +117,6 @@ def register_sql_functions(spark: SparkSession) -> None:
             ThetaSketch.from_bytes(bytes(x)).a_not_b_count(
                 ThetaSketch.from_bytes(bytes(y)))[0]
             for x, y in zip(a, b)])
-
-    @F.pandas_udf(T.BinaryType())
-    def mg_merge_all(lists: pd.Series) -> pd.Series:
-        out = []
-        for blobs in lists:
-            merged = None
-            for b in blobs:
-                sk = MisraGriesSketch.from_bytes(bytes(b))
-                if merged is None:
-                    merged = sk
-                else:
-                    merged.merge(sk)
-            out.append(None if merged is None else merged.to_bytes())
-        return pd.Series(out)
 
     @F.pandas_udf(T.LongType())
     def mg_point_estimate(blobs: pd.Series, hashes: pd.Series) -> pd.Series:

@@ -71,16 +71,21 @@ class TestBatchSessions:
         collapses every user to one session."""
         from sketchlib.spark.sessions import _epoch_us
 
+        # the pre-epoch fractional rows pin the second trap: toward-zero
+        # interval truncation + a positive sub-second fraction would give
+        # +500000 instead of -500000 for 1969-12-31 23:59:59.5
+        samples = ("2026-01-01 00:00:01.500001", "1999-12-31 23:59:59.999999",
+                   "1969-12-31 23:59:59.500000", "1969-12-31 00:00:00.250000",
+                   "1970-01-01 00:00:00.000000")
         df = spark.createDataFrame(
-            [("2026-01-01 00:00:01.500001",), ("1999-12-31 23:59:59.999999",)],
+            [(s,) for s in samples],
             "s string").select(F.col("s").cast("timestamp_ntz").alias("ts"))
         got = sorted(r[0] for r in df.select(_epoch_us(df, "ts")).collect())
         def us(s):  # integer arithmetic: float total_seconds() loses µs
             td = dt.datetime.fromisoformat(s) - dt.datetime(1970, 1, 1)
             return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
 
-        want = sorted(us(s) for s in ("2026-01-01 00:00:01.500001",
-                                      "1999-12-31 23:59:59.999999"))
+        want = sorted(us(s) for s in samples)
         assert got == want
 
     def test_null_rows_dropped(self, spark):
