@@ -133,7 +133,12 @@ def strip_boilerplate(df: DataFrame, frequent_hashes,
                 **{out_col: out},
                 n_lines=lens, n_removed=n_removed)
 
-    lines_c = F.split(F.col(text_col), "\n")
+    # NULL text coalesces to zero lines (the kernel's len(x) would
+    # TypeError on a Python None): such a doc strips to "" with
+    # n_lines = n_removed = 0, mirroring frequent_line_hashes which
+    # silently skips NULL rows in the counting pass
+    lines_c = F.coalesce(F.split(F.col(text_col), "\n"),
+                         F.array().cast("array<string>"))
     return (df.withColumn(lcol, lines_c)
             .withColumn(hcol, F.transform(F.col(lcol), line_hash_expr))
             .mapInPandas(kernel, schema=out_schema))

@@ -144,7 +144,13 @@ def shared_chunk_pairs(df: DataFrame, text_col: str = "text",
     near-dup detection robust to insertions (unlike whole-doc
     fingerprints).  Chunk buckets larger than ``max_bucket`` are dropped
     whole (boilerplate chunks; the explosion guard of the banding joins)."""
-    fp = chunk_fingerprints(df, text_col, id_col, avg_size)
+    # fp fans out three ways (sizes feeds two joins, exploded the buckets);
+    # unpersisted, the plan re-executes the full-corpus gear-hash+murmur3
+    # mapInArrow subtree once per copy — the same pathology minhash and
+    # jaccard document and persist against
+    from pyspark import StorageLevel
+    fp = (chunk_fingerprints(df, text_col, id_col, avg_size)
+          .persist(StorageLevel.MEMORY_AND_DISK))
     sizes = fp.select(F.col(id_col),
                       F.size(F.array_distinct("chunks")).alias("__n"))
     exploded = fp.select(

@@ -63,14 +63,15 @@ def hashed_ngram_features(text_col: Column | str, n: int = 2,
     :func:`~sketchlib.text.decontaminate.ngram_hashes_from_tokens`
     fallback), so every non-null doc has >= 1 feature."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
-    # let-bind the token array (see ngram_hashes_from_tokens: Catalyst
-    # does not CSE inside lambda bodies)
-    toks = tokens_col(col)
-    grams = ngram_hashes_from_tokens(toks, n)
-    if buckets is not None:
-        if buckets < 1:
-            raise ValueError("buckets must be positive")
-        grams = F.transform(grams, lambda h: F.pmod(h, F.lit(buckets)))
+    if buckets is not None and buckets < 1:
+        raise ValueError("buckets must be positive")
+    # let-bind the token array through a one-element transform so the
+    # split is evaluated once (ngram_hashes_from_tokens requires a bound
+    # token column), and derive the grams through the SAME helper the
+    # fit/score internals use — one derivation, no drift
+    grams = F.transform(
+        F.array(tokens_col(col)),
+        lambda t: _grams_of_bound_tokens(t, n, buckets))[0]
     # null text -> empty feature array (xxhash64 would otherwise hash the
     # null token array to its seed and fabricate one phantom gram)
     return F.when(col.isNotNull(), grams).otherwise(

@@ -182,9 +182,13 @@ def score_docs(df: DataFrame, lm: UnigramLM,
                 n_oov=co[ends] - co[starts],
                 sum_logp_milli=cs[ends] - cs[starts])
 
-    # tokens are hashed INSIDE the JVM: only int64 arrays cross to Python
-    toks_hashed = F.transform(tokens_col(F.col(text_col)),
-                              lambda t: F.xxhash64(t))
+    # tokens are hashed INSIDE the JVM: only int64 arrays cross to Python.
+    # NULL text coalesces to an empty array here (the kernel's len(t) would
+    # TypeError on a Python None): a NULL doc scores 0 tokens / 0 logp,
+    # matching the other scrub operators' null handling
+    toks_hashed = F.coalesce(
+        F.transform(tokens_col(F.col(text_col)), lambda t: F.xxhash64(t)),
+        F.array().cast("array<long>"))
     proj = df.withColumn(tcol, toks_hashed)
     if not keep_text:
         # drop the text BEFORE mapInPandas so it never crosses to Python

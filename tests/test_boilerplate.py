@@ -91,3 +91,18 @@ def test_partition_independent(spark, docs_df):
     b = sorted((r.doc_id, r.clean_text) for r in
                strip_boilerplate(docs_df.repartition(5), fh).collect())
     assert a == b
+
+
+def test_strip_null_text_yields_empty(spark):
+    """A mixed-null corpus passes the counting pass (which skips nulls) —
+    the strip pass must not TypeError on the NULL row."""
+    from sketchlib.text.boilerplate import remove_boilerplate
+
+    df = spark.createDataFrame(
+        [(1, "keep\nfooter"), (2, "other\nfooter"), (3, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate(df, min_count=2).collect()}
+    assert out[3]["clean_text"] == ""
+    assert out[3]["n_lines"] == 0 and out[3]["n_removed"] == 0
+    assert "footer" not in out[1]["clean_text"]

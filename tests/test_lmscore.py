@@ -121,3 +121,15 @@ def test_score_plan_is_map_only(spark, docs_df):
     plan = (score_docs(docs_df, lm)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_score_null_text_yields_zero_tokens(spark, docs_df):
+    """NULL text must score as an empty doc (0 tokens / 0 logp), not
+    TypeError the whole kernel — clean_corpus feeds score_docs an
+    unfiltered frame."""
+    lm = train_unigram_lm(docs_df, vocab_size=50)
+    withnull = docs_df.union(
+        spark.createDataFrame([(999, None)], docs_df.schema))
+    rows = {r["doc_id"]: r for r in score_docs(withnull, lm).collect()}
+    assert rows[999]["n_tokens"] == 0
+    assert rows[999]["sum_logp_milli"] == 0
