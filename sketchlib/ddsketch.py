@@ -67,8 +67,11 @@ class DDSketch:
                  max_buckets: int = DEFAULT_MAX_BUCKETS) -> None:
         if not 0.0 < alpha < 1.0:
             raise ValueError(f"alpha must be in (0, 1), got {alpha}")
-        if min_positive <= 0.0:
-            raise ValueError("min_positive must be > 0")
+        # the strict form rejects NaN too ("NaN <= 0.0" is False, so the old
+        # "<= 0.0" guard let NaN through — including from the wire — yielding
+        # a sketch that can never merge (NaN != NaN in the compat tuple))
+        if not (min_positive > 0.0 and math.isfinite(min_positive)):
+            raise ValueError("min_positive must be finite and > 0")
         self.alpha = float(alpha)
         self.gamma = (1.0 + alpha) / (1.0 - alpha)
         self._log_gamma = math.log(self.gamma)
@@ -98,7 +101,10 @@ class DDSketch:
         count_additions disagrees with the bucket totals and the
         re-serialized blob fails its own consistency check)."""
         v = np.asarray(values, dtype=np.float64)
-        v = v[~np.isnan(v)]
+        # skip NaN *and* ±inf: log(inf) would otherwise overflow the int64
+        # bucket index (np.ceil(inf).astype(int64) wraps to INT64_MIN) and
+        # silently corrupt every quantile
+        v = v[np.isfinite(v)]
         if v.shape[0] == 0:
             return
         mag = np.abs(v)
@@ -129,13 +135,15 @@ class DDSketch:
             raise ValueError("cannot merge DDSketches with different "
                              "(alpha, min_positive)")
         # the permissive cap wins so merge order can't affect whether a
-        # legal union of buckets is accepted
-        self.max_buckets = max(self.max_buckets, other.max_buckets)
-        # cap check before mutation (same no-partial-state rule as add_values)
+        # legal union of buckets is accepted; keep it in a local until every
+        # check passes (no-partial-state rule — a raising merge must not
+        # loosen the overflow guard)
+        cap = max(self.max_buckets, other.max_buckets)
         for store, ostore in ((self.pos, other.pos), (self.neg, other.neg)):
             grown = len(store) + sum(1 for i in ostore if i not in store)
-            if grown > self.max_buckets:
+            if grown > cap:
                 raise ValueError("merged DDSketch exceeded max_buckets")
+        self.max_buckets = cap
         for store, ostore in ((self.pos, other.pos), (self.neg, other.neg)):
             for i, c in ostore.items():
                 store[i] = store.get(i, 0) + c

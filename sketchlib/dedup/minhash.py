@@ -350,6 +350,8 @@ def near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
                  .withColumnRenamed("shingles", "sh_b"), "id_b"))
     jac = (F.size(F.array_intersect("sh_a", "sh_b"))
            / F.size(F.array_union("sh_a", "sh_b")))
-    return (j.withColumn("jaccard", jac)
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    from ..spark.cacheutil import tag_intermediates
+    out = (j.withColumn("jaccard", jac)
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    return tag_intermediates(out, pairs)

@@ -134,8 +134,10 @@ class MisraGriesSketch:
             if np.any(w < 0):
                 raise ValueError("weights must be non-negative")
             uniq, inv = np.unique(h, return_inverse=True)
-            cnt = np.bincount(inv, weights=w.astype(np.float64),
-                              minlength=uniq.shape[0]).astype(np.int64)
+            # integer accumulation: float64 bincount loses exactness above
+            # 2^53 per key, which would break the certified lower bound
+            cnt = np.zeros(uniq.shape[0], dtype=np.int64)
+            np.add.at(cnt, inv, w)
             pos = cnt > 0
             uniq, cnt = uniq[pos], cnt[pos]
             self.count_additions += int(w.sum())

@@ -166,9 +166,13 @@ def shared_chunk_pairs(df: DataFrame, text_col: str = "text",
              .groupBy("id_a", "id_b")
              .agg(F.count(F.lit(1)).alias("shared_chunks"))
              .filter(F.col("shared_chunks") >= min_shared))
-    return (pairs
-            .join(sizes.select(F.col(id_col).alias("id_a"),
-                               F.col("__n").alias("chunks_a")), "id_a")
-            .join(sizes.select(F.col(id_col).alias("id_b"),
-                               F.col("__n").alias("chunks_b")), "id_b")
-            .select("id_a", "id_b", "shared_chunks", "chunks_a", "chunks_b"))
+    from ..spark.cacheutil import tag_intermediates
+    out = (pairs
+           .join(sizes.select(F.col(id_col).alias("id_a"),
+                              F.col("__n").alias("chunks_a")), "id_a")
+           .join(sizes.select(F.col(id_col).alias("id_b"),
+                              F.col("__n").alias("chunks_b")), "id_b")
+           .select("id_a", "id_b", "shared_chunks", "chunks_a", "chunks_b"))
+    # release with spark.cacheutil.unpersist_intermediates(out) after the
+    # terminal action; otherwise repeated calls accumulate cached blocks
+    return tag_intermediates(out, fp)

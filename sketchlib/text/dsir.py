@@ -105,11 +105,17 @@ def _count_features(df: DataFrame, text_col: str, n: int,
              .select(F.explode(
                  _grams_of_bound_tokens(F.col("__t"), n, buckets))
                  .alias("f")))
-    rows = feats.groupBy("f").agg(F.count(F.lit(1)).alias("c")).collect()
+    # collect THROUGH a limit so the bound is enforced executor-side: on an
+    # unbucketed web corpus the distinct-gram domain is billions of rows,
+    # and a bare .collect() would OOM the driver before any guard could
+    # fire.  LocalLimit caps each partition at MAX_FEATURES+1 rows, so the
+    # driver never materializes more than MAX_FEATURES+1 total.
+    rows = (feats.groupBy("f").agg(F.count(F.lit(1)).alias("c"))
+            .limit(MAX_FEATURES + 1).collect())
     if len(rows) > MAX_FEATURES:
         raise ValueError(
-            f"{len(rows)} distinct features exceed MAX_FEATURES="
-            f"{MAX_FEATURES}; use bucket mode (buckets=...)")
+            f"more than MAX_FEATURES={MAX_FEATURES} distinct features; "
+            "use bucket mode (buckets=...)")
     return {r["f"]: r["c"] for r in rows}
 
 

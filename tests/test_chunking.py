@@ -69,10 +69,18 @@ def test_edit_locality_and_shared_pairs(spark):
     assert overlap > 0.7, overlap
     # unrelated text shares (essentially) nothing
     assert len(fp[0] & fp[2]) <= 1
+    res = shared_chunk_pairs(df, avg_size=64, min_shared=2)
     pairs = {(r["id_a"], r["id_b"]): r["shared_chunks"] for r in
-             shared_chunk_pairs(df, avg_size=64, min_shared=2).collect()}
+             res.collect()}
     assert (0, 1) in pairs and (0, 3) in pairs and (1, 3) in pairs
     assert not any({a, b} == {0, 2} for a, b in pairs)
+    # the persisted fingerprint intermediate is tagged onto the result and
+    # releasable — repeated calls must not leak cached blocks for the
+    # session lifetime
+    from sketchlib.spark.cacheutil import unpersist_intermediates
+    assert unpersist_intermediates(res) == 1
+    assert unpersist_intermediates(res) == 0  # idempotent
+    assert unpersist_intermediates(df) == 0   # safe on untagged frames
 
 
 def test_empty_and_null_text(spark):

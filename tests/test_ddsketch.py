@@ -122,6 +122,39 @@ class TestDDSketch:
         assert sk.count_additions == 1
         assert sk.quantile(0.5) == pytest.approx(5.0, rel=0.02)
 
+    def test_inf_skipped(self):
+        # +inf must not wrap to INT64_MIN (the smallest positive bucket)
+        # and corrupt every quantile; it is skipped exactly like NaN
+        sk = DDSketch()
+        sk.add_values(np.array([np.inf, 5.0, -np.inf, 7.0]))
+        assert sk.count_additions == 2
+        assert sk.quantile(0.0) == pytest.approx(5.0, rel=0.02)
+        assert sk.quantile(1.0) == pytest.approx(7.0, rel=0.02)
+
+    def test_failed_merge_leaves_cap_unchanged(self):
+        a = DDSketch(max_buckets=2)
+        a.add_values(np.array([1.0, 10.0]))
+        b = DDSketch(max_buckets=3)
+        b.add_values(np.array([100.0, 1000.0, 1e4]))
+        # union is 5 buckets > the permissive cap of 3 -> must raise
+        with pytest.raises(ValueError):
+            a.merge(b)
+        # a raising merge must not loosen a's overflow guard
+        assert a.max_buckets == 2
+        assert len(a.pos) == 2 and a.count_additions == 2
+        with pytest.raises(ValueError):
+            a.add_values(np.array([100.0]))
+
+    def test_wire_rejects_nonfinite_min_positive(self):
+        import struct as _s
+        sk = DDSketch()
+        sk.add_values(np.array([3.0]))
+        blob = bytearray(sk.to_bytes())
+        for bad in (float("nan"), float("inf")):
+            _s.pack_into("<d", blob, 2 + 10, bad)  # min_positive field
+            with pytest.raises(ValueError):
+                DDSketch.from_bytes(bytes(blob))
+
     def test_bucket_count_bounded_by_range_not_size(self):
         rng = np.random.default_rng(3)
         sk = DDSketch(alpha=0.01)

@@ -120,6 +120,18 @@ def test_validation(spark, docs_df):
         dsir_scores(clash, model)
 
 
+def test_exact_mode_feature_bound_enforced_before_collect(
+        spark, docs_df, monkeypatch):
+    """With MAX_FEATURES shrunk below the corpus's distinct-gram count,
+    exact mode must raise the use-bucket-mode error — and the plan must
+    bound what reaches the driver (collect runs THROUGH a limit, so a
+    100 TB corpus can't OOM the driver before the guard fires)."""
+    import sketchlib.text.dsir as dsir_mod
+    monkeypatch.setattr(dsir_mod, "MAX_FEATURES", 3)
+    with pytest.raises(ValueError, match="bucket mode"):
+        fit_dsir(docs_df, docs_df, n=2, buckets=None)
+
+
 def test_null_text_scores_zero(spark):
     df = spark.createDataFrame([(0, "a b c"), (1, None)],
                                "doc_id long, text string")

@@ -74,6 +74,18 @@ class TestCore:
         with pytest.raises(ValueError):
             sk.add_hashes(keys, weights=-w)
 
+    def test_weights_exact_above_float53(self):
+        # float64 bincount would round per-key totals above 2^53 and could
+        # OVERcount, violating the certified-lower-bound guarantee;
+        # integer accumulation must stay exact
+        keys = _rand_hashes(2, 11)
+        big = (1 << 53) + 1
+        sk = MisraGriesSketch(k=8)
+        sk.add_hashes(np.array([keys[0], keys[0], keys[1]]),
+                      weights=np.array([big, 1, 5], dtype=np.int64))
+        assert sk.estimate_hashes(keys).tolist() == [big + 1, 5]
+        assert sk.count_additions == big + 6
+
     def test_estimate_absent_key_is_zero(self):
         sk = MisraGriesSketch(k=4)
         sk.add_hashes(_rand_hashes(100, 8))
