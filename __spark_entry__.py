@@ -157,6 +157,7 @@ def q_cms_top_suppliers_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
+    from sketchlib.cms import CountMinSketch
     from sketchlib.spark.heavy_hitters import estimate_counts
     from sketchlib.spark.specs import CmsSpec
     from sketchlib.spark.aggregate import sketch_agg
@@ -165,7 +166,8 @@ def q_cms_top_suppliers_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = CmsSpec(width=1 << 12, depth=5)
     [cms_row] = sketch_agg(li, "l_suppkey", (), spec).collect()
     blob = bytes(cms_row["sketch"])
-    n = li.count()
+    # total adds ride in the sketch header — no second table scan for n
+    n = CountMinSketch.from_bytes(blob).count_additions
     margin = 3 * (math.e / (1 << 12)) * n
 
     exact = li.groupBy("l_suppkey").agg(F.count("*").alias("exact_count"))
@@ -220,7 +222,7 @@ def q_mg_top_suppliers_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     [row] = sketch_agg(li, "l_suppkey", (), spec).collect()
     blob = bytes(row["sketch"])
     sk = MisraGriesSketch.from_bytes(blob)
-    n = li.count()
+    n = sk.count_additions  # rides in the blob — no second table scan
     if not sk.total_decrement <= n / (spec.k + 1):
         raise AssertionError("Misra-Gries global decrement bound violated")
 
@@ -618,16 +620,12 @@ def q_lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup audit: total docs, survivors, and the checksum of kept ids
-    (min doc_id per normalized-text group — fully deterministic)."""
-    from sketchlib.dedup import dedup_exact
+    (min doc_id per normalized-text group — fully deterministic).  Single
+    scan: sketchlib.dedup.dedup_summary folds the total into the same
+    fingerprint groupBy instead of a separate docs.count() pass."""
+    from sketchlib.dedup import dedup_summary
 
-    docs = _read(spark, sf_dir, "documents")
-    kept = dedup_exact(docs)
-    total = docs.count()
-    return kept.agg(
-        F.lit(total).cast("long").alias("n_docs"),
-        F.count("*").alias("n_kept"),
-        F.sum("doc_id").alias("id_checksum"))
+    return dedup_summary(_read(spark, sf_dir, "documents"))
 
 
 def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -782,15 +780,21 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = shared_chunk_pairs(both, avg_size=64, min_shared=1)
     self_pairs = (pairs.filter(F.col("id_b") - F.col("id_a") == shift)
                   .select("id_a", "shared_chunks", "chunks_a", "chunks_b"))
-    n_docs = docs.count()
-    n_found = self_pairs.count()
-    n_full = self_pairs.filter(
-        (F.col("shared_chunks") == F.col("chunks_a"))
-        & (F.col("chunks_a") == F.col("chunks_b"))).count()
+    # one aggregate over the pair table (count + count_if share the scan),
+    # n_docs from the fingerprint collect below — no bare .count() passes
+    full = ((F.col("shared_chunks") == F.col("chunks_a"))
+            & (F.col("chunks_a") == F.col("chunks_b")))
+    [prow] = self_pairs.agg(
+        F.count("*").alias("nf"),
+        F.count_if(full).alias("nfull")).collect()
+    n_found, n_full = prow["nf"], prow["nfull"]
+    from sketchlib.spark.cacheutil import unpersist_intermediates
+    unpersist_intermediates(pairs)  # the tag lives on shared_chunk_pairs' result
     a = {r["doc_id"]: r["chunks"] for r in
          chunk_fingerprints(docs, avg_size=64).collect()}
     b = {r["doc_id"]: r["chunks"] for r in
          chunk_fingerprints(docs.repartition(13), avg_size=64).collect()}
+    n_docs = len(a)
     return spark.createDataFrame(
         [(int(n_docs), bool(n_found == n_docs), bool(n_full == n_docs),
           bool(a == b))],
@@ -1593,16 +1597,15 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketchlib.similarity.pq import adc_topk, pq_encode, train_codebooks
 
     emb = _read(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    n = emb.count()
     cents = train_centroids(emb, n_clusters=8, sample_rows=2000, seed=7)
     cb = train_codebooks(emb, m=8, ksub=16, sample_rows=2000, seed=7)
     indexed = pq_encode(ivf_assign(emb, cents), cb)
     qrows = emb.filter(F.col("vec_id").isin([0, 7, 21])).collect()
     queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
     # full probe: every cluster is a candidate source (nprobe == n_clusters
-    # is implicit here because ADC scans the whole code table); rerank == n
-    # makes the candidate set exhaustive, so rerank output == exact top-5
-    res = adc_topk(indexed, queries, cb, k=5, rerank=int(n))
+    # is implicit here because ADC scans the whole code table); rerank=-1
+    # makes the candidate set exhaustive — exact top-5 with no table count
+    res = adc_topk(indexed, queries, cb, k=5, rerank=-1)
     return res.select("query_id", "vec_id",
                       F.col("rnk").cast("int").alias("rnk"))
 
@@ -2238,7 +2241,70 @@ def _join_discovery_oracle() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Gate registry.  ORDER MATTERS: the driver's DuckDB oracle checks the
+    FIRST 50 entries, so the window rotates each round — gates with no hard
+    CORRECTNESS row yet (the r3 additions, registry tail last round) come
+    first, then gates whose code changed this round; long-stable gates
+    (green in both r02 and r03, unchanged since) rotate to the tail."""
     return {
+        # -- never driver-checked (r3 additions at old positions 51-82) ----
+        "pii_redaction": q_pii_redaction,
+        "span_dedup": q_span_dedup,
+        "incremental_dedup": q_incremental_dedup,
+        "vocab_growth": q_vocab_growth,
+        "weighted_sample": q_weighted_sample,
+        "tfidf_keywords": q_tfidf_keywords,
+        "dsir_selection": q_dsir_selection,
+        "blocklist_filter": q_blocklist_filter,
+        "lm_quality_score": q_lm_quality_score,
+        "boilerplate_removal": q_boilerplate_removal,
+        "sequence_packing": q_sequence_packing,
+        "semantic_dedup": q_semantic_dedup,
+        "pq_adc_topk": q_pq_adc_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
+        "session_stats": q_session_stats,
+        "ams_f2_bound": q_ams_f2_bound,
+        "fd_covariance_bound": q_fd_covariance_bound,
+        "cms_join_size_bound": q_cms_join_size_bound,
+        "column_profile": q_column_profile,
+        "join_discovery": q_join_discovery,
+        # -- r02-green but stale (unchecked in r03) ------------------------
+        "media_features": q_media_features,
+        "extract_text_parity": q_extract_text_parity,
+        "url_normalize_keys": q_url_normalize_keys,
+        "accuracy_audit_sampled": q_accuracy_audit_sampled,
+        "hll_rollup_bound": q_hll_rollup_bound,
+        "sql_hll_distinct": q_sql_hll_distinct,
+        "hll_rolling_distinct_bound": q_hll_rolling_distinct_bound,
+        "corpus_manifest": q_corpus_manifest,
+        "hll_prehash_distinct_exact": q_hll_prehash_distinct_exact,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        # -- code touched in round 4 (needs a fresh hard row) --------------
+        "dedup_exact_summary": q_dedup_exact_summary,
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
+        "cms_top_suppliers_bound": q_cms_top_suppliers_bound,
+        "mg_exact_counts_suppliers": q_mg_exact_counts_suppliers,
+        "mg_top_suppliers_bound": q_mg_top_suppliers_bound,
+        "streaming_mg_counts": q_streaming_mg_counts,
+        "ddsketch_price_quantiles": q_ddsketch_price_quantiles,
+        "streaming_ddsketch_median": q_streaming_ddsketch_median,
+        "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+        "minhash_oph_near_dup_pairs": q_minhash_oph_near_dup_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "repetition_stats": q_repetition_stats,
+        # -- remaining window slots: round-4 additions land here -----------
+        "dedup_clusters": q_dedup_clusters,
+        "per_source_cap": q_per_source_cap,
+        "decontamination": q_decontamination,
+        "gopher_quality": q_gopher_quality,
+        "hash_split_stable": q_hash_split_stable,
+        "source_mixing": q_source_mixing,
+        # ---- position 51+: stable two-rounds-green gates, unchanged code -
+        "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
+        "text_stats": q_text_stats,
+        "lang_id_distribution": q_lang_id_distribution,
         "hll_distinct_suppliers_per_order": q_hll_distinct_suppliers_per_order,
         "hll_distinct_custkeys_bound": q_hll_distinct_custkeys_bound,
         "hll_distinct_orders_dense_bound": q_hll_distinct_orders_dense_bound,
@@ -2254,9 +2320,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_checkpointed_users": q_hll_checkpointed_users,
         "bloom_membership": q_bloom_membership,
         "bloom_distinct_custkeys_bound": q_bloom_distinct_custkeys_bound,
-        "cms_top_suppliers_bound": q_cms_top_suppliers_bound,
-        "mg_exact_counts_suppliers": q_mg_exact_counts_suppliers,
-        "mg_top_suppliers_bound": q_mg_top_suppliers_bound,
         "cms_heavy_hitters_suppliers": q_cms_heavy_hitters_suppliers,
         "cms_weighted_top_suppliers": q_cms_weighted_top_suppliers,
         "hll_intersection_bound": q_hll_intersection_bound,
@@ -2264,63 +2327,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_retention_matrix": q_theta_retention_matrix,
         "tdigest_event_value_quantiles": q_tdigest_event_value_quantiles,
         "kll_price_quantiles": q_kll_price_quantiles,
-        "ddsketch_price_quantiles": q_ddsketch_price_quantiles,
         "tdigest_doc_length_quantiles": q_tdigest_doc_length_quantiles,
-        "text_stats": q_text_stats,
-        "lang_id_distribution": q_lang_id_distribution,
-        "dedup_exact_summary": q_dedup_exact_summary,
-        "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
-        "minhash_oph_near_dup_pairs": q_minhash_oph_near_dup_pairs,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "per_source_cap": q_per_source_cap,
-        "decontamination": q_decontamination,
-        "gopher_quality": q_gopher_quality,
-        "repetition_stats": q_repetition_stats,
-        "hash_split_stable": q_hash_split_stable,
-        "source_mixing": q_source_mixing,
-        "cdc_chunk_dedup": q_cdc_chunk_dedup,
-        "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "streaming_distinct_users": q_streaming_distinct_users,
         "streaming_theta_distinct": q_streaming_theta_distinct,
         "streaming_tdigest_median": q_streaming_tdigest_median,
         "streaming_kll_median": q_streaming_kll_median,
-        "streaming_ddsketch_median": q_streaming_ddsketch_median,
         "streaming_cms_point_counts": q_streaming_cms_point_counts,
-        "streaming_mg_counts": q_streaming_mg_counts,
         "streaming_dedup_events": q_streaming_dedup_events,
-        "media_features": q_media_features,
-        "extract_text_parity": q_extract_text_parity,
-        "url_normalize_keys": q_url_normalize_keys,
-        "pii_redaction": q_pii_redaction,
-        "span_dedup": q_span_dedup,
-        "incremental_dedup": q_incremental_dedup,
-        "vocab_growth": q_vocab_growth,
-        "weighted_sample": q_weighted_sample,
-        "tfidf_keywords": q_tfidf_keywords,
-        "dsir_selection": q_dsir_selection,
-        "blocklist_filter": q_blocklist_filter,
-        "lm_quality_score": q_lm_quality_score,
-        "boilerplate_removal": q_boilerplate_removal,
-        "sequence_packing": q_sequence_packing,
-        "accuracy_audit_sampled": q_accuracy_audit_sampled,
-        "hll_rollup_bound": q_hll_rollup_bound,
-        "sql_hll_distinct": q_sql_hll_distinct,
-        "hll_rolling_distinct_bound": q_hll_rolling_distinct_bound,
-        "corpus_manifest": q_corpus_manifest,
-        "hll_prehash_distinct_exact": q_hll_prehash_distinct_exact,
-        "embedding_near_dup": q_embedding_near_dup,
-        "semantic_dedup": q_semantic_dedup,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ivf_ann_topk": q_ivf_ann_topk,
-        "pq_adc_topk": q_pq_adc_topk,
-        "ivf_pq_topk": q_ivf_pq_topk,
-        "session_stats": q_session_stats,
-        "ams_f2_bound": q_ams_f2_bound,
-        "fd_covariance_bound": q_fd_covariance_bound,
-        "cms_join_size_bound": q_cms_join_size_bound,
-        "column_profile": q_column_profile,
-        "join_discovery": q_join_discovery,
     }
 
 

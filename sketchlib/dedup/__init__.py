@@ -8,7 +8,7 @@ from .clusters import (  # noqa: F401
     connected_components,
     dedup_near_keep,
 )
-from .exact import dedup_exact, duplicate_groups  # noqa: F401
+from .exact import dedup_exact, dedup_summary, duplicate_groups  # noqa: F401
 from .incremental import drop_seen, seen_bloom  # noqa: F401
 from .jaccard import ngram_jaccard_pairs  # noqa: F401
 from .minhash import (  # noqa: F401

@@ -25,6 +25,26 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .filter(F.col("__rn") == 1).drop("__rn"))
 
 
+def dedup_summary(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """One-row dedup audit ``(n_docs, n_kept, id_checksum)`` in a SINGLE
+    scan: total rows, surviving groups, and the checksum of kept ids (min
+    id per normalized-text group — the same survivor rule as
+    :func:`dedup_exact`).
+
+    Scale shape: one partial-aggregable groupBy on the 8-byte fingerprint
+    (count + min combine map-side), then a global fold of the tiny group
+    table — no window sort, and no separate ``df.count()`` scan (at 100 TB
+    that second scan is a full extra pass over the corpus)."""
+    key: Column = fingerprint_key(F.col(text_col))
+    groups = df.groupBy(key.alias("__fp")).agg(
+        F.count("*").alias("__c"), F.min(id_col).alias("__m"))
+    return groups.agg(
+        F.sum("__c").alias("n_docs"),
+        F.count("*").alias("n_kept"),
+        F.sum("__m").alias("id_checksum"))
+
+
 def duplicate_groups(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Histogram of duplicate-group sizes: (group_size, n_groups) — the

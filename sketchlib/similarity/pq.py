@@ -193,7 +193,9 @@ def adc_topk(encoded: DataFrame, queries: list[tuple], codebooks: np.ndarray,
     asc) per query.  With ``rerank > 0`` the top-``rerank`` ADC candidates
     are re-scored with exact cosine against ``rerank_df`` (default: the
     ``encoded`` frame's ``vec_col``) and the output is the exact top-k of
-    the candidates: ``(query_id, vec_id, cosine, rnk)``."""
+    the candidates: ``(query_id, vec_id, cosine, rnk)``.  ``rerank = -1``
+    reranks EVERY row (provably-exact mode) without the caller having to
+    know — or count() — the table size."""
     cb = np.ascontiguousarray(np.asarray(codebooks, dtype=np.float64))
     m, ksub, dsub = cb.shape
     qids = [int(q) for q, _ in queries]
@@ -205,7 +207,10 @@ def adc_topk(encoded: DataFrame, queries: list[tuple], codebooks: np.ndarray,
     diff = qmat.reshape(len(qids), m, 1, dsub) - cb[None, :, :, :]
     luts = (diff * diff).sum(axis=3)  # (nq, m, ksub)
 
-    fetch = max(k, rerank)
+    if rerank < -1:
+        raise ValueError(f"rerank must be >= -1, got {rerank}")
+    # rerank == -1: exhaustive — no per-partition cut, every row survives
+    fetch = None if rerank == -1 else max(k, rerank)
     schema = T.StructType([
         T.StructField("query_id", T.LongType()),
         T.StructField(id_col, encoded.schema[id_col].dataType),
@@ -227,7 +232,8 @@ def adc_topk(encoded: DataFrame, queries: list[tuple], codebooks: np.ndarray,
             for j in range(m):
                 dists += luts[:, j, :][:, codes[:, j]]
             out = []
-            top = min(fetch, codes.shape[0])
+            top = (codes.shape[0] if fetch is None
+                   else min(fetch, codes.shape[0]))
             for qi, qid in enumerate(qids):
                 col = dists[qi]
                 # keep EVERY row tied at the cut distance: argpartition alone
@@ -241,12 +247,16 @@ def adc_topk(encoded: DataFrame, queries: list[tuple], codebooks: np.ndarray,
 
     local = encoded.select(id_col, code_col).mapInPandas(scan, schema)
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc(id_col))
-    ranked = (local.withColumn("rnk", F.row_number().over(w))
-              .filter(F.col("rnk") <= fetch))
-    if rerank <= 0:
-        return ranked.filter(F.col("rnk") <= k)
+    if rerank == 0:
+        return (local.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= k))
     source = rerank_df if rerank_df is not None else encoded
-    cand_ids = ranked.select(id_col).distinct()
+    if fetch is None:  # exhaustive: candidates = every scanned id
+        cand_ids = local.select(id_col).distinct()
+    else:
+        ranked = (local.withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= fetch))
+        cand_ids = ranked.select(id_col).distinct()
     cand = (source.select(id_col, vec_col)
             .join(F.broadcast(cand_ids), id_col, "semi"))
     from .search import cosine_topk

@@ -105,6 +105,20 @@ class TestDedup:
         hist = {r["group_size"]: r["n_groups"] for r in duplicate_groups(docs_df).collect()}
         assert hist[2] == 1 and hist[1] == docs_df.count() - 2
 
+    def test_dedup_summary_single_scan_matches_dedup_exact(self, spark,
+                                                           docs_df):
+        from sketchlib.dedup import dedup_exact, dedup_summary
+
+        kept = dedup_exact(docs_df).select("doc_id").collect()
+        [row] = dedup_summary(docs_df).collect()
+        assert row["n_docs"] == docs_df.count()
+        assert row["n_kept"] == len(kept)
+        assert row["id_checksum"] == sum(r["doc_id"] for r in kept)
+        # single scan: exactly one parquet/LocalTableScan source in the plan
+        plan = dedup_summary(docs_df)._jdf.queryExecution().executedPlan() \
+            .toString()
+        assert plan.count("Scan") <= 2  # one source + AQE re-print slack
+
     def test_minhash_near_dup(self, spark, docs_df):
         from sketchlib.dedup import near_dup_pairs
 

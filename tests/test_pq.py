@@ -111,6 +111,21 @@ class TestAdc:
                        for r in reranked]) == \
             sorted([(r["query_id"], r["vec_id"], r["rnk"]) for r in exact])
 
+    def test_exhaustive_rerank_flag_equals_count_based(self, emb):
+        """rerank=-1 (no table count needed) == rerank=n (explicit count):
+        both must be the provably-exact top-k."""
+        cb = train_codebooks(emb, m=8, ksub=16, sample_rows=400, seed=3)
+        enc = pq_encode(emb, cb)
+        queries = self._queries(emb)
+        by_flag = adc_topk(enc, queries, cb, k=5, rerank=-1).collect()
+        by_n = adc_topk(enc, queries, cb, k=5, rerank=emb.count()).collect()
+        proj = lambda rows: sorted((r["query_id"], r["vec_id"], r["rnk"])
+                                   for r in rows)
+        assert proj(by_flag) == proj(by_n)
+        import pytest as _pt
+        with _pt.raises(ValueError, match="rerank"):
+            adc_topk(enc, queries, cb, k=5, rerank=-2)
+
     def test_ivf_pq_probed_composition(self, emb):
         """The deployed IVFADC shape: probe the query's nearest clusters,
         ADC-score only rows in probed clusters (cluster_id filter on the
