@@ -1610,6 +1610,185 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rnk").cast("int").alias("rnk"))
 
 
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (sketchlib/spark/bucketing.py): both sides
+    materialized with the same bucket count on the join key, so the
+    sort-merge join is EXCHANGE-FREE — the plan property is machine-checked
+    inside the gate (raises if any Exchange appears below the join) and
+    exported as a boolean; the join result itself is oracle-exact."""
+    import tempfile
+
+    from sketchlib.spark.bucketing import colocated_join, write_bucketed
+
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_extendedprice").cast("double").alias("price"))
+    base = tempfile.mkdtemp(prefix="bkt_gate_")
+    bo = write_bucketed(orders, "gate_bkt_orders", "o_orderkey", 8,
+                        path=os.path.join(base, "o"), sorted_by="o_orderkey")
+    bl = write_bucketed(li, "gate_bkt_li", "o_orderkey", 8,
+                        path=os.path.join(base, "l"), sorted_by="o_orderkey")
+    j = colocated_join(bl, bo, "o_orderkey")
+    j.count()  # materialize so AQE finalizes the physical plan
+    plan = (j._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    no_exchange = "Exchange" not in plan and "SortMergeJoin" in plan
+    if not no_exchange:
+        raise AssertionError("bucketed join plan was not exchange-free:\n"
+                             + plan)
+    # integer cents: double summation order differs across engines, so the
+    # oracle-safe aggregate is an exact int64 sum
+    return (j.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum(F.round(F.col("price") * 100).cast("long"))
+                  .alias("revenue_cents"))
+            .withColumn("join_exchange_free", F.lit(True)))
+
+
+def q_checkpoint_resume_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume-after-kill for SketchCheckpoint (sketchlib/spark/checkpoint.py):
+    run half the per-week units, abandon the driver object (the 'kill'), and
+    resume on the same directory — completed units must be skipped (lineage
+    has each unit exactly once) and the merged estimate must equal an
+    uninterrupted run BIT-FOR-BIT (HLL merge is associative/commutative, so
+    partial order can't matter).  Estimates are bound-checked vs exact."""
+    import tempfile
+
+    from sketchlib.spark.aggregate import HllSpec
+    from sketchlib.spark.checkpoint import SketchCheckpoint
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "week", F.date_trunc("week", "ts"))
+    weeks = sorted(str(r["week"]) for r in ev.select("week").distinct().collect())
+    src = lambda w: ev.filter(F.col("week") == w)  # noqa: E731
+
+    d_resume = tempfile.mkdtemp(prefix="ckpt_resume_")
+    half = SketchCheckpoint(d_resume, HllSpec(), ["user_id"], ["event_type"],
+                            unit_col="week")
+    half.run(spark, src, weeks[: max(1, len(weeks) // 2)])
+    # 'kill': drop the object; a fresh one on the same dir must resume
+    resumed = SketchCheckpoint(d_resume, HllSpec(), ["user_id"],
+                               ["event_type"], unit_col="week")
+    resumed.run(spark, src, weeks)
+    units_once = sorted(rec["unit"] for rec in resumed.lineage()) == weeks
+
+    control = SketchCheckpoint(tempfile.mkdtemp(prefix="ckpt_ctl_"),
+                               HllSpec(), ["user_id"], ["event_type"],
+                               unit_col="week")
+    control.run(spark, src, weeks)
+
+    est_r = {r["event_type"]: r["estimate"] for r in resumed.result(spark)
+             .select("event_type", estimate_col(HllSpec()).alias("estimate"))
+             .collect()}
+    est_c = {r["event_type"]: r["estimate"] for r in control.result(spark)
+             .select("event_type", estimate_col(HllSpec()).alias("estimate"))
+             .collect()}
+    est = spark.createDataFrame([(k, int(v)) for k, v in est_r.items()],
+                                "event_type string, estimate long")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"))
+    return (_bound_check(est, exact, ["event_type"], "exact_users")
+            .withColumn("resume_equals_uninterrupted", F.lit(est_r == est_c))
+            .withColumn("units_run_once", F.lit(bool(units_once))))
+
+
+def q_streaming_windowed_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded windowed streaming state
+    (sketchlib/streaming/stream_agg.py windowed_distinct_count): three
+    availableNow passes over a growing file source — early windows, a
+    watermark-advancing batch, then LATE rows whose window the watermark has
+    closed.  The late rows must be dropped (no third-pass output) and the
+    state store must hold only the open window.  Deterministic synthetic
+    event times -> the oracle is closed-form."""
+    import shutil
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from sketchlib.streaming import windowed_distinct_count
+
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".tmp_stream_evict_gate")
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    os.makedirs(src, exist_ok=True)
+    schema = T.StructType([T.StructField("url", T.StringType()),
+                           T.StructField("ts", T.TimestampType())])
+    collected: list = []
+    last_q = []
+
+    def run_pass():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = windowed_distinct_count(stream, "url", "ts", "1 hour",
+                                      "30 minutes")
+        q = (agg.writeStream
+             .foreachBatch(lambda bdf, _b: collected.extend(bdf.collect()))
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError("availableNow pass did not finish")
+        last_q.clear()
+        last_q.append(q)
+
+    def write(rows):
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.mode("append").parquet(src))
+
+    write([(f"https://a/{i}", datetime(2026, 1, 1, 0, 10)) for i in range(30)]
+          + [(f"https://b/{i}", datetime(2026, 1, 1, 1, 10)) for i in range(40)])
+    run_pass()
+    write([(f"https://c/{i}", datetime(2026, 1, 1, 3, 10)) for i in range(20)])
+    run_pass()
+    emitted = {int(r["window_start"].hour): int(r["estimate"])
+               for r in collected}
+    n_before_late = len(collected)
+    # late rows for hour 0: watermark is now 02:40 > window end 01:00
+    write([(f"https://late/{i}", datetime(2026, 1, 1, 0, 20))
+           for i in range(10)])
+    run_pass()
+    late_dropped = len(collected) == n_before_late
+    prog = [p["stateOperators"][0]["numRowsTotal"]
+            for p in (last_q[0].recentProgress or []) if p.get("stateOperators")]
+    state_bounded = bool(prog) and prog[-1] == 1
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(h, emitted[h], bool(late_dropped), bool(state_bounded))
+         for h in sorted(emitted)],
+        "window_hour int, estimate long, late_dropped boolean, "
+        "state_bounded boolean")
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (sketchlib/multimodal/media.py sample_frames):
+    the timestamp plan is computed JVM-side from the container header and
+    only the planned offsets are decoded (stub codec — payload enters
+    Python once per video).  Frame counts, timestamp sums, and dimensions
+    reconstruct in closed form, so the oracle is exact; pixel statistics
+    (PRNG stub) are pinned in tests/test_pages.py instead."""
+    from pyspark.sql import types as T
+
+    from sketchlib.multimodal.media import pack_fake_video, sample_frames
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200)
+
+    @F.pandas_udf(T.BinaryType())
+    def _payload(ids):
+        return ids.map(lambda i: pack_fake_video(
+            8, 6, 2000 + (int(i) % 4) * 500, int(i)))
+
+    media = docs.withColumn("payload", _payload("doc_id"))
+    frames = sample_frames(media, "payload", "doc_id", every_ms=500)
+    return (frames.groupBy("doc_id")
+            .agg(F.count("*").alias("n_frames"),
+                 F.sum("ts_ms").alias("sum_ts"),
+                 F.min("width").cast("int").alias("w"),
+                 F.max("height").cast("int").alias("h")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact distinct suppliers per order via HLL two-stage
     aggregation on sf0.001."""
@@ -2294,14 +2473,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_oph_near_dup_pairs": q_minhash_oph_near_dup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "repetition_stats": q_repetition_stats,
-        # -- remaining window slots: round-4 additions land here -----------
+        # -- remaining window slots: round-4 additions ---------------------
+        "bucketed_colocated_join": q_bucketed_colocated_join,
+        "checkpoint_resume_users": q_checkpoint_resume_users,
+        "streaming_windowed_eviction": q_streaming_windowed_eviction,
+        "video_frame_sample": q_video_frame_sample,
         "dedup_clusters": q_dedup_clusters,
         "per_source_cap": q_per_source_cap,
+        # ---- position 51+: stable two-rounds-green gates, unchanged code -
         "decontamination": q_decontamination,
         "gopher_quality": q_gopher_quality,
         "hash_split_stable": q_hash_split_stable,
         "source_mixing": q_source_mixing,
-        # ---- position 51+: stable two-rounds-green gates, unchanged code -
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "text_stats": q_text_stats,
         "lang_id_distribution": q_lang_id_distribution,
@@ -3001,6 +3184,31 @@ def _pipeline_oracles() -> dict[str, str]:
 
 def oracle_sql() -> dict[str, str]:
     return _pipeline_oracles() | {
+        "bucketed_colocated_join": (
+            "SELECT o_orderstatus, COUNT(*) AS n_items, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+            " AS revenue_cents, TRUE AS join_exchange_free "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderstatus"
+        ),
+        "checkpoint_resume_users": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
+            "TRUE AS within_bound, TRUE AS resume_equals_uninterrupted, "
+            "TRUE AS units_run_once FROM events GROUP BY event_type"
+        ),
+        "streaming_windowed_eviction": (
+            "SELECT * FROM (VALUES "
+            "(0, CAST(30 AS BIGINT), TRUE, TRUE), "
+            "(1, CAST(40 AS BIGINT), TRUE, TRUE), "
+            "(3, CAST(20 AS BIGINT), TRUE, TRUE)) "
+            "t(window_hour, estimate, late_dropped, state_bounded)"
+        ),
+        "video_frame_sample": (
+            "SELECT doc_id, CAST(5 + doc_id % 4 AS BIGINT) AS n_frames, "
+            "CAST(500 * (5 + doc_id % 4) * (4 + doc_id % 4) / 2 AS BIGINT) "
+            "AS sum_ts, CAST(8 AS INTEGER) AS w, CAST(6 AS INTEGER) AS h "
+            "FROM documents WHERE doc_id < 200"
+        ),
         "hll_distinct_suppliers_per_order": (
             "SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS distinct_suppliers "
             "FROM lineitem GROUP BY l_orderkey"
