@@ -175,18 +175,54 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+def _optional_pil():
+    """Pillow, if a real cluster image ships it (None in this container).
+    Cached so the import is attempted once per process, not per payload."""
+    global _PIL_IMAGE
+    if _PIL_IMAGE is _UNPROBED:
+        try:
+            from PIL import Image  # type: ignore
+            _PIL_IMAGE = Image
+        except ImportError:
+            _PIL_IMAGE = None
+    return _PIL_IMAGE
+
+
+_UNPROBED = object()
+_PIL_IMAGE = _UNPROBED
+
+def _is_compressed_image(payload: bytes) -> bool:
+    """JPEG / PNG / WebP magic (WebP needs the RIFF form-type check so WAV
+    containers — also RIFF — keep raising 'unknown image codec')."""
+    return (payload[:3] == b"\xff\xd8\xff"
+            or payload[:8] == b"\x89PNG\r\n\x1a\n"
+            or (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"))
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-number dispatch over the supported image codecs: REAL decoders
     for the uncompressed public formats (P6 PPM, 24-bit BI_RGB BMP) and the
     deterministic fake container for fixtures.  Compressed codecs
-    (JPEG/PNG/WebP) remain environment-blocked — no Pillow/libjpeg in this
-    container — and would slot in here."""
+    (JPEG/PNG/WebP) route through Pillow WHEN IMPORTABLE at runtime — on a
+    real cluster image that makes this module complete; in this container
+    (no Pillow/libjpeg, verified) they raise the declared
+    environment-blocked error."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:4] == _FAKE_MAGIC:
         return decode_image_stub(payload)
+    if _is_compressed_image(payload):
+        pil = _optional_pil()
+        if pil is None:
+            raise ValueError(
+                "compressed image codec requires Pillow, which is not "
+                "installed in this environment")
+        import io
+        img = np.asarray(pil.open(io.BytesIO(payload)).convert("RGB"))
+        _check_dims(img.shape[1], img.shape[0])
+        return img
     raise ValueError("unknown image codec")
 
 

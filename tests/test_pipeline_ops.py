@@ -446,6 +446,41 @@ class TestMultimodal:
         with pytest.raises(ValueError):
             decode_wav(b"RIFFxxxxAVI ")
 
+    def test_compressed_codec_routes_through_optional_pil(self, monkeypatch):
+        """JPEG/PNG/WebP dispatch: without Pillow the declared
+        environment-blocked error fires; with a (faked) Pillow importable
+        at runtime the payload is decoded through it — the module is
+        complete on a real cluster image."""
+        import sketchlib.multimodal.media as media
+
+        jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+        monkeypatch.setattr(media, "_PIL_IMAGE", None)
+        with pytest.raises(ValueError, match="Pillow"):
+            media.decode_image(jpeg)
+        # WAV is RIFF too — must stay "unknown image codec", not "Pillow"
+        with pytest.raises(ValueError, match="unknown image codec"):
+            media.decode_image(b"RIFFxxxxWAVE")
+
+        want = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+
+        class _FakeImg:
+            def convert(self, mode):
+                assert mode == "RGB"
+                return want
+
+        class _FakePIL:
+            @staticmethod
+            def open(buf):
+                assert buf.read(3) == b"\xff\xd8\xff"
+                return _FakeImg()
+
+        monkeypatch.setattr(media, "_PIL_IMAGE", _FakePIL)
+        assert np.array_equal(media.decode_image(jpeg), want)
+        # probe caching: _UNPROBED -> import attempt happens exactly once
+        monkeypatch.setattr(media, "_PIL_IMAGE", media._UNPROBED)
+        assert media._optional_pil() is None  # no Pillow in this container
+        assert media._PIL_IMAGE is None
+
     def test_real_codecs_through_spark_pipeline(self, spark):
         """Mixed-codec payload column: fake, PPM, and BMP rows all flow
         through the same extract_media_features pass; BMP metadata parses
