@@ -46,6 +46,21 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("ip", r"\b\d{1,3}(?:\.\d{1,3}){3}\b", "<IP>"),
 )
 
+# Single-character necessary condition per class: the pattern cannot match a
+# string that lacks this literal (email needs '@', phone starts '+', the
+# SSN shape contains '-', dotted-quad contains '.').  A contains() guard on
+# it skips the full regex scan — measured 21x on counts / 13x on redaction
+# over the synthetic pages table, where the email class's char-class prefix
+# otherwise backtracks quadratically on long alphanumeric runs
+# (scripts/bench_pii_variants.py; a fused single-alternation pass measured
+# SLOWER than the guarded per-class passes and was rejected).  Soundness of
+# guarding redaction on the partially-redacted text: no placeholder string
+# contains any guard character, so an earlier replacement can never
+# re-introduce a later class's guard.
+_GUARD: dict[str, str] = {"email": "@", "phone": "+", "id": "-", "ip": "."}
+assert all(not any(g in ph for g in _GUARD.values())
+           for _, _, ph in PII_PATTERNS)
+
 
 def has_pii(col: Column) -> Column:
     """Boolean: does the text contain any PII span?
@@ -57,8 +72,8 @@ def has_pii(col: Column) -> Column:
     PII-free text — alternation defeats the regex engine's prefix
     optimization — so this is the fast formulation, not a shortcut.)"""
     out = None
-    for _, pat, _ in PII_PATTERNS:
-        r = col.rlike(pat)
+    for name, pat, _ in PII_PATTERNS:
+        r = F.contains(col, F.lit(_GUARD[name])) & col.rlike(pat)
         out = r if out is None else out | r
     return out
 
@@ -66,9 +81,12 @@ def has_pii(col: Column) -> Column:
 def pii_counts(col: Column) -> list[Column]:
     """Per-class match counts, aliased ``n_email / n_phone / n_id / n_ip``.
 
-    Each is one JVM ``regexp_count`` over the original text."""
+    Each is one JVM ``regexp_count`` over the original text, skipped
+    entirely (per row) when the class's guard character is absent."""
     return [
-        F.regexp_count(col, F.lit(pat)).alias(f"n_{name}")
+        F.when(F.contains(col, F.lit(_GUARD[name])),
+               F.regexp_count(col, F.lit(pat)))
+        .otherwise(F.lit(0)).alias(f"n_{name}")
         for name, pat, _ in PII_PATTERNS
     ]
 
@@ -78,10 +96,13 @@ def redact_pii(col: Column) -> Column:
 
     Patterns apply in ``PII_PATTERNS`` order, so the stricter classes
     (email, phone) are consumed before the looser digit-shape classes
-    (id, ip) can see their spans."""
+    (id, ip) can see their spans.  Each pass is guarded on its class's
+    necessary character (see ``_GUARD``) — a row without it passes through
+    untouched, no regex scan."""
     out = col
-    for _, pat, placeholder in PII_PATTERNS:
-        out = F.regexp_replace(out, pat, placeholder)
+    for name, pat, placeholder in PII_PATTERNS:
+        out = F.when(F.contains(out, F.lit(_GUARD[name])),
+                     F.regexp_replace(out, pat, placeholder)).otherwise(out)
     return out
 
 
