@@ -74,12 +74,43 @@ def redactfused(c):
     return F.array_join(merged, "")
 
 
+def realistic_text(spark, rows):
+    """Deterministic English-like docs: '.' in every doc (sentence periods),
+    '-' in most (hyphenated words), '@' / '+' / PII spans at a few percent —
+    the guard's WORST case, unlike the pages table whose synthetic text
+    contains no guard characters at all (there the guard measures the
+    all-skip fast path)."""
+    sentence = ("The quick brown fox jumps over the lazy dog near the "
+                "river bank. It was a bright cold day in April and the "
+                "clocks were striking thirteen. ")
+    i = F.col("id")
+    return spark.range(rows).select(F.concat(
+        F.repeat(F.lit(sentence), (i % 8 + 4).cast("int")),
+        F.when(i % 2 == 0, F.lit(" A state-of-the-art well-known result. "))
+         .otherwise(F.lit(" Plain prose continues here. ")),
+        F.when(i % 20 == 0,
+               F.concat(F.lit(" contact user"), i, F.lit("@example.com now")))
+         .otherwise(F.lit("")),
+        F.when(i % 33 == 0, F.lit(" call +1 (555) 123-4567 today"))
+         .otherwise(F.lit("")),
+        F.when(i % 41 == 0, F.lit(" ssn 123-45-6789 leaked"))
+         .otherwise(F.lit("")),
+        F.when(i % 29 == 0,
+               F.concat(F.lit(" from 192.168.0."), (i % 256).cast("string")))
+         .otherwise(F.lit("")),
+        F.repeat(F.lit(sentence), (i % 5 + 2).cast("int")),
+    ).alias("text"))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default=os.path.join(REPO, ".benchdata", "pages"))
     ap.add_argument("--rows", type=int, default=0)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--realistic", action="store_true",
+                    help="synthesize guard-char-dense text instead of the "
+                         "pages table (honest guard-overhead measurement)")
     args = ap.parse_args()
 
     spark = (SparkSession.builder.master(f"local[{args.cpus}]")
@@ -87,9 +118,12 @@ def main():
              .config("spark.driver.memory", "48g")
              .appName("pii-variants").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    df = spark.read.parquet(args.data).select("text")
-    if args.rows:
-        df = df.limit(args.rows)
+    if args.realistic:
+        df = realistic_text(spark, args.rows or 1_000_000)
+    else:
+        df = spark.read.parquet(args.data).select("text")
+        if args.rows:
+            df = df.limit(args.rows)
     df = df.persist()
     n = df.count()
     print(f"rows={n}")
@@ -117,7 +151,8 @@ def main():
     run("redactfused", df.select(F.length(redactfused(c)).alias("L")), "L")
 
     # sanity: identical outputs across redact variants on a sample
-    s = spark.read.parquet(args.data).select("text").limit(200000)
+    s = (realistic_text(spark, 200000) if args.realistic
+         else spark.read.parquet(args.data).select("text").limit(200000))
     a = s.select(F.md5(F.coalesce(redact4(F.col("text")), F.lit(""))).alias("h"))
     for nm, fn in (("redact4g", redact4g), ("redactfused", redactfused)):
         b = s.select(F.md5(F.coalesce(fn(F.col("text")), F.lit(""))).alias("h"))

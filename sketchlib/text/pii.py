@@ -49,11 +49,15 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 # Single-character necessary condition per class: the pattern cannot match a
 # string that lacks this literal (email needs '@', phone starts '+', the
 # SSN shape contains '-', dotted-quad contains '.').  A contains() guard on
-# it skips the full regex scan — measured 21x on counts / 13x on redaction
-# over the synthetic pages table, where the email class's char-class prefix
-# otherwise backtracks quadratically on long alphanumeric runs
-# (scripts/bench_pii_variants.py; a fused single-alternation pass measured
-# SLOWER than the guarded per-class passes and was rejected).  Soundness of
+# it skips the full regex scan.  Measured (scripts/bench_pii_variants.py,
+# 1M docs, local[32]): 5.4x on counts / 3.1x on redaction on realistic
+# guard-char-DENSE text ('.' in every doc, '-' in half, '@'/'+' at a few
+# percent — the guard's worst case; the win survives because the expensive
+# email/phone char-class scans are the ones whose guards are rare), and
+# 21x / 13x on the synthetic pages table whose text has no guard chars at
+# all (the all-skip ceiling).  A fused single-alternation pass measured
+# SLOWER than the guarded per-class passes on both tables and was
+# rejected.  Soundness of
 # guarding redaction on the partially-redacted text: no placeholder string
 # contains any guard character, so an earlier replacement can never
 # re-introduce a later class's guard.
