@@ -2285,6 +2285,148 @@ def q_ams_f2_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "element string, exact_f2 long, within_bound boolean")
 
 
+def q_countsketch_point_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountSketch point queries (Charikar–Chen–Farach-Colton 2002 §3,
+    `AmsSketch.estimate_hashes`): the signed linear sketch answers per-key
+    frequency estimates that are UNBIASED and two-sided — the complement
+    to CMS's one-sided sandwich.  One distributed blob-only sketch build
+    over lineitem.l_suppkey, then every supplier is point-queried through
+    the same broadcast `estimate_counts` path as CMS/MG (duck-typed spec)
+    and checked against its exact GROUP BY count within the published
+    median-of-rows bound sqrt(3 * F2 / width).  With ~100 suppliers in a
+    4096-column sketch the median row is collision-free for every key, so
+    the deterministic outcome is all-within-bound."""
+    from sketchlib.ams import AmsSketch
+    from sketchlib.spark.aggregate import sketch_agg
+    from sketchlib.spark.heavy_hitters import estimate_counts
+    from sketchlib.spark.specs import AmsSpec
+
+    li = _read(spark, sf_dir, "lineitem")
+    spec = AmsSpec(width=1 << 12, depth=7)
+    [row] = sketch_agg(li, "l_suppkey", (), spec).collect()
+    blob = bytes(row["sketch"])
+    f2 = AmsSketch.from_bytes(blob).estimate_f2()
+    bound = (3.0 * f2 / spec.width) ** 0.5
+    exact = li.groupBy("l_suppkey").agg(F.count("*").alias("exact_count"))
+    return (estimate_counts(exact, "l_suppkey", blob, spec)
+            .select("l_suppkey", "exact_count",
+                    (F.abs(F.col("est_count") - F.col("exact_count"))
+                     <= F.lit(float(bound))).alias("within_bound")))
+
+
+def _c4_enriched_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus has no line/sentence structure, so the C4 gate
+    builds it deterministically FROM the corpus text: per document, a line
+    with no terminal punctuation (dropped), a <5-word line (dropped), a
+    'javascript' line (dropped), and three proper sentences built from
+    fixed substrings of the document's own text (kept); page-level rules
+    fire on doc_id residues (brace %7, lorem ipsum %11, bad word %13) so
+    every branch of every rule is exercised and oracle-checked."""
+    docs = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    line = [
+        t, F.lit("\nTiny line.\n"),
+        F.concat(F.substring(t, 1, 40), F.lit(" first sentence ends here.\n")),
+        F.lit("Please enable javascript to continue now.\n"),
+        F.concat(F.substring(t, 41, 40), F.lit(" second sentence ends here.\n")),
+        F.concat(F.substring(t, 81, 40), F.lit(" third sentence ends here.")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" {")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" lorem ipsum")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" porn")).otherwise(F.lit("")),
+    ]
+    return docs.select("doc_id", F.concat(*line).alias("text"))
+
+
+_C4_ENRICH_SQL = (
+    "SELECT doc_id, text || chr(10) || 'Tiny line.' || chr(10) || "
+    "substr(text, 1, 40) || ' first sentence ends here.' || chr(10) || "
+    "'Please enable javascript to continue now.' || chr(10) || "
+    "substr(text, 41, 40) || ' second sentence ends here.' || chr(10) || "
+    "substr(text, 81, 40) || ' third sentence ends here.' || "
+    "CASE WHEN doc_id % 7 = 0 THEN ' {' ELSE '' END || "
+    "CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' ELSE '' END || "
+    "CASE WHEN doc_id % 13 = 0 THEN ' porn' ELSE '' END AS text "
+    "FROM documents"
+)
+
+
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (sketchlib/text/c4.py — Raffel et al. 2020 §2.2):
+    per-document integer stats, page-rule booleans, the keep verdict, and
+    the line-filtered text, all whole-stage-codegen column expressions
+    value-hash-checked against the DuckDB re-implementation of every rule
+    (line terminal-punct / >=5 words / javascript; page sentences / lorem
+    ipsum / brace / bad word)."""
+    from sketchlib.text.c4 import with_c4_stats
+
+    return with_c4_stats(_c4_enriched_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.col("c4_n_lines").cast("long").alias("c4_n_lines"),
+        F.col("c4_n_kept_lines").cast("long").alias("c4_n_kept_lines"),
+        F.col("c4_n_sentences").cast("long").alias("c4_n_sentences"),
+        "c4_has_lorem_ipsum", "c4_has_brace", "c4_has_bad_word", "c4_keep",
+        "c4_text")
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (sketchlib/dedup/paragraphs.py — the
+    Dolma/RefinedWeb recipe): documents are deterministically enriched
+    with a corpus-wide boilerplate paragraph and parity footers, then each
+    document is rebuilt from the paragraphs whose corpus-wide first
+    occurrence it is (min (doc_id, pos) per distinct paragraph — computed
+    with a map-side-combinable groupBy(fingerprint).min, never a window
+    over the hot boilerplate key).  The oracle replays the winner rule by
+    paragraph text in SQL; the value hash pins the full rebuilt corpus."""
+    from sketchlib.dedup.paragraphs import dedup_paragraphs
+
+    docs = _read(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Shared cookie banner paragraph.\n\n"), F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("\n\nEven footer paragraph."))
+            .otherwise(F.lit("\n\nOdd footer paragraph."))).alias("text"))
+    return dedup_paragraphs(enriched)
+
+
+_PARAGRAPH_DEDUP_SQL = (
+    "WITH enriched AS ("
+    "  SELECT doc_id, 'Shared cookie banner paragraph.' || chr(10) || chr(10)"
+    "         || text || chr(10) || chr(10) ||"
+    "         CASE WHEN doc_id % 2 = 0 THEN 'Even footer paragraph.'"
+    "              ELSE 'Odd footer paragraph.' END AS text"
+    "  FROM documents WHERE text IS NOT NULL), "
+    "paras AS ("
+    "  SELECT doc_id,"
+    "         UNNEST(regexp_split_to_array(text, chr(10) || chr(10))) AS para,"
+    "         UNNEST(range(1, len(regexp_split_to_array(text,"
+    "                chr(10) || chr(10))) + 1)) AS pos"
+    "  FROM enriched), "
+    "nonblank AS (SELECT * FROM paras WHERE trim(para) <> ''), "
+    "ranked AS ("
+    "  SELECT doc_id, pos, para,"
+    "         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn"
+    "  FROM nonblank) "
+    "SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text "
+    "FROM ranked WHERE rn = 1 GROUP BY doc_id"
+)
+
+
+def _c4_oracle_sql() -> str:
+    """DuckDB replay of q_c4_filters: the enrichment CTE plus the shipped
+    per-stat SQL fragments (sketchlib.text.c4.sql_c4_stats)."""
+    from sketchlib.text.c4 import sql_c4_stats
+
+    frags = sql_c4_stats("text")
+    cols = ("c4_n_lines", "c4_n_kept_lines", "c4_n_sentences",
+            "c4_has_lorem_ipsum", "c4_has_brace", "c4_has_bad_word",
+            "c4_keep", "c4_text")
+    sel = ", ".join(f"{frags[c]} AS {c}" for c in cols)
+    return (f"WITH enriched AS ({_C4_ENRICH_SQL}) "
+            f"SELECT doc_id, {sel} FROM enriched")
+
+
 def q_fd_covariance_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent Directions covariance sketch over the embeddings table
     (sketchlib/similarity/freqdir.py — Liberty 2013 / GLPW 2015): for every
@@ -2443,6 +2585,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_topk": q_ivf_pq_topk,
         "session_stats": q_session_stats,
         "ams_f2_bound": q_ams_f2_bound,
+        "countsketch_point_estimates": q_countsketch_point_estimates,
+        "c4_filters": q_c4_filters,
+        "paragraph_dedup": q_paragraph_dedup,
         "fd_covariance_bound": q_fd_covariance_bound,
         "cms_join_size_bound": q_cms_join_size_bound,
         "column_profile": q_column_profile,
@@ -2450,7 +2595,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r02-green but stale (unchecked in r03) ------------------------
         "media_features": q_media_features,
         "extract_text_parity": q_extract_text_parity,
-        "url_normalize_keys": q_url_normalize_keys,
         "accuracy_audit_sampled": q_accuracy_audit_sampled,
         "hll_rollup_bound": q_hll_rollup_bound,
         "sql_hll_distinct": q_sql_hll_distinct,
@@ -2458,8 +2602,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_manifest": q_corpus_manifest,
         "hll_prehash_distinct_exact": q_hll_prehash_distinct_exact,
         "embedding_near_dup": q_embedding_near_dup,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ivf_ann_topk": q_ivf_ann_topk,
         # -- code touched in round 4 (needs a fresh hard row) --------------
         "dedup_exact_summary": q_dedup_exact_summary,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
@@ -2481,6 +2623,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "per_source_cap": q_per_source_cap,
         # ---- position 51+: stable two-rounds-green gates, unchanged code -
+        # (url_normalize_keys / ann_cosine_topk / ivf_ann_topk rotated out
+        # of the window for the round-4 additions: r02-green, code
+        # unchanged, machinery still window-covered by blocklist_filter /
+        # embedding_near_dup / pq_adc_topk / ivf_pq_topk)
+        "url_normalize_keys": q_url_normalize_keys,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "decontamination": q_decontamination,
         "gopher_quality": q_gopher_quality,
         "hash_split_stable": q_hash_split_stable,
@@ -3368,6 +3517,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'l_suppkey', CAST(SUM(c * c) AS BIGINT), TRUE "
             "FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_suppkey)"
         ),
+        "countsketch_point_estimates": (
+            "SELECT l_suppkey, COUNT(*) AS exact_count, TRUE AS within_bound "
+            "FROM lineitem GROUP BY l_suppkey"
+        ),
+        "c4_filters": _c4_oracle_sql(),
+        "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "fd_covariance_bound": (
             # same 1/4096 quantization as the Spark side: both engines ROUND
             # the same double (float32 -> float64 is exact; * 2^12 is exact)

@@ -9,6 +9,11 @@ from .clusters import (  # noqa: F401
     dedup_near_keep,
 )
 from .exact import dedup_exact, dedup_summary, duplicate_groups  # noqa: F401
+from .paragraphs import (  # noqa: F401
+    dedup_paragraphs,
+    explode_paragraphs,
+    paragraph_dedup_summary,
+)
 from .incremental import drop_seen, seen_bloom  # noqa: F401
 from .jaccard import ngram_jaccard_pairs  # noqa: F401
 from .minhash import (  # noqa: F401

@@ -1,0 +1,82 @@
+"""Paragraph-level exact deduplication (the Dolma / RefinedWeb recipe:
+dedup at paragraph granularity, keep the first occurrence corpus-wide,
+reassemble documents from their surviving paragraphs).
+
+Soldaini et al. 2024 ("Dolma") and Penedo et al. 2023 ("The RefinedWeb
+Dataset") both dedup paragraphs — newline-delimited blocks — exactly,
+because boilerplate (cookie banners, nav footers, license blurbs) repeats
+across MILLIONS of pages while full-document dedup misses it.  Rule: a
+paragraph survives only in the lexicographically-first (id, position)
+document that contains it; a document's output text is its surviving
+paragraphs joined in original order; documents with no surviving
+paragraph drop out.
+
+Scale shape (100 TB): the winner per distinct paragraph is computed with a
+partial-aggregable ``groupBy(fingerprint).agg(min(struct(id, pos)))`` —
+map-side combine collapses a million-fold repeated boilerplate paragraph
+to one row per input partition BEFORE the shuffle, so the hottest key in
+the corpus (exactly what this operator exists for) costs one narrow row
+per partition, not a shuffle hot spot.  The paragraph text itself is never
+shuffled by the skewed fingerprint for the winner computation; it moves
+through exactly two shuffles — the (fingerprint, id, pos) equi-join that
+selects survivors (AQE splits any residual probe-side skew) and the final
+reassembly by document id.  A window over ``partitionBy(fingerprint)``
+would instead sort ALL copies of the hot paragraph in one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def explode_paragraphs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       sep: str = "\n\n") -> DataFrame:
+    """(id, pos, para) — one row per non-blank paragraph, position in the
+    original document preserved (0-based index among ALL split blocks, so
+    surviving paragraphs re-join in original relative order)."""
+    parts = F.posexplode(F.split(F.col(text_col), sep))
+    out = (df.where(F.col(text_col).isNotNull())
+           .select(F.col(id_col), parts.alias("pos", "para")))
+    return out.where(F.trim(F.col("para")) != "")
+
+
+def dedup_paragraphs(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", sep: str = "\n\n") -> DataFrame:
+    """``(id_col, text_col)`` — each document rebuilt from the paragraphs
+    for which it is the corpus-wide first occurrence (min (id, pos) per
+    distinct paragraph).  Documents whose every paragraph appeared earlier
+    somewhere else are dropped; callers wanting their ids anti-join the
+    result against the input."""
+    paras = explode_paragraphs(df, text_col, id_col, sep).withColumn(
+        "fp", F.xxhash64("para"))
+    winners = (paras.select("fp", id_col, "pos")
+               .groupBy("fp")
+               .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
+               .select("fp", F.col(f"w.{id_col}").alias(id_col),
+                       F.col("w.pos").alias("pos")))
+    kept = (paras.join(winners, on=["fp", id_col, "pos"])
+            .select(id_col, "pos", "para"))
+    return (kept.groupBy(id_col)
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"]),
+                sep).alias(text_col)))
+
+
+def paragraph_dedup_summary(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            sep: str = "\n\n") -> DataFrame:
+    """One-row audit ``(n_paragraphs, n_distinct_paragraphs, n_docs_out)``
+    in two narrow aggregates — the counts a dedup run reports without
+    materializing the rebuilt corpus."""
+    paras = explode_paragraphs(df, text_col, id_col, sep)
+    by_fp = paras.groupBy(F.xxhash64("para").alias("fp")).agg(
+        F.count("*").alias("c"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
+    return by_fp.agg(
+        F.sum("c").alias("n_paragraphs"),
+        F.count("*").alias("n_distinct_paragraphs"),
+        F.count_distinct(F.col(f"w.{id_col}")).alias("n_docs_out"))

@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 
 
 def register_sql_functions(spark: SparkSession) -> None:
+    from ..ams import AmsSketch
     from ..bloom import BloomFilter
     from ..cms import CountMinSketch
     from ..ddsketch import DDSketch
@@ -134,6 +135,24 @@ def register_sql_functions(spark: SparkSession) -> None:
                           MisraGriesSketch.from_bytes(bytes(b)).error_bound()
                           for b in blobs])
 
+    ams_merge_all = _merge_all_udf(AmsSketch.from_bytes)
+
+    @F.pandas_udf(T.LongType())
+    def ams_f2_estimate(blobs: pd.Series) -> pd.Series:
+        return pd.Series([None if b is None else
+                          AmsSketch.from_bytes(bytes(b)).estimate_f2()
+                          for b in blobs])
+
+    @F.pandas_udf(T.LongType())
+    def countsketch_point_estimate(blobs: pd.Series, hashes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series([
+            None if (b is None or h is None) else
+            int(AmsSketch.from_bytes(bytes(b)).estimate_hashes(
+                np.array([np.int64(h)], dtype=np.int64).view(np.uint64))[0])
+            for b, h in zip(blobs, hashes)])
+
     spark.udf.register("hll_estimate", hll_estimate)
     spark.udf.register("hll_merge_all", hll_merge_all)
     spark.udf.register("hll_count_additions", hll_count_additions)
@@ -150,3 +169,6 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("mg_merge_all", mg_merge_all)
     spark.udf.register("mg_point_estimate", mg_point_estimate)
     spark.udf.register("mg_error_bound", mg_error_bound)
+    spark.udf.register("ams_merge_all", ams_merge_all)
+    spark.udf.register("ams_f2_estimate", ams_f2_estimate)
+    spark.udf.register("countsketch_point_estimate", countsketch_point_estimate)

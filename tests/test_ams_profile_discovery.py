@@ -62,6 +62,70 @@ class TestAmsSketch:
             margin = 6.8 * (2.0 / sk.width) ** 0.5
             assert abs(sk.estimate_f2() - exact) <= margin * exact, seed
 
+    def test_point_queries_exact_when_collision_free(self):
+        """CountSketch point queries (Charikar et al. 2002 §3): with a
+        handful of keys in a wide sketch, no column collides in the median
+        row, so every estimate is exactly the true count."""
+        keys = _rand_hashes(8, 11)
+        counts = np.array([100, 50, 25, 12, 6, 3, 2, 1], dtype=np.int64)
+        sk = AmsSketch(width=1 << 12, depth=7)
+        sk.add_hashes(keys, counts)
+        np.testing.assert_array_equal(sk.estimate_hashes(keys), counts)
+        # an absent key estimates near zero (noise only)
+        absent = _rand_hashes(3, 12)
+        assert (np.abs(sk.estimate_hashes(absent)) <= 1).all()
+
+    def test_point_query_error_within_published_bound(self):
+        """The sqrt(3 * F2 / w) bound is per-query with probability
+        1 - 2^-Omega(depth) — at depth 7 a few percent of keys may exceed
+        it, so over 3000 Zipf keys the right assertions are (a) >= 95% of
+        queries inside the bound and (b) no query beyond a small multiple
+        of it (the median of 7 unbiased rows cannot stray far)."""
+        rng = np.random.default_rng(6)
+        for seed in range(5):
+            n_keys = 3000
+            counts = (rng.zipf(1.5, size=n_keys) % 1000 + 1).astype(np.int64)
+            keys = _rand_hashes(n_keys, 200 + seed)
+            sk = AmsSketch(width=1 << 12, depth=7)
+            sk.add_hashes(keys, counts)
+            f2 = int((counts.astype(object) ** 2).sum())
+            bound = (3.0 * f2 / sk.width) ** 0.5
+            err = np.abs(sk.estimate_hashes(keys) - counts)
+            frac_in = float((err <= bound).mean())
+            assert frac_in >= 0.95, (seed, frac_in)
+            assert int(err.max()) <= 8 * bound, (seed, int(err.max()), bound)
+
+    def test_point_queries_merge_invariant(self):
+        """Linearity again, but observed through the query surface: the
+        merged sketch answers exactly like the single-stream sketch."""
+        a_h, b_h = _rand_hashes(400, 13), _rand_hashes(400, 14)
+        one = AmsSketch(width=1 << 10, depth=5)
+        one.add_hashes(np.concatenate([a_h, b_h]))
+        a, b = AmsSketch(width=1 << 10, depth=5), AmsSketch(width=1 << 10, depth=5)
+        a.add_hashes(a_h)
+        b.add_hashes(b_h)
+        a.merge(b)
+        q = np.concatenate([a_h[:50], b_h[:50]])
+        np.testing.assert_array_equal(one.estimate_hashes(q), a.estimate_hashes(q))
+
+    def test_point_queries_via_spark_estimate_counts(self, spark):
+        """The duck-typed `estimate_counts` helper point-queries an AMS
+        blob exactly like a CMS blob — CountSketch through the same
+        broadcast path (unbiased, two-sided, vs CMS's one-sided)."""
+        from sketchlib.spark.aggregate import sketch_agg
+        from sketchlib.spark.heavy_hitters import estimate_counts
+        from sketchlib.spark.specs import AmsSpec
+
+        df = spark.range(6000).select(
+            (F.col("id") % 37).cast("string").alias("k"))
+        spec = AmsSpec(width=1 << 12, depth=7)
+        [row] = sketch_agg(df, "k", (), spec).collect()
+        out = estimate_counts(df.distinct(), "k", bytes(row["sketch"]),
+                              spec=spec).collect()
+        for r in out:
+            true = len(range(int(r["k"]), 6000, 37))
+            assert abs(r["est_count"] - true) <= 3, r
+
     def test_invalid_params_and_merge_mismatch(self):
         with pytest.raises(ValueError):
             AmsSketch(width=1000)  # not a power of two

@@ -143,3 +143,42 @@ def test_theta_merge_all_sql(spark, sf_dir):
     est = ThetaSketch.from_bytes(bytes(blob)).count()
     n = orders.select("o_custkey").distinct().count()
     assert abs(est - n) <= 6 / (1023 ** 0.5) * n + 2
+
+
+def test_ams_sql_f2_and_countsketch_point(spark, sf_dir):
+    """ams_f2_estimate / countsketch_point_estimate / ams_merge_all: the
+    CountSketch surface from plain SQL, with the linear-sketch property
+    that merged partials answer exactly like the one-shot build."""
+    import pandas as pd
+    from sketchlib.spark.aggregate import build_partials, hash_columns, sketch_agg
+    from sketchlib.spark.specs import AmsSpec
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    probe = orders.groupBy("o_custkey").count().orderBy(
+        F.desc("count"), "o_custkey").first()
+    probe_key, probe_n = probe["o_custkey"], probe["count"]
+    probe_hash = int(hash_columns(
+        pd.DataFrame({"o_custkey": pd.Series([probe_key], dtype="int64")}),
+        ["o_custkey"])[0])
+    ph_signed = probe_hash - (1 << 64) if probe_hash >= (1 << 63) else probe_hash
+
+    spec = AmsSpec(width=1 << 12, depth=7)
+    sketch_agg(orders, "o_custkey", (), spec).createOrReplaceTempView("amssk")
+    [row] = spark.sql(f"""
+        SELECT ams_f2_estimate(sketch) AS f2,
+               countsketch_point_estimate(sketch, {ph_signed}L) AS est
+        FROM amssk""").collect()
+    [e] = (orders.groupBy("o_custkey").count()
+           .agg(F.sum(F.col("count") * F.col("count")).alias("f2")).collect())
+    exact_f2 = int(e["f2"])
+    assert abs(row["f2"] - exact_f2) <= 6.8 * (2.0 / spec.width) ** 0.5 * exact_f2
+    assert abs(row["est"] - probe_n) <= (3.0 * exact_f2 / spec.width) ** 0.5
+
+    build_partials(orders.repartition(6), "o_custkey", (), spec
+                   ).createOrReplaceTempView("amspart")
+    [m] = spark.sql(f"""
+        SELECT ams_f2_estimate(s) AS f2,
+               countsketch_point_estimate(s, {ph_signed}L) AS est
+        FROM (SELECT ams_merge_all(collect_list(sketch)) AS s FROM amspart)
+    """).collect()
+    assert (m["f2"], m["est"]) == (row["f2"], row["est"])
