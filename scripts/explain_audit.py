@@ -432,6 +432,50 @@ def main() -> None:
     sections.append(("profile_columns(orders, 3 cols) — melted sketch scan",
                      p, checks))
 
+    # 26. C4 cleaning rules: map-only, zero shuffle, zero Python
+    from sketchlib.text.c4 import with_c4_stats
+
+    df = with_c4_stats(docs)
+    p = plan_of(df)
+    checks = [("zero shuffle exchanges (pure per-row projection)",
+               n_shuffles(p) == 0),
+              ("zero Python stages (whole-stage-codegen expressions only)",
+               "EvalPython" not in p and "mapInArrow" not in p
+               and "FlatMapsInPandas" not in p and "InPandas" not in p)]
+    sections.append(("with_c4_stats(documents) — C4 line/page rules", p, checks))
+
+    # 27. paragraph dedup: winner agg is partial-aggregable (map-side
+    # combine on the hot boilerplate fingerprint), no cartesian product,
+    # fingerprints computed JVM-side
+    from sketchlib.dedup.paragraphs import dedup_paragraphs
+
+    df = dedup_paragraphs(docs)
+    p = plan_of(df)
+    checks = [("no cartesian product (fingerprint equi-join)",
+               "CartesianProduct" not in p),
+              ("winner computed with a partial aggregate (map-side combine "
+               "collapses repeated paragraphs BEFORE the shuffle)",
+               "partial_min" in p or "partial_finalmerge_min" in p),
+              ("paragraph fingerprint is a JVM expression (xxhash64 before "
+               "any exchange)", "xxhash64" in p),
+              ("zero Python stages", "EvalPython" not in p
+               and "InPandas" not in p)]
+    sections.append(("dedup_paragraphs(documents)", p, checks))
+
+    # 28. CountSketch build: same blob-only single-shuffle shape as every
+    # sketch family through sketch_agg
+    from sketchlib.spark.aggregate import sketch_agg
+    from sketchlib.spark.specs import AmsSpec
+
+    df = sketch_agg(li, "l_suppkey", (), AmsSpec(width=1 << 10, depth=5))
+    p = plan_of(df)
+    checks = [("scan reads only l_suppkey",
+               "l_comment" not in p and "l_extendedprice" not in p),
+              ("exactly one shuffle exchange (the sketch-blob shuffle)",
+               n_shuffles(p) == 1)]
+    sections.append(("sketch_agg(lineitem, l_suppkey, AmsSpec) — "
+                     "CountSketch build", p, checks))
+
     out = ["# BENCH/PLANS — physical-plan audit",
            "",
            "Generated by `python scripts/explain_audit.py`. Each section is "
