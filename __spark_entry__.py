@@ -2413,6 +2413,46 @@ _PARAGRAPH_DEDUP_SQL = (
 )
 
 
+def q_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven pre-flight skew diagnosis (sketchlib/spark/skewdiag.py):
+    a 50%-hub key built over lineitem (even orderkeys collapse to one hub
+    value, odd rows keep their supplier) is diagnosed from two blob-only
+    passes — Theta+AMS built together in ONE scan via ComboSpec, hot values
+    via the CMS/MG heavy-hitter sandwich.  The gate pins: the hub is found,
+    its sandwich (lower <= exact <= est) holds, the Theta NDV and AMS F2
+    land inside their published bounds against exact re-derivations, and
+    the salt recommendation (derived from the CMS UPPER bound) never
+    under-salts the exact share at 32 partitions."""
+    import math
+
+    from sketchlib.spark.skewdiag import diagnose_skew
+
+    li = _read(spark, sf_dir, "lineitem")
+    skewed = li.select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(-1))
+        .otherwise(F.col("l_suppkey")).cast("long").alias("k"))
+    diag = diagnose_skew(skewed, "k", k=5)
+    [ex] = skewed.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("k") == -1, 1).otherwise(0)).alias("hub"),
+        F.count_distinct("k").alias("ndv")).collect()
+    f2_exact = skewed.groupBy("k").count().agg(
+        F.sum(F.col("count") * F.col("count"))).collect()[0][0]
+    hub_val, est, lower = diag.hot_keys[0]
+    sandwich_ok = bool(lower <= ex["hub"] <= est)
+    ndv_ok = bool(abs(diag.ndv - ex["ndv"]) <= 4 * diag.ndv_rse * ex["ndv"])
+    f2_ok = bool(abs(diag.f2 - int(f2_exact))
+                 <= 6.8 * (2.0 / (1 << 12)) ** 0.5 * int(f2_exact))
+    salt_ok = bool(diag.salt_buckets(32)
+                   >= min(32, math.ceil(ex["hub"] / ex["n"] * 32)))
+    rec_is_salt = diag.recommendation(32).startswith("salt(")
+    return spark.createDataFrame(
+        [(int(ex["n"]), int(hub_val), int(ex["hub"]), sandwich_ok, ndv_ok,
+          f2_ok, salt_ok, rec_is_salt)],
+        "n_rows long, hub_key long, hub_exact long, sandwich_ok boolean, "
+        "ndv_ok boolean, f2_ok boolean, salt_ok boolean, rec_is_salt boolean")
+
+
 def _c4_oracle_sql() -> str:
     """DuckDB replay of q_c4_filters: the enrichment CTE plus the shipped
     per-stat SQL fragments (sketchlib.text.c4.sql_c4_stats)."""
@@ -2588,6 +2628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countsketch_point_estimates": q_countsketch_point_estimates,
         "c4_filters": q_c4_filters,
         "paragraph_dedup": q_paragraph_dedup,
+        "skew_diagnosis": q_skew_diagnosis,
         "fd_covariance_bound": q_fd_covariance_bound,
         "cms_join_size_bound": q_cms_join_size_bound,
         "column_profile": q_column_profile,
@@ -2598,7 +2639,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "accuracy_audit_sampled": q_accuracy_audit_sampled,
         "hll_rollup_bound": q_hll_rollup_bound,
         "sql_hll_distinct": q_sql_hll_distinct,
-        "hll_rolling_distinct_bound": q_hll_rolling_distinct_bound,
         "corpus_manifest": q_corpus_manifest,
         "hll_prehash_distinct_exact": q_hll_prehash_distinct_exact,
         "embedding_near_dup": q_embedding_near_dup,
@@ -2628,6 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unchanged, machinery still window-covered by blocklist_filter /
         # embedding_near_dup / pq_adc_topk / ivf_pq_topk)
         "url_normalize_keys": q_url_normalize_keys,
+        "hll_rolling_distinct_bound": q_hll_rolling_distinct_bound,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "decontamination": q_decontamination,
@@ -3523,6 +3564,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "c4_filters": _c4_oracle_sql(),
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
+        "skew_diagnosis": (
+            "SELECT (SELECT COUNT(*) FROM lineitem) AS n_rows, "
+            "CAST(-1 AS BIGINT) AS hub_key, "
+            "(SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 2 = 0) "
+            "AS hub_exact, TRUE AS sandwich_ok, TRUE AS ndv_ok, "
+            "TRUE AS f2_ok, TRUE AS salt_ok, TRUE AS rec_is_salt"
+        ),
         "fd_covariance_bound": (
             # same 1/4096 quantization as the Spark side: both engines ROUND
             # the same double (float32 -> float64 is exact; * 2^12 is exact)

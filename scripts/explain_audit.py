@@ -476,6 +476,20 @@ def main() -> None:
     sections.append(("sketch_agg(lineitem, l_suppkey, AmsSpec) — "
                      "CountSketch build", p, checks))
 
+    # 29. ComboSpec: TWO sketch families, still one scan + one shuffle
+    from sketchlib.spark.specs import ComboSpec, ThetaSpec
+
+    df = sketch_agg(li, "l_suppkey", (),
+                    ComboSpec([ThetaSpec(k=1024),
+                               AmsSpec(width=1 << 10, depth=5)]))
+    p = plan_of(df)
+    checks = [("one scan (a second family costs no corpus re-read)",
+               p.count(") Scan parquet") == 1),
+              ("exactly one shuffle exchange for BOTH families",
+               n_shuffles(p) == 1)]
+    sections.append(("sketch_agg(lineitem, l_suppkey, ComboSpec[theta, ams])",
+                     p, checks))
+
     out = ["# BENCH/PLANS — physical-plan audit",
            "",
            "Generated by `python scripts/explain_audit.py`. Each section is "

@@ -285,6 +285,118 @@ class DdSpec(_QuantileSpecBase):
         return DDSketch.from_bytes(blob)
 
 
+class ComboSpec:
+    """Several sketch families over ONE prepared element stream — one scan
+    and one blob shuffle build them all (the alternative is one
+    ``sketch_agg`` scan per family; at 100 TB each extra family would cost
+    a full corpus re-read).
+
+    All sub-specs must consume the same prepared array: either every spec
+    is hash-based with the SAME ``hash_name`` (HLL/Bloom/CMS/AMS/MG/Theta
+    share the 64-bit element-hash stream), or every spec is value-based
+    (t-digest/KLL/DDSketch share the float64 column).  Mixing the two
+    prepare semantics in one combo is rejected — they read different
+    arrays.
+
+    ``hash_dedup`` is always False: frequency families need multiplicity,
+    and streaming ingest is correct (if conservative) for the dedup-able
+    ones.  The scalar ``estimate`` is the FIRST sub-spec's; callers wanting
+    every family split the blob with :meth:`split_blob` and use each
+    family's own estimators.
+    """
+
+    name = "combo"
+    hash_dedup = False
+    estimate_type = T.LongType()
+
+    _WIRE_MAGIC = b"CB"
+    _WIRE_VERSION = 1
+
+    def __init__(self, specs: Sequence) -> None:
+        specs = tuple(specs)
+        if not specs:
+            raise ValueError("ComboSpec needs at least one sub-spec")
+        hash_names = [getattr(s, "hash_name", None) for s in specs]
+        n_hash = sum(h is not None for h in hash_names)
+        if n_hash not in (0, len(specs)):
+            raise ValueError(
+                "ComboSpec cannot mix hash-based and value-based sub-specs "
+                "(they prepare different arrays)")
+        if n_hash and len(set(hash_names)) != 1:
+            raise ValueError(
+                f"ComboSpec sub-specs must share one hash_name, got "
+                f"{sorted(set(hash_names))}")
+        if any(getattr(s, "prehashed", False) for s in specs):
+            raise ValueError("ComboSpec does not support prehashed sub-specs")
+        self.specs = specs
+        self.hash_name = hash_names[0]
+
+    def make(self) -> list:
+        return [s.make() for s in self.specs]
+
+    def prepare(self, pdf: pd.DataFrame, element_cols: Sequence[str]) -> np.ndarray:
+        return self.specs[0].prepare(pdf, element_cols)
+
+    def prepare_arrow(self, batch, element_cols: Sequence[str]) -> np.ndarray:
+        return self.specs[0].prepare_arrow(batch, element_cols)
+
+    def ingest(self, sketches: list, prepared: np.ndarray) -> None:
+        for spec, sk in zip(self.specs, sketches):
+            spec.ingest(sk, prepared)
+
+    def to_bytes(self, sketches: list) -> bytes:
+        import struct
+
+        parts = [self._WIRE_MAGIC,
+                 struct.pack("<BBH", self._WIRE_VERSION, 0, len(self.specs))]
+        for spec, sk in zip(self.specs, sketches):
+            blob = spec.to_bytes(sk)
+            parts.append(struct.pack("<I", len(blob)))
+            parts.append(blob)
+        return b"".join(parts)
+
+    def split_blob(self, blob: bytes) -> list[bytes]:
+        """The per-family blobs inside a combo blob (validated)."""
+        import struct
+
+        if blob[:2] != self._WIRE_MAGIC:
+            raise ValueError("not a combo-sketch blob")
+        if len(blob) < 6:
+            raise ValueError("combo blob truncated")
+        version, _pad, count = struct.unpack_from("<BBH", blob, 2)
+        if version > self._WIRE_VERSION:
+            raise ValueError(f"incompatible combo wire version {version}")
+        if count != len(self.specs):
+            raise ValueError(
+                f"combo blob holds {count} families, spec expects "
+                f"{len(self.specs)}")
+        out = []
+        off = 6
+        for _ in range(count):
+            if off + 4 > len(blob):
+                raise ValueError("combo blob truncated")
+            (ln,) = struct.unpack_from("<I", blob, off)
+            off += 4
+            if off + ln > len(blob):
+                raise ValueError("combo blob truncated")
+            out.append(blob[off:off + ln])
+            off += ln
+        if off != len(blob):
+            raise ValueError("combo blob has trailing bytes")
+        return out
+
+    def from_bytes(self, blob: bytes) -> list:
+        return [spec.from_bytes(b)
+                for spec, b in zip(self.specs, self.split_blob(blob))]
+
+    def merge(self, a: list, b: list) -> list:
+        return [spec.merge(x, y)
+                for spec, x, y in zip(self.specs, a, b)]
+
+    def estimate(self, sketches: list) -> int:
+        return self.specs[0].estimate(sketches[0])
+
+
 class ThetaSpec:
     """Theta/KMV distinct sketch: set semantics -> dedup-able stage 1, with
     first-class intersection/difference (:mod:`sketchlib.theta`)."""
