@@ -44,6 +44,13 @@ GATES = [
     "dedup_clusters",
     "cdc_chunk_dedup",
     "semantic_dedup",
+    # round-4-late additions: paragraph_dedup is the new shuffle-heavy
+    # candidate (winner agg + survivor join + reassembly over exploded
+    # paragraphs); c4_filters and skew_diagnosis pin map-only / blob-only
+    # linearity
+    "paragraph_dedup",
+    "c4_filters",
+    "skew_diagnosis",
 ]
 
 

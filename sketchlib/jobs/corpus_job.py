@@ -63,6 +63,7 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
                  near_dup: bool = True, jaccard: float = 0.8,
                  blocklist: DataFrame | None = None, url_col: str = "url",
                  max_pii: int | None = None,
+                 c4_rules: bool = False,
                  min_mean_logp_milli: int | None = None,
                  lm_vocab_size: int = 50_000,
                  persist_level: str | None = None,
@@ -84,9 +85,18 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
     * ``min_mean_logp_milli`` — docs whose mean token log-prob under a
       corpus-trained unigram LM (:mod:`sketchlib.text.lmscore`, integer
       milli-nats) falls below the threshold drop as ``lm_tail``.
+    * ``c4_rules`` — docs failing the C4 page verdict
+      (:mod:`sketchlib.text.c4`, Raffel et al. 2020 §2.2: <3 sentences
+      after line filtering, lorem ipsum, brace, bad word) drop as
+      ``c4_filtered`` (map-only flag, whole-stage codegen).  Note this
+      flags on the PAGE rules; to also strip the failing LINES, run
+      :func:`sketchlib.text.c4.c4_filter` as a pre-clean transform
+      (likewise :func:`sketchlib.dedup.paragraphs.dedup_paragraphs` for
+      paragraph-level dedup — both rewrite text, which a manifest cannot
+      express).
 
     Full precedence (first match wins): blocked_domain > exact_dup >
-    near_dup > low_quality > pii_heavy > lm_tail.
+    near_dup > low_quality > c4_filtered > pii_heavy > lm_tail.
 
     ``persist_level`` (e.g. ``"DISK_ONLY"``, ``"MEMORY_AND_DISK"``) sets an
     explicit **stage-materialization boundary** after the map-only flags and
@@ -130,6 +140,15 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
                      *([url_col] if url_col != id_col else [])))
     else:
         ann = ann.withColumn("__blocked", F.lit(False))
+
+    if c4_rules:
+        from sketchlib.text.c4 import STAT_COLS, with_c4_stats
+
+        ann = (with_c4_stats(ann, text_col)
+               .withColumn("__c4_fail", ~F.col("c4_keep"))
+               .drop(*STAT_COLS))
+    else:
+        ann = ann.withColumn("__c4_fail", F.lit(False))
 
     if max_pii is not None:
         from sketchlib.text.pii import pii_counts
@@ -194,6 +213,7 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
               .when(F.col("__exact_dup"), F.lit("exact_dup"))
               .when(F.col("__near_dup"), F.lit("near_dup"))
               .when(F.col("quality") < min_quality, F.lit("low_quality"))
+              .when(F.col("__c4_fail"), F.lit("c4_filtered"))
               .when(F.col("__pii_heavy"), F.lit("pii_heavy"))
               .when(F.col("__lm_tail"), F.lit("lm_tail")))
     return ann.select(
@@ -284,6 +304,9 @@ def main(argv=None) -> int:
                     help="parquet/csv of blocked domains (first column); "
                          "drops docs whose --url-col domain matches")
     ap.add_argument("--url-col", default="url")
+    ap.add_argument("--c4-rules", action="store_true",
+                    help="drop docs failing the C4 page rules "
+                         "(Raffel et al. 2020 §2.2)")
     ap.add_argument("--max-pii", type=int, default=None,
                     help="drop docs with more than this many PII spans")
     ap.add_argument("--min-mean-logp-milli", type=int, default=None,
@@ -319,6 +342,7 @@ def main(argv=None) -> int:
                             jaccard=args.jaccard,
                             blocklist=bl, url_col=args.url_col,
                             max_pii=args.max_pii,
+                            c4_rules=args.c4_rules,
                             min_mean_logp_milli=args.min_mean_logp_milli,
                             lm_vocab_size=args.lm_vocab_size,
                             persist_level=(None if args.persist_level == "NONE"

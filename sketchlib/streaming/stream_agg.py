@@ -89,7 +89,9 @@ def windowed_sketch_agg(stream_df: DataFrame, element_cols, ts_col: str,
     linearly with stream lifetime.  This variant:
 
     1. bounds late data with ``withWatermark(ts_col, watermark_delay)``
-       (rows older than the watermark are dropped before the state op);
+       (Spark's late-record filter drops most late rows before the state
+       op, but it evaluates the PREVIOUS micro-batch's watermark — the
+       update function drops boundary-late groups itself, see below);
     2. makes the tumbling window struct part of the group key;
     3. registers an ``EventTimeTimeout`` at each window's end, so once the
        watermark passes a window, its state row is **removed** — state size
@@ -136,6 +138,21 @@ def windowed_sketch_agg(stream_df: DataFrame, element_cols, ts_col: str,
             # this window (they'd be dropped as late) -> free the state
             state.remove()
             return
+        # the struct group key arrives as a mapping of field name -> value
+        window_start, window_end = key[0]["start"], key[0]["end"]
+        end_ms = int(window_end.timestamp() * 1000)
+        if end_ms <= state.getCurrentWatermarkMs():
+            # boundary-late group: Spark's late-record filter for
+            # applyInPandasWithState uses the PREVIOUS micro-batch's
+            # watermark, so when the watermark jumps more than one batch,
+            # rows for an already-closed window can still reach the
+            # operator.  The watermark contract says they are late — drop
+            # them (the window's last update-mode emit was already final),
+            # free any state, and never register a timeout in the past
+            # (setTimeoutTimestamp would raise).
+            if state.exists:
+                state.remove()
+            return
         if state.exists:
             (blob,) = state.get
             sketch = spec.from_bytes(bytes(blob))
@@ -146,9 +163,7 @@ def windowed_sketch_agg(stream_df: DataFrame, element_cols, ts_col: str,
             if len(pdf):
                 spec.ingest(sketch, spec.prepare(pdf, element_cols))
         state.update((spec.to_bytes(sketch),))
-        # the struct group key arrives as a mapping of field name -> value
-        window_start, window_end = key[0]["start"], key[0]["end"]
-        state.setTimeoutTimestamp(int(window_end.timestamp() * 1000))
+        state.setTimeoutTimestamp(end_ms)
         yield pd.DataFrame(
             [[window_start, window_end, *key[1:],
               cast(spec.estimate(sketch)),

@@ -204,3 +204,28 @@ def test_persist_boundary_identical_manifest(spark):
     plan = persisted._jdf.queryExecution().optimizedPlan().toString()
     assert "InMemoryRelation" in plan
     spark.catalog.clearCache()
+
+
+def test_c4_rules_stage(spark):
+    """--c4-rules drops pages failing the C4 page verdict as
+    c4_filtered (after low_quality in precedence), map-only."""
+    ok = ("First proper sentence with enough words to pass easily today.\n"
+          "Second proper sentence also long enough to pass the filter.\n"
+          "Third proper sentence completes the needed sentence count.")
+    rows = [
+        (0, ok),                                   # kept
+        (1, ok + " {"),                            # brace page -> c4_filtered
+        (2, "line with words but no terminal punctuation at all here"),
+        (3, ok.replace("First", "Lorem ipsum First")),  # lorem page
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    m = {r["doc_id"]: r for r in clean_corpus(
+        docs, min_quality=0, near_dup=False, c4_rules=True).collect()}
+    assert m[0]["keep"] and m[0]["drop_reason"] is None
+    assert m[1]["drop_reason"] == "c4_filtered"
+    assert m[2]["drop_reason"] == "c4_filtered"   # zero kept sentences
+    assert m[3]["drop_reason"] == "c4_filtered"
+    # off by default: same docs all keep (no C4 flag, quality floor 0)
+    m2 = {r["doc_id"]: r for r in clean_corpus(
+        docs, min_quality=0, near_dup=False).collect()}
+    assert all(m2[d]["keep"] for d in (0, 1, 2, 3))
