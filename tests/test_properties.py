@@ -227,3 +227,63 @@ def test_ddsketch_merge_equals_single_bitforbit_and_relative_error(vals, seed):
                 assert est == 0.0
             else:
                 assert abs(est - true) <= 0.02 * abs(true) + 1e-12
+
+
+@given(elements, cut_seed)
+@settings(**SETTINGS)
+def test_countsketch_point_queries_unbiased_shape_and_merge(vals, seed):
+    """CountSketch point estimates: merged == single bit-for-bit (linear
+    sketch), exact when the sketch is wide enough to be collision-free,
+    and empty-query-safe — for arbitrary multisets and partitionings."""
+    from sketchlib.ams import AmsSketch
+
+    h = _hashes(vals)
+    single = AmsSketch(width=1 << 12, depth=7)
+    single.add_hashes(h)
+    merged = None
+    for p in _random_split(h, seed):
+        sk = AmsSketch(width=1 << 12, depth=7)
+        sk.add_hashes(p)
+        if merged is None:
+            merged = sk
+        else:
+            merged.merge(sk)
+    merged.count_additions = single.count_additions
+    assert merged.to_bytes() == single.to_bytes()
+    uniq, counts = np.unique(h, return_counts=True)
+    if uniq.shape[0]:
+        est = single.estimate_hashes(uniq)
+        # <=400 distinct keys in 4096 columns x 7 rows: the median row is
+        # collision-free w.o.p.; allow the rare collision a 1-count slack
+        assert (np.abs(est - counts) <= 1).all()
+    assert single.estimate_hashes(np.zeros(0, dtype=np.uint64)).shape == (0,)
+
+
+@given(elements, cut_seed)
+@settings(**SETTINGS)
+def test_combo_spec_equals_dedicated_builds(vals, seed):
+    """ComboSpec: for arbitrary multisets and partitionings, every
+    family's sub-blob is bit-identical to a dedicated build of that
+    family, and the combo wire round-trips exactly."""
+    from sketchlib.spark.specs import AmsSpec, ComboSpec, MgSpec, ThetaSpec
+
+    subs = [ThetaSpec(k=256), AmsSpec(width=1 << 8, depth=3), MgSpec(k=16)]
+    combo = ComboSpec(subs)
+    h = _hashes(vals)
+    merged = None
+    for p in _random_split(h, seed):
+        sks = combo.make()
+        combo.ingest(sks, p)
+        merged = sks if merged is None else combo.merge(merged, sks)
+    blob = combo.to_bytes(merged)
+    for spec, sub_blob in zip(subs, combo.split_blob(blob)):
+        dedicated = spec.make()
+        spec.ingest(dedicated, h)
+        # merge bookkeeping (count_additions) may differ across empty
+        # parts for Theta; compare through the family's own equality
+        got = spec.from_bytes(sub_blob)
+        want = spec.from_bytes(spec.to_bytes(dedicated))
+        if hasattr(got, "count_additions"):
+            got.count_additions = want.count_additions
+        assert spec.to_bytes(got) == spec.to_bytes(want), spec.name
+    assert combo.to_bytes(combo.from_bytes(blob)) == blob
