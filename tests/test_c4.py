@@ -146,3 +146,12 @@ class TestC4Stats:
         assert agg["bad_counts"] == 0
         assert 0 <= agg["n_keep"] <= agg["n"]
         assert c4.c4_filter(docs).count() == agg["n_keep"]
+
+    def test_filter_is_fixpoint(self, spark, docs_df):
+        """c4_filter(c4_filter(x)) == c4_filter(x): kept lines all pass the
+        line rules, and surviving pages keep passing the page rules."""
+        once = c4.c4_filter(docs_df)
+        twice = c4.c4_filter(once)
+        a = {r["doc_id"]: r["text"] for r in once.collect()}
+        b = {r["doc_id"]: r["text"] for r in twice.collect()}
+        assert a == b

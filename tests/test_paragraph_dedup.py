@@ -120,3 +120,12 @@ class TestParagraphDedup:
                   .join(out.select("doc_id", F.length("text").alias("len_out")),
                         "doc_id"))
         assert joined.where(F.col("len_out") > F.col("len_in")).count() == 0
+
+    def test_idempotent(self, spark, docs_df):
+        """dedup(dedup(x)) == dedup(x): survivors are first occurrences,
+        so a second pass finds nothing new to drop."""
+        once = dedup_paragraphs(docs_df)
+        twice = dedup_paragraphs(once)
+        a = {r["doc_id"]: r["text"] for r in once.collect()}
+        b = {r["doc_id"]: r["text"] for r in twice.collect()}
+        assert a == b
