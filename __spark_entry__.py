@@ -2481,6 +2481,42 @@ def q_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ndv_ok boolean, f2_ok boolean, salt_ok boolean, rec_is_salt boolean")
 
 
+def q_join_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join pre-flight (sketchlib/spark/skewdiag.py advise_join): one
+    3-family ComboSpec scan per side (Theta NDV + AMS F2 + the CMS grid
+    whose inner product estimates the join size) — no join executed, no
+    raw rows shuffled.  Pins on lineitem⋈orders(o_orderkey): the join-size
+    estimate's one-sided sandwich (exact <= est <= exact + eps|L||R|), NDV
+    within Theta's 4-sigma, F2 within the AMS bound, and the deterministic
+    strategy verdict ('broadcast_right' — orders at sf0.01 fits any
+    budget)."""
+    from sketchlib.spark.skewdiag import advise_join
+
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    adv = advise_join(li, "l_orderkey", orders, "o_orderkey")
+    [ex] = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .agg(F.count("*").alias("join_rows")).collect())
+    [el] = li.agg(F.count("*").alias("n"),
+                  F.count_distinct("l_orderkey").alias("ndv")).collect()
+    [er] = orders.agg(F.count("*").alias("n"),
+                      F.count_distinct("o_orderkey").alias("ndv")).collect()
+    f2l = li.groupBy("l_orderkey").count().agg(
+        F.sum(F.col("count") * F.col("count"))).collect()[0][0]
+    est_ok = bool(ex["join_rows"] <= adv.est_join_rows
+                  <= ex["join_rows"] + adv.upper_margin)
+    ndv_ok = bool(abs(adv.ndv_left - el["ndv"]) <= 4 / (4096 ** 0.5) * el["ndv"]
+                  and abs(adv.ndv_right - er["ndv"])
+                  <= 4 / (4096 ** 0.5) * er["ndv"])
+    f2_ok = bool(abs(adv.f2_left - int(f2l))
+                 <= 6.8 * (2.0 / (1 << 12)) ** 0.5 * int(f2l))
+    return spark.createDataFrame(
+        [(int(el["n"]), int(er["n"]), int(ex["join_rows"]), est_ok, ndv_ok,
+          f2_ok, adv.strategy(broadcast_rows=1_000_000))],
+        "n_left long, n_right long, exact_join_rows long, est_ok boolean, "
+        "ndv_ok boolean, f2_ok boolean, strategy string")
+
+
 def _c4_oracle_sql() -> str:
     """DuckDB replay of q_c4_filters: the enrichment CTE plus the shipped
     per-stat SQL fragments (sketchlib.text.c4.sql_c4_stats)."""
@@ -2657,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "paragraph_dedup": q_paragraph_dedup,
         "skew_diagnosis": q_skew_diagnosis,
+        "join_advice": q_join_advice,
         "fd_covariance_bound": q_fd_covariance_bound,
         "cms_join_size_bound": q_cms_join_size_bound,
         "column_profile": q_column_profile,
@@ -2669,7 +2706,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_hll_distinct": q_sql_hll_distinct,
         "corpus_manifest": q_corpus_manifest,
         "hll_prehash_distinct_exact": q_hll_prehash_distinct_exact,
-        "embedding_near_dup": q_embedding_near_dup,
         # -- code touched in round 4 (needs a fresh hard row) --------------
         "dedup_exact_summary": q_dedup_exact_summary,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
@@ -2696,6 +2732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unchanged, machinery still window-covered by blocklist_filter /
         # embedding_near_dup / pq_adc_topk / ivf_pq_topk)
         "url_normalize_keys": q_url_normalize_keys,
+        "embedding_near_dup": q_embedding_near_dup,
         "hll_rolling_distinct_bound": q_hll_rolling_distinct_bound,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -3592,6 +3629,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "c4_filters": _c4_oracle_sql(),
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
+        "join_advice": (
+            "SELECT (SELECT COUNT(*) FROM lineitem) AS n_left, "
+            "(SELECT COUNT(*) FROM orders) AS n_right, "
+            "(SELECT COUNT(*) FROM lineitem l JOIN orders o "
+            "ON l.l_orderkey = o.o_orderkey) AS exact_join_rows, "
+            "TRUE AS est_ok, TRUE AS ndv_ok, TRUE AS f2_ok, "
+            "'broadcast_right' AS strategy"
+        ),
         "skew_diagnosis": (
             "SELECT (SELECT COUNT(*) FROM lineitem) AS n_rows, "
             "CAST(-1 AS BIGINT) AS hub_key, "

@@ -87,6 +87,93 @@ class SkewDiagnosis:
         return f"salt({self.salt_buckets(n_partitions)})"
 
 
+@dataclass(frozen=True)
+class JoinAdvice:
+    """Sketch-derived pre-flight for an equi-join: everything a planner
+    wants to know before committing 100 TB to a strategy, from ONE
+    blob-only scan per side (Theta NDV + AMS F2 + the CMS grid whose
+    inner product estimates the join size — all three families ride one
+    :class:`~sketchlib.spark.specs.ComboSpec` pass)."""
+
+    n_left: int
+    n_right: int
+    ndv_left: int
+    ndv_right: int
+    f2_left: int
+    f2_right: int
+    est_join_rows: int       #: CMS inner product — NEVER underestimates
+    upper_margin: float      #: eps * |L| * |R| additive slack w.p. 1-delta
+
+    @property
+    def collision_prob_left(self) -> float:
+        """Lower bound on the hottest left key's row share is
+        F2/n^2 (= this value), since max_count >= F2/n."""
+        return self.f2_left / (self.n_left * self.n_left) if self.n_left else 0.0
+
+    @property
+    def collision_prob_right(self) -> float:
+        return (self.f2_right / (self.n_right * self.n_right)
+                if self.n_right else 0.0)
+
+    @property
+    def fanout(self) -> float:
+        """Estimated output rows per probe-side input row."""
+        return self.est_join_rows / self.n_left if self.n_left else 0.0
+
+    def strategy(self, broadcast_rows: int = 1_000_000,
+                 n_partitions: int = 200,
+                 skew_tolerance: float = 2.0) -> str:
+        """'broadcast_right' / 'broadcast_left' when a side's row count
+        fits the broadcast budget (smaller side preferred); otherwise
+        'shuffle', suffixed '+salt_left'/'+salt_right' for any side whose
+        F2/n^2 LOWER-bound hot share already exceeds tolerance/P (a side
+        can be skewed without tripping this bound — run
+        :func:`diagnose_skew` on it for the hot values and exact salt
+        sizing when it matters)."""
+        small, big = sorted([("right", self.n_right), ("left", self.n_left)],
+                            key=lambda t: t[1])
+        if small[1] <= broadcast_rows:
+            return f"broadcast_{small[0]}"
+        out = "shuffle"
+        if self.collision_prob_left * n_partitions > skew_tolerance:
+            out += "+salt_left"
+        if self.collision_prob_right * n_partitions > skew_tolerance:
+            out += "+salt_right"
+        return out
+
+
+def advise_join(df_left: DataFrame, left_key, df_right: DataFrame,
+                right_key, theta_k: int = 4096, ams_width: int = 1 << 12,
+                ams_depth: int = 7, cms_width: int = 1 << 12,
+                cms_depth: int = 5,
+                hash_name: str = "murmur3") -> JoinAdvice:
+    """One ComboSpec scan per side -> :class:`JoinAdvice`.  No join runs,
+    no raw rows shuffle; the driver folds two ~300 KB blob sets."""
+    import math
+
+    from ..cms import CountMinSketch
+
+    def side(df, key):
+        combo = ComboSpec([
+            ThetaSpec(k=theta_k, hash_name=hash_name),
+            AmsSpec(width=ams_width, depth=ams_depth, hash_name=hash_name),
+            CmsSpec(width=cms_width, depth=cms_depth, hash_name=hash_name)])
+        [row] = sketch_agg(df, key, (), combo).collect()
+        return combo.from_bytes(bytes(row["sketch"]))
+
+    lt, la, lc = side(df_left, left_key)
+    rt, ra, rc = side(df_right, right_key)
+    assert isinstance(lc, CountMinSketch) and isinstance(rc, CountMinSketch)
+    return JoinAdvice(
+        n_left=int(la.count_additions), n_right=int(ra.count_additions),
+        ndv_left=int(lt.count()), ndv_right=int(rt.count()),
+        f2_left=int(la.estimate_f2()), f2_right=int(ra.estimate_f2()),
+        est_join_rows=int(lc.inner_product(rc)),
+        upper_margin=(math.e / cms_width) * la.count_additions
+        * ra.count_additions,
+    )
+
+
 def diagnose_skew(df: DataFrame, key_col: str, k: int = 10,
                   theta_k: int = 4096, ams_width: int = 1 << 12,
                   ams_depth: int = 7, cms_spec: CmsSpec | None = None,

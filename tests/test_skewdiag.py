@@ -159,3 +159,39 @@ class TestSkewDiagnosis:
         assert d.hot_keys[0][0] == 7
         assert d.top_share_upper >= 1.0
         assert d.salt_buckets(16) == 16  # full spread, clamped to P
+
+
+class TestJoinAdvice:
+    def test_estimates_and_sandwich(self, spark):
+        """lineitem-shaped join: est_join_rows >= exact always (CMS is
+        one-sided) and <= exact + upper_margin; NDV/F2 near exact."""
+        from sketchlib.spark.skewdiag import advise_join
+
+        left = spark.range(30_000).select((F.col("id") % 3_000).alias("k"))
+        right = spark.range(3_000).select(F.col("id").alias("k"))
+        adv = advise_join(left, "k", right, "k")
+        exact = 30_000  # every right key matches 10 left rows
+        assert exact <= adv.est_join_rows <= exact + adv.upper_margin
+        assert adv.n_left == 30_000 and adv.n_right == 3_000
+        assert abs(adv.ndv_left - 3_000) <= 0.1 * 3_000
+        assert abs(adv.ndv_right - 3_000) <= 0.1 * 3_000
+        # all-distinct side: exact F2 == n; the AMS estimate is within
+        # its published median-of-rows bound, not exact
+        assert abs(adv.f2_right - 3_000) <= 6.8 * (2.0 / (1 << 12)) ** 0.5 * 3_000
+
+    def test_strategy_broadcast_and_salt(self, spark):
+        from sketchlib.spark.skewdiag import advise_join
+
+        left = spark.range(50_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(-1))
+            .otherwise(F.col("id")).alias("k"))
+        right = spark.range(1_000).select(F.col("id").alias("k"))
+        adv = advise_join(left, "k", right, "k")
+        # right side fits any broadcast budget
+        assert adv.strategy(broadcast_rows=10_000) == "broadcast_right"
+        # deny broadcast: the 50%-hub left side must trip the salt flag
+        # (F2/n^2 lower bound ~ 0.25; 0.25 * 200 partitions >> 2)
+        s = adv.strategy(broadcast_rows=100)
+        assert s.startswith("shuffle") and "+salt_left" in s
+        assert "+salt_right" not in s
+        assert adv.fanout >= 0.0
