@@ -22,6 +22,7 @@ Layering:
 * ``sketchlib.jobs`` — spark-submit entry points.
 """
 
+from .ams import AmsSketch  # noqa: F401
 from .bloom import BloomFilter  # noqa: F401
 from .cms import CountMinSketch  # noqa: F401
 from .ddsketch import DDSketch  # noqa: F401

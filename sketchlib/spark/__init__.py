@@ -14,4 +14,15 @@ from .aggregate import (  # noqa: F401
 )
 from .audit import accuracy_audit, audit_summary  # noqa: F401
 from .bucketing import colocated_join, write_bucketed  # noqa: F401
-from .specs import BloomSpec, CmsSpec, KllSpec, TDigestSpec, ThetaSpec  # noqa: F401
+from .skewdiag import JoinAdvice, SkewDiagnosis, advise_join, diagnose_skew  # noqa: F401
+from .specs import (  # noqa: F401
+    AmsSpec,
+    BloomSpec,
+    CmsSpec,
+    ComboSpec,
+    DdSpec,
+    KllSpec,
+    MgSpec,
+    TDigestSpec,
+    ThetaSpec,
+)
