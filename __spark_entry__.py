@@ -1817,6 +1817,65 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("height").cast("int").alias("h")))
 
 
+def q_range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven balanced range partitioning (sketchlib/spark/ranges.py):
+    KLL boundaries replace the separate sampling job Spark's
+    RangePartitioner runs before every repartitionByRange/orderBy; bucket
+    ids come from an O(log B) codegen WHEN-tree, and a hash-preimage
+    relabel (probed through Spark's own hash()) makes bucket j land in
+    exactly output partition j.  Pins, all computed in-gate from exact
+    re-derivations: (1) the WHEN-tree equals numpy searchsorted-right on
+    EVERY row, (2) the bucket->partition map is the identity bijection,
+    (3) adjacent buckets are strictly value-ordered (global sort property),
+    (4) every bucket's share is within 1/B +- 2.5% (KLL k=200 ~1% rank
+    error per boundary), (5) bucket counts sum to the exact total the
+    oracle recomputes."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from sketchlib.spark.ranges import (kll_boundaries,
+                                        repartition_by_boundaries)
+
+    B = 16
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("price"))
+    bounds = kll_boundaries(li, "price", B)
+    out = repartition_by_boundaries(li, "price", bounds, bucket_col="bkt")
+    # spark_partition_id is evaluated in the map-side Project BEFORE the
+    # stats shuffle, so it reports the range-partitioned placement
+    tagged = out.withColumn("pid", F.spark_partition_id())
+
+    @F.pandas_udf(T.IntegerType())
+    def _ss(v):
+        return pd.Series(np.searchsorted(bounds, v.to_numpy(),
+                                         side="right").astype(np.int32))
+
+    # ONE pass over the repartitioned data: every check folds into the
+    # per-bucket aggregate (<= B rows collected)
+    stats = (tagged.groupBy("bkt")
+             .agg(F.count("*").alias("n"),
+                  F.min("price").alias("lo"), F.max("price").alias("hi"),
+                  F.count_distinct("pid").alias("npids"),
+                  F.min("pid").alias("pid"),
+                  F.sum(F.when(F.col("bkt") != _ss("price"), 1).otherwise(0))
+                   .alias("tree_mismatch"))
+             .orderBy("bkt").collect())
+    total = sum(r["n"] for r in stats)  # exported; oracle pins COUNT(*)
+    tree_ok = sum(r["tree_mismatch"] for r in stats) == 0
+    placement_ok = all(r["npids"] == 1 and r["pid"] == r["bkt"]
+                       for r in stats)
+    ordered = all(a["hi"] < b["lo"] for a, b in zip(stats, stats[1:]))
+    balanced = (len(stats) == B
+                and all(abs(r["n"] / total - 1 / B) < 0.025 for r in stats))
+    return spark.createDataFrame(
+        [(int(total), B, tree_ok, placement_ok, ordered, balanced,
+          len({r["pid"] for r in stats}) == len(stats))],
+        "total_rows long, n_buckets int, tree_matches_searchsorted boolean, "
+        "one_partition_per_bucket boolean, buckets_strictly_ordered boolean, "
+        "balanced_within_bound boolean, counts_cover_all_rows boolean")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact distinct suppliers per order via HLL two-stage
     aggregation on sf0.001."""
@@ -2724,13 +2783,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume_users": q_checkpoint_resume_users,
         "streaming_windowed_eviction": q_streaming_windowed_eviction,
         "video_frame_sample": q_video_frame_sample,
+        "range_partition_balance": q_range_partition_balance,
         "dedup_clusters": q_dedup_clusters,
-        "per_source_cap": q_per_source_cap,
+        # (per_source_cap rotated to the tail for the round-4-late
+        # range_partition_balance gate: r03-green, code unchanged)
         # ---- position 51+: stable two-rounds-green gates, unchanged code -
         # (url_normalize_keys / ann_cosine_topk / ivf_ann_topk rotated out
         # of the window for the round-4 additions: r02-green, code
         # unchanged, machinery still window-covered by blocklist_filter /
         # embedding_near_dup / pq_adc_topk / ivf_pq_topk)
+        "per_source_cap": q_per_source_cap,
         "url_normalize_keys": q_url_normalize_keys,
         "embedding_near_dup": q_embedding_near_dup,
         "hll_rolling_distinct_bound": q_hll_rolling_distinct_bound,
@@ -3450,6 +3512,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
             "TRUE AS within_bound, TRUE AS resume_equals_uninterrupted, "
             "TRUE AS units_run_once FROM events GROUP BY event_type"
+        ),
+        "range_partition_balance": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS total_rows, "
+            "16 AS n_buckets, TRUE AS tree_matches_searchsorted, "
+            "TRUE AS one_partition_per_bucket, "
+            "TRUE AS buckets_strictly_ordered, "
+            "TRUE AS balanced_within_bound, "
+            "TRUE AS counts_cover_all_rows FROM lineitem"
         ),
         "streaming_windowed_eviction": (
             "SELECT * FROM (VALUES "

@@ -1,0 +1,161 @@
+"""Sketch-driven balanced range partitioning (no sampling job).
+
+Spark's ``repartitionByRange`` / ``orderBy`` launch a *separate sampling
+job* (RangePartitioner reservoir sampling: ``sampleSizePerPartition`` rows
+collected to the driver) before the real shuffle — at 100 TB that is an
+extra pass over every input split just to pick boundaries.  This module
+derives the boundaries from a KLL quantile sketch instead:
+
+* ``kll_boundaries`` — one mergeable-aggregate scan builds a k=200 KLL
+  (Karnin-Lang-Liberty 2016) whose ~1% normalized rank error makes every
+  bucket hold ``1/B ± 2ε`` of the rows w.h.p.; the blob is <= a few KB on
+  the driver regardless of input size.  When the column was already
+  profiled (``spark/profile.py`` builds KLL blobs per numeric column),
+  ``boundaries_from_blob`` prices the boundaries at ZERO extra scans.
+* ``bucket_expr`` — an O(log B) branch-free ``WHEN`` *binary-search tree*
+  over the boundary literals (searchsorted-right semantics), fully inside
+  whole-stage codegen: B=1024 partitions costs 10 comparisons per row, not
+  a 1024-element array walk and no Python.
+* ``hash_preimage_relabel`` — ``df.repartition(B, col)`` hash-partitions,
+  so bucket j would land on ``pmod(hash(j), B)`` with balls-in-bins
+  collisions leaving ~1/e of partitions empty.  We instead relabel bucket
+  j to an integer v_j chosen so ``pmod(hash(v_j), B) == j`` — the
+  preimages are found by probing *Spark's own* ``hash()`` (one tiny
+  driver-side job over a few thousand ints), so the mapping is exact by
+  construction, never a reimplementation of Murmur3 that could drift.
+  Result: every bucket gets exactly its own output partition.
+* ``repartition_by_boundaries`` / ``balanced_sort`` — compose the above:
+  a globally sorted (partition i entirely < partition i+1), balanced
+  dataset in ONE shuffle with NO sampling job.
+
+Ordering conventions match Spark's sort order so ``balanced_sort`` is a
+drop-in for ``orderBy``: NULLs first (bucket 0), NaN last (bucket B-1).
+Ties colocate (equal values share a bucket) — a single value carrying more
+than 1/B of the rows therefore caps achievable balance; diagnose that
+first with ``spark/skewdiag.diagnose_skew``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .aggregate import sketch_agg
+from .specs import KllSpec
+
+MAX_BUCKETS = 65536  # boundary literals live in the plan; keep it sane
+
+
+def boundaries_from_blob(blob: bytes, num_buckets: int, spec=None) -> np.ndarray:
+    """B-1 ascending boundaries from an existing quantile-sketch blob
+    (KLL or t-digest spec) — zero scans.  Duplicate quantiles (a value
+    holding >1/B of the mass) are kept: buckets between two equal
+    boundaries are simply empty, and the bucket expression stays a
+    correct searchsorted."""
+    if not 2 <= num_buckets <= MAX_BUCKETS:
+        raise ValueError(f"num_buckets must be in [2, {MAX_BUCKETS}]")
+    spec = spec or KllSpec()
+    sk = spec.from_bytes(bytes(blob))
+    if sk.count_additions == 0:
+        raise ValueError("quantile sketch is empty — no rows to partition")
+    probs = np.arange(1, num_buckets) / num_buckets
+    return np.asarray(sk.quantile(probs), dtype=np.float64)
+
+
+def kll_boundaries(df: DataFrame, value_col: str, num_buckets: int,
+                   spec=None) -> np.ndarray:
+    """One sketch-aggregate scan -> B-1 boundaries on the driver."""
+    spec = spec or KllSpec()
+    row = sketch_agg(df.select(value_col).na.drop(), value_col,
+                     (), spec).collect()
+    if not row or row[0]["sketch"] is None:
+        raise ValueError(f"no non-null rows in column {value_col!r}")
+    return boundaries_from_blob(bytes(row[0]["sketch"]), num_buckets, spec)
+
+
+def bucket_expr(value_col: str | Column, boundaries: Sequence[float]) -> Column:
+    """searchsorted-right bucket id as an O(log B) codegen WHEN-tree.
+
+    bucket(v) = #{i : boundaries[i] <= v}; NULL -> 0, NaN -> B-1 (every
+    tree node's ``v < b`` is false for NaN, so NaN falls to the rightmost
+    leaf — consistent with Spark sorting NaN after all doubles)."""
+    b = np.asarray(boundaries, dtype=np.float64)
+    if b.shape[0] == 0:
+        raise ValueError("need at least one boundary")
+    if np.any(np.diff(b) < 0) or not np.all(np.isfinite(b)):
+        raise ValueError("boundaries must be finite and ascending")
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+
+    def tree(lo: int, hi: int) -> Column:
+        # invariant: bucket in [lo, hi]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        # v < b[mid]  <=>  #{b_i <= v} <= mid  (b ascending)
+        return (F.when(col < F.lit(float(b[mid])), tree(lo, mid))
+                .otherwise(tree(mid + 1, hi)))
+
+    return F.when(col.isNull(), F.lit(0)).otherwise(tree(0, int(b.shape[0])))
+
+
+def hash_preimage_relabel(spark: SparkSession, num_buckets: int) -> np.ndarray:
+    """relabel[j] = smallest int v with pmod(hash(v), B) == j, probed
+    through Spark's own ``hash()`` expression so it matches
+    ``HashPartitioning`` bit-for-bit.  Coupon-collector: ~B ln B probes;
+    runs as one single-partition job over a driver-sized range."""
+    relabel = np.full(num_buckets, -1, dtype=np.int64)
+    lo, found = 0, 0
+    while found < num_buckets:
+        chunk = max(256, 4 * num_buckets)
+        rows = (spark.range(lo, lo + chunk, 1, 1)
+                .select(F.col("id").cast("int").alias("v"),
+                        F.pmod(F.hash(F.col("id").cast("int")),
+                               F.lit(num_buckets)).alias("j"))
+                .collect())
+        for r in rows:
+            j = int(r["j"])
+            if relabel[j] < 0:
+                relabel[j] = int(r["v"])
+                found += 1
+        lo += chunk
+        if lo > 1_000_000 * max(1, num_buckets // 256):  # pragma: no cover
+            raise RuntimeError("hash preimage probe failed to converge")
+    return relabel
+
+
+def repartition_by_boundaries(df: DataFrame, value_col: str,
+                              boundaries: Sequence[float],
+                              bucket_col: str | None = None,
+                              sort_within: bool = False) -> DataFrame:
+    """Exactly B = len(boundaries)+1 output partitions, partition j holding
+    precisely bucket j's rows (hash-preimage relabel), optional
+    sortWithinPartitions for a global sort.  One shuffle, no sampling job;
+    AQE does not coalesce an explicit numPartitions repartition, so the
+    bucket<->partition bijection survives adaptive re-planning."""
+    b = np.asarray(boundaries, dtype=np.float64)
+    num_buckets = int(b.shape[0]) + 1
+    relabel = hash_preimage_relabel(df.sparkSession, num_buckets)
+    bucket = bucket_expr(value_col, b)
+    relabeled = F.get(F.array(*[F.lit(int(v)) for v in relabel]), bucket)
+    keep = bucket_col or "__range_bucket"
+    out = (df.withColumn(keep, bucket)
+           .withColumn("__relabel", relabeled)
+           .repartition(num_buckets, F.col("__relabel"))
+           .drop("__relabel"))
+    if sort_within:
+        out = out.sortWithinPartitions(value_col)
+    return out if bucket_col else out.drop(keep)
+
+
+def balanced_sort(df: DataFrame, value_col: str, num_partitions: int,
+                  spec=None, blob: bytes | None = None) -> DataFrame:
+    """Globally sorted df (partition i's values all precede partition
+    i+1's) in one shuffle.  Pass ``blob`` (an existing KLL/t-digest blob
+    for the column, e.g. from ``spark/profile.py``) to skip the boundary
+    scan entirely."""
+    b = (boundaries_from_blob(blob, num_partitions, spec) if blob is not None
+         else kll_boundaries(df, value_col, num_partitions, spec))
+    return repartition_by_boundaries(df, value_col, b, sort_within=True)

@@ -1,0 +1,155 @@
+"""Sketch-driven balanced range partitioning (sketchlib/spark/ranges.py).
+
+Oracles are full re-derivations: numpy searchsorted for the bucket
+expression, exact quantiles for balance, per-partition min/max collect for
+the global-sort property.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sketchlib.spark.ranges import (balanced_sort, boundaries_from_blob,
+                                    bucket_expr, hash_preimage_relabel,
+                                    kll_boundaries,
+                                    repartition_by_boundaries)
+
+
+def _df(spark, vals, parts=7):
+    return spark.createDataFrame(
+        [Row(i=i, v=float(v)) for i, v in enumerate(vals)]).repartition(parts)
+
+
+def test_bucket_expr_matches_searchsorted(spark):
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([rng.normal(0, 100, 4000),
+                           rng.choice([1.0, 2.5, -3.75], 500)])  # boundary ties
+    b = np.sort(rng.normal(0, 100, 31))
+    b[5] = b[6] = vals[0]  # duplicate boundary AND an exact hit
+    b = np.sort(b)
+    got = (_df(spark, vals)
+           .select("i", bucket_expr("v", b).alias("bkt"))
+           .toPandas().sort_values("i")["bkt"].to_numpy())
+    want = np.searchsorted(b, vals, side="right")
+    assert np.array_equal(got, want)
+
+
+def test_bucket_expr_null_and_nan(spark):
+    b = [0.0, 10.0]
+    df = spark.createDataFrame(
+        [Row(v=None), Row(v=float("nan")), Row(v=-1.0), Row(v=0.0),
+         Row(v=5.0), Row(v=10.0), Row(v=11.0)])
+    got = [r["bkt"] for r in
+           df.select(bucket_expr("v", b).alias("bkt")).collect()]
+    # NULL->0 (nulls first), NaN->B-1 (NaN sorts last), searchsorted-right
+    assert got == [0, 2, 0, 1, 1, 2, 2]
+
+
+def test_bucket_expr_rejects_bad_boundaries():
+    with pytest.raises(ValueError):
+        bucket_expr("v", [3.0, 1.0])
+    with pytest.raises(ValueError):
+        bucket_expr("v", [0.0, float("inf")])
+    with pytest.raises(ValueError):
+        bucket_expr("v", [])
+
+
+@pytest.mark.parametrize("nb", [2, 5, 32])
+def test_hash_preimage_relabel(spark, nb):
+    relabel = hash_preimage_relabel(spark, nb)
+    assert sorted(set(relabel.tolist())) == sorted(relabel.tolist())
+    got = (spark.createDataFrame([Row(v=int(v)) for v in relabel])
+           .select(F.pmod(F.hash(F.col("v").cast("int")), F.lit(nb))
+                   .alias("j")).collect())
+    assert sorted(r["j"] for r in got) == list(range(nb))
+
+
+def test_repartition_one_bucket_per_partition(spark):
+    rng = np.random.default_rng(11)
+    vals = rng.exponential(50, 6000)
+    b = np.quantile(vals, np.arange(1, 8) / 8)  # exact boundaries, B=8
+    out = repartition_by_boundaries(_df(spark, vals), "v", b,
+                                    bucket_col="bkt")
+    placed = (out.select("bkt", F.spark_partition_id().alias("pid"))
+              .distinct().collect())
+    assert sorted((r["bkt"], r["pid"]) for r in placed) == \
+        [(j, j) for j in range(8)]
+    assert out.rdd.getNumPartitions() == 8
+
+
+def test_balanced_sort_is_global_sort_and_balanced(spark):
+    rng = np.random.default_rng(13)
+    vals = rng.normal(0, 1, 20000)
+    out = balanced_sort(_df(spark, vals, parts=11), "v", 16)
+    stats = (out.groupBy(F.spark_partition_id().alias("pid"))
+             .agg(F.min("v").alias("lo"), F.max("v").alias("hi"),
+                  F.count("*").alias("n"))
+             .orderBy("pid").collect())
+    assert len(stats) == 16
+    for a, b in zip(stats, stats[1:]):
+        assert a["hi"] < b["lo"]  # strict: buckets never overlap
+    # KLL k=200 rank error ~1%: every bucket within 1/16 +- 2.5%
+    shares = np.array([r["n"] for r in stats]) / 20000
+    assert abs(shares.sum() - 1.0) < 1e-12
+    assert np.all(np.abs(shares - 1 / 16) < 0.025)
+    # within-partition sort => the concatenation is the fully sorted array
+    got = np.concatenate(
+        [np.array(p) for p in
+         out.select("v").rdd.map(lambda r: r["v"]).glom().collect()])
+    assert np.array_equal(got, np.sort(vals))
+
+
+def test_boundaries_from_blob_zero_scan_path(spark):
+    rng = np.random.default_rng(17)
+    vals = rng.uniform(0, 1000, 8000)
+    df = _df(spark, vals)
+    from sketchlib.spark.specs import KllSpec
+    from sketchlib.spark.aggregate import sketch_agg
+    blob = bytes(sketch_agg(df, "v", (), KllSpec()).collect()[0]["sketch"])
+    b = boundaries_from_blob(blob, 10)
+    exact = np.quantile(vals, np.arange(1, 10) / 10)
+    assert b.shape == (9,)
+    # each sketch boundary's exact rank within KLL error of its target
+    ranks = np.searchsorted(np.sort(vals), b) / len(vals)
+    assert np.all(np.abs(ranks - np.arange(1, 10) / 10) < 0.02), (ranks, exact)
+    with pytest.raises(ValueError):
+        boundaries_from_blob(blob, 1)
+
+
+def test_empty_and_all_null_raise(spark):
+    with pytest.raises(ValueError, match="empty|no non-null"):
+        kll_boundaries(spark.createDataFrame([], "v double"), "v", 4)
+    with pytest.raises(ValueError, match="empty|no non-null"):
+        kll_boundaries(
+            spark.createDataFrame([Row(v=None)] * 10, "v double"), "v", 4)
+
+
+def test_kll_boundaries_skips_nulls(spark):
+    df = spark.createDataFrame(
+        [Row(v=float(i)) for i in range(1000)] + [Row(v=None)] * 50)
+    b = kll_boundaries(df, "v", 4)
+    assert b.shape == (3,)
+    assert 200 < b[0] < 300 and 450 < b[1] < 550 and 700 < b[2] < 800
+
+
+def test_heavy_tie_colocates(spark):
+    # one value holds 50% of rows: ties must share a bucket (range
+    # semantics), so that bucket absorbs the mass and others stay exact
+    vals = np.concatenate([np.full(5000, 42.0),
+                           np.linspace(0, 40, 2500),
+                           np.linspace(44, 100, 2500)])
+    out = repartition_by_boundaries(
+        _df(spark, vals), "v", kll_boundaries(_df(spark, vals), "v", 8),
+        bucket_col="bkt")
+    per_val = (out.filter(F.col("v") == 42.0).select("bkt")
+               .distinct().collect())
+    assert len(per_val) == 1
+
+
+def test_math_sanity():
+    assert math.isclose(np.searchsorted([1.0, 2.0], 2.0, side="right"), 2)
