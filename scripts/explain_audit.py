@@ -490,6 +490,24 @@ def main() -> None:
     sections.append(("sketch_agg(lineitem, l_suppkey, ComboSpec[theta, ams])",
                      p, checks))
 
+    # 30. balanced_sort: hash-partitioned on the relabeled bucket —
+    # NO rangepartitioning exchange (that node is what triggers Spark's
+    # separate boundary-sampling job), bucket ids via codegen CASE WHEN
+    from sketchlib.spark.ranges import balanced_sort
+
+    df = balanced_sort(li.select(F.col("l_extendedprice").cast("double")
+                                 .alias("price")), "price", 16)
+    p = plan_of(df)
+    checks = [("no rangepartitioning exchange (so no RangePartitioner "
+               "sampling job)", "rangepartitioning" not in p),
+              ("exactly one shuffle exchange (the bucket repartition)",
+               n_shuffles(p) == 1),
+              ("bucket WHEN-tree is a codegen CASE WHEN, no Python stage",
+               "CASE WHEN" in p and "ArrowEvalPython" not in p
+               and "BatchEvalPython" not in p)]
+    sections.append(("balanced_sort(lineitem.price, 16) — sketch-driven "
+                     "range partitioning", p, checks))
+
     out = ["# BENCH/PLANS — physical-plan audit",
            "",
            "Generated by `python scripts/explain_audit.py`. Each section is "
