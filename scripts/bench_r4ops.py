@@ -128,6 +128,36 @@ def main() -> None:
     bench("countsketch distributed build (24M rows, 1M users)", n,
           lambda: sketch_agg(users, "user_id", (), spec).collect())
 
+    # -- global sort head-to-head: sketch-driven balanced_sort vs Spark's
+    # RangePartitioner (sampling job + range exchange).  noop write
+    # materializes every row WITH its ordering (count() would let Catalyst
+    # drop the sort).  Both sides pay their own boundary cost: the KLL
+    # scan for ours, the reservoir-sampling job for Spark's.
+    from sketchlib.spark.ranges import balanced_sort, kll_boundaries, \
+        repartition_by_boundaries
+
+    vals = (spark.range(n)
+            .select((F.abs(F.xxhash64("id")) % F.lit(10**9))
+                    .cast("double").alias("v")))
+    vals.persist().count()
+    parts = int(CPUS)
+    bench(f"global sort, Spark repartitionByRange({parts}) (24M doubles)", n,
+          lambda: vals.repartitionByRange(parts, "v")
+          .sortWithinPartitions("v")
+          .write.mode("overwrite").format("noop").save())
+    bench(f"global sort, sketch balanced_sort({parts}) (24M doubles)", n,
+          lambda: balanced_sort(vals, "v", parts)
+          .write.mode("overwrite").format("noop").save())
+    bench(f"global sort, balanced_sort({parts}) w/ 2% sampled boundaries",
+          n, lambda: balanced_sort(vals, "v", parts, sample_fraction=0.02)
+          .write.mode("overwrite").format("noop").save())
+    bounds = kll_boundaries(vals, "v", parts)
+    bench(f"global sort, balanced_sort({parts}) w/ reused profile blob", n,
+          lambda: repartition_by_boundaries(vals, "v", bounds,
+                                            sort_within=True)
+          .write.mode("overwrite").format("noop").save())
+    vals.unpersist()
+
     print()
     print("| operator | rows | wall (s) | rows/sec |")
     print("|---|---|---|---|")

@@ -28,6 +28,18 @@ derives the boundaries from a KLL quantile sketch instead:
   a globally sorted (partition i entirely < partition i+1), balanced
   dataset in ONE shuffle with NO sampling job.
 
+String columns (urls — the flagship key) partition through an
+order-preserving prefix transform: 8 bytes big-endian as an unsigned
+integer cast to double (``str_order_key``), taken AFTER skipping the
+corpus-wide longest common prefix (computed from one min/max aggregate —
+every string lies between min and max, so all share their LCP).  Without
+the skip a url corpus is useless to prefix-bucket: every key starts
+``https://``.  The transform is monotone w.r.t. Spark's binary string
+comparison (rounding u64→double is monotone, zero-padding shorter strings
+preserves byte order), so buckets respect string order exactly and
+``sortWithinPartitions`` on the ORIGINAL string column yields a correct
+global sort; strings tying on all 8 post-LCP bytes merely colocate.
+
 Ordering conventions match Spark's sort order so ``balanced_sort`` is a
 drop-in for ``orderBy``: NULLs first (bucket 0), NaN last (bucket B-1).
 Ties colocate (equal values share a bucket) — a single value carrying more
@@ -65,12 +77,66 @@ def boundaries_from_blob(blob: bytes, num_buckets: int, spec=None) -> np.ndarray
     return np.asarray(sk.quantile(probs), dtype=np.float64)
 
 
+def str_order_key(value_col: str | Column, skip: int = 0) -> Column:
+    """Order-preserving double from a string: bytes [skip, skip+8) big-
+    endian as an unsigned integer.  For strings agreeing on their first
+    ``skip`` bytes, a < b (Spark binary compare) => key(a) <= key(b), with
+    equality only when the 8 post-skip bytes tie — so range buckets built
+    on the key respect full string order, and prefix-tied strings
+    colocate."""
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    raw = F.substring(col.cast("binary"), int(skip) + 1, 8)
+    return F.conv(F.rpad(F.hex(raw), 16, "0"), 16, 10).cast("double")
+
+
+def str_common_prefix_len(df: DataFrame, value_col: str) -> int:
+    """Byte length of the corpus-wide longest common prefix — one min/max
+    codegen aggregate (every string lies between min and max, so the
+    corpus LCP equals LCP(min, max))."""
+    [r] = df.select(F.min(value_col).alias("lo"),
+                    F.max(value_col).alias("hi")).collect()
+    if r["lo"] is None:
+        return 0
+    a, b = r["lo"].encode("utf-8"), r["hi"].encode("utf-8")
+    i = 0
+    while i < min(len(a), len(b)) and a[i] == b[i]:
+        i += 1
+    return i
+
+
+def _is_string(df: DataFrame, value_col: str) -> bool:
+    return df.schema[value_col].dataType.typeName() == "string"
+
+
 def kll_boundaries(df: DataFrame, value_col: str, num_buckets: int,
-                   spec=None) -> np.ndarray:
-    """One sketch-aggregate scan -> B-1 boundaries on the driver."""
+                   spec=None, str_skip: int | None = None,
+                   sample_fraction: float | None = None) -> np.ndarray:
+    """One sketch-aggregate scan -> B-1 boundaries on the driver.  For a
+    string column the boundaries live in ``str_order_key`` space with the
+    LCP skipped (auto-computed unless ``str_skip`` is given — pass the
+    same value to ``repartition_by_boundaries``).
+
+    ``sample_fraction``: build the sketch over a Bernoulli sample instead
+    of every row.  The sample filter runs JVM-side, so only f·n rows cross
+    to the Python sketch stage — this is what makes the boundary scan
+    cheaper than Spark's own RangePartitioner sampling pass (measured in
+    BENCH/BASELINE.md).  Sampling adds ~sqrt(ln(2/δ)/(2·f·n)) rank error
+    (DKW) on top of the sketch's own — at f·n = 500k that is ±0.2%,
+    irrelevant for partition balance.  Deterministic seed: reruns pick
+    identical boundaries."""
     spec = spec or KllSpec()
-    row = sketch_agg(df.select(value_col).na.drop(), value_col,
-                     (), spec).collect()
+    if _is_string(df, value_col):
+        skip = (str_common_prefix_len(df, value_col) if str_skip is None
+                else int(str_skip))
+        elem, key = str_order_key(value_col, skip).alias("__ok"), "__ok"
+    else:
+        elem, key = F.col(value_col), value_col
+    src = df.select(elem).na.drop()
+    if sample_fraction is not None:
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError("sample_fraction must be in (0, 1]")
+        src = src.sample(fraction=float(sample_fraction), seed=42)
+    row = sketch_agg(src, key, (), spec).collect()
     if not row or row[0]["sketch"] is None:
         raise ValueError(f"no non-null rows in column {value_col!r}")
     return boundaries_from_blob(bytes(row[0]["sketch"]), num_buckets, spec)
@@ -129,16 +195,25 @@ def hash_preimage_relabel(spark: SparkSession, num_buckets: int) -> np.ndarray:
 def repartition_by_boundaries(df: DataFrame, value_col: str,
                               boundaries: Sequence[float],
                               bucket_col: str | None = None,
-                              sort_within: bool = False) -> DataFrame:
+                              sort_within: bool = False,
+                              str_skip: int | None = None) -> DataFrame:
     """Exactly B = len(boundaries)+1 output partitions, partition j holding
     precisely bucket j's rows (hash-preimage relabel), optional
     sortWithinPartitions for a global sort.  One shuffle, no sampling job;
     AQE does not coalesce an explicit numPartitions repartition, so the
-    bucket<->partition bijection survives adaptive re-planning."""
+    bucket<->partition bijection survives adaptive re-planning.  For a
+    string column, ``str_skip`` must match the value the boundaries were
+    built with (auto-recomputed from the same min/max if omitted)."""
     b = np.asarray(boundaries, dtype=np.float64)
     num_buckets = int(b.shape[0]) + 1
     relabel = hash_preimage_relabel(df.sparkSession, num_buckets)
-    bucket = bucket_expr(value_col, b)
+    if _is_string(df, value_col):
+        skip = (str_common_prefix_len(df, value_col) if str_skip is None
+                else int(str_skip))
+        key = str_order_key(value_col, skip)
+    else:
+        key = F.col(value_col)
+    bucket = bucket_expr(key, b)
     relabeled = F.get(F.array(*[F.lit(int(v)) for v in relabel]), bucket)
     keep = bucket_col or "__range_bucket"
     out = (df.withColumn(keep, bucket)
@@ -151,11 +226,21 @@ def repartition_by_boundaries(df: DataFrame, value_col: str,
 
 
 def balanced_sort(df: DataFrame, value_col: str, num_partitions: int,
-                  spec=None, blob: bytes | None = None) -> DataFrame:
+                  spec=None, blob: bytes | None = None,
+                  sample_fraction: float | None = None) -> DataFrame:
     """Globally sorted df (partition i's values all precede partition
     i+1's) in one shuffle.  Pass ``blob`` (an existing KLL/t-digest blob
     for the column, e.g. from ``spark/profile.py``) to skip the boundary
-    scan entirely."""
+    scan entirely (numeric columns only — a string column's key space
+    depends on the LCP skip)."""
+    skip = None
+    if _is_string(df, value_col):
+        if blob is not None:
+            raise ValueError("profile-blob reuse is numeric-only: a string "
+                             "column's order-key space depends on the LCP")
+        skip = str_common_prefix_len(df, value_col)
     b = (boundaries_from_blob(blob, num_partitions, spec) if blob is not None
-         else kll_boundaries(df, value_col, num_partitions, spec))
-    return repartition_by_boundaries(df, value_col, b, sort_within=True)
+         else kll_boundaries(df, value_col, num_partitions, spec,
+                             str_skip=skip, sample_fraction=sample_fraction))
+    return repartition_by_boundaries(df, value_col, b, sort_within=True,
+                                     str_skip=skip)

@@ -151,5 +151,101 @@ def test_heavy_tie_colocates(spark):
     assert len(per_val) == 1
 
 
+def test_str_order_key_monotone(spark):
+    from sketchlib.spark.ranges import str_order_key
+    rng = np.random.default_rng(23)
+    pool = list("abcXYZ09/.-_") + ["é", "☃", "\x01", "\x7f"]
+    strs = ["".join(rng.choice(pool, size=rng.integers(0, 14)))
+            for _ in range(400)]
+    strs += ["", "prefix08", "prefix08a", "prefix08b",  # 8-byte prefix ties
+             "https://a.example.com/x", "https://a.example.com/y"]
+    df = spark.createDataFrame([Row(i=i, s=s) for i, s in enumerate(strs)])
+    rows = (df.select("s", str_order_key("s").alias("k"))
+            .orderBy("s").collect())  # Spark's own binary string order
+    keys = [r["k"] for r in rows]
+    assert all(a <= b for a, b in zip(keys, keys[1:]))  # monotone
+    # exact parity with the python rederivation: float(u64 of the 8-byte
+    # zero-padded utf-8 prefix).  (Strictness is NOT promised for every
+    # distinct prefix pair: u64 -> double rounding can merge keys whose
+    # prefixes differ only in the low bits — ties colocate, never invert.)
+    for r in rows:
+        want = float(int.from_bytes(
+            r["s"].encode()[:8].ljust(8, b"\0"), "big"))
+        assert r["k"] == want, (r, want)
+    assert len(set(keys)) > 300  # and the key still separates most strings
+
+
+def test_str_common_prefix_len(spark):
+    from sketchlib.spark.ranges import str_common_prefix_len
+    df = spark.createDataFrame(
+        [Row(u=f"https://h{i:03d}.example.com/p") for i in range(100)])
+    # i in [0, 99]: every host starts h0.., so the LCP includes the digit
+    assert str_common_prefix_len(df, "u") == len("https://h0")
+    df2 = spark.createDataFrame(
+        [Row(u=f"https://h{i:03d}.example.com/p") for i in range(500)])
+    assert str_common_prefix_len(df2, "u") == len("https://h")
+    same = spark.createDataFrame([Row(u="identical")] * 5)
+    assert str_common_prefix_len(same, "u") == len("identical")
+
+
+def test_balanced_sort_on_string_urls(spark):
+    # every url shares "https://" — the LCP auto-skip is what makes the
+    # 8-byte order key see the varying host bytes at all
+    rng = np.random.default_rng(29)
+    hosts = [f"h{i:04d}.example.com" for i in range(500)]
+    urls = [f"https://{rng.choice(hosts)}/p/{i}" for i in range(8000)]
+    df = spark.createDataFrame([Row(u=u) for u in urls]).repartition(9)
+    out = balanced_sort(df, "u", 8)
+    stats = (out.groupBy(F.spark_partition_id().alias("pid"))
+             .agg(F.min("u").alias("lo"), F.max("u").alias("hi"),
+                  F.count("*").alias("n")).orderBy("pid").collect())
+    assert len(stats) == 8
+    for a, b in zip(stats, stats[1:]):
+        assert a["hi"] < b["lo"]  # global string order across partitions
+    shares = np.array([r["n"] for r in stats]) / 8000
+    assert abs(shares.sum() - 1.0) < 1e-12
+    # host granularity (500 hosts, ~16 urls each) + KLL error: loose bound
+    assert shares.max() < 1 / 8 + 0.05
+    # concatenated partitions == fully sorted url list
+    got = [u for p in
+           out.select("u").rdd.map(lambda r: r["u"]).glom().collect()
+           for u in p]
+    assert got == sorted(urls)
+
+
+def test_post_lcp_ties_colocate(spark):
+    # strings identical through LCP+8 bytes share an order key => 1 bucket
+    from sketchlib.spark.ranges import kll_boundaries
+    df = spark.createDataFrame(
+        [Row(u=f"https://host.example.com/page/{i}") for i in range(2000)])
+    # LCP(min,max) = "https://host.example.com/page/" followed by digits;
+    # min=/page/0, max=/page/999 -> LCP ends at "/page/", keys vary
+    b = kll_boundaries(df, "u", 4)
+    out = repartition_by_boundaries(df, "u", b, bucket_col="bkt")
+    assert out.select("bkt").distinct().count() >= 2  # LCP skip engaged
+    same = spark.createDataFrame([Row(u="https://same.url/x")] * 500)
+    bs = kll_boundaries(same, "u", 4)
+    outs = repartition_by_boundaries(same, "u", bs, bucket_col="bkt")
+    assert outs.select("bkt").distinct().count() == 1
+
+
+def test_sampled_boundaries_still_balanced(spark):
+    rng = np.random.default_rng(31)
+    vals = rng.gamma(2.0, 10.0, 30000)
+    df = _df(spark, vals, parts=6)
+    b = kll_boundaries(df, "v", 8, sample_fraction=0.2)
+    out = repartition_by_boundaries(df, "v", b, bucket_col="bkt")
+    counts = [r["n"] for r in
+              out.groupBy("bkt").agg(F.count("*").alias("n")).collect()]
+    shares = np.array(counts) / 30000
+    # sketch ~1% + DKW sampling error at f*n=6000 (~1.5%): loose 4% bar
+    assert np.all(np.abs(shares - 1 / 8) < 0.04)
+    with pytest.raises(ValueError):
+        kll_boundaries(df, "v", 8, sample_fraction=1.5)
+    # deterministic: same fraction + seed -> identical boundaries
+    b2 = kll_boundaries(df, "v", 8, sample_fraction=0.2)
+    assert np.array_equal(b, b2)
+
+
 def test_math_sanity():
     assert math.isclose(np.searchsorted([1.0, 2.0], 2.0, side="right"), 2)
