@@ -73,3 +73,43 @@ def profile_columns(df: DataFrame, columns: Sequence[str] | None = None,
     return exact.join(est, "column", "left").select(
         "column", "n_rows", "n_nulls", "min_value", "max_value",
         F.coalesce("distinct_estimate", F.lit(0)).alias("distinct_estimate"))
+
+
+_NUMERIC_TYPES = {"byte", "short", "integer", "long", "float", "double",
+                  "decimal"}
+
+
+def profile_quantiles(df: DataFrame, columns: Sequence[str] | None = None,
+                      spec=None) -> DataFrame:
+    """One melted scan -> a mergeable quantile-sketch blob per numeric
+    column: ``(column string, sketch binary)``.
+
+    The blobs are the currency of the quantile surface: feed one to
+    ``spark/quantiles.quantiles_col`` for estimates, or to
+    ``spark/ranges.boundaries_from_blob`` for a zero-extra-scan
+    ``balanced_sort`` — profiling the table once prices range-layout
+    decisions for every numeric column at no further reads.
+
+    Same shape as the distinct profile above: each row explodes to
+    (column_name, double) pairs, the two-stage sketch aggregation groups
+    by column name (N_columns groups, blob-only shuffle), and Catalyst
+    prunes every unprofiled column at the scan."""
+    from .specs import KllSpec
+
+    spec = spec or KllSpec()
+    if columns is None:
+        columns = [f.name for f in df.schema.fields
+                   if f.dataType.typeName().split("(")[0] in _NUMERIC_TYPES]
+    cols = list(columns)
+    if not cols:
+        raise ValueError("profile_quantiles needs at least one numeric "
+                         "column")
+    for c in cols:
+        t = df.schema[c].dataType.typeName().split("(")[0]
+        if t not in _NUMERIC_TYPES:
+            raise ValueError(f"column {c!r} is {t}, not numeric")
+    kv = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(c).cast("double").alias("v")) for c in cols]))
+    melted = df.select(kv.alias("kv")).select("kv.column", "kv.v").na.drop()
+    return sketch_agg(melted, "v", ["column"], spec)

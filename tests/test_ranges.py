@@ -247,5 +247,77 @@ def test_sampled_boundaries_still_balanced(spark):
     assert np.array_equal(b, b2)
 
 
+def test_write_read_range_partitioned(spark, tmp_path):
+    from sketchlib.spark.ranges import (read_range_pruned, scan_footers,
+                                        write_range_partitioned)
+    rng = np.random.default_rng(37)
+    vals = rng.uniform(0, 1000, 20000)
+    df = _df(spark, vals, parts=6)
+    path = str(tmp_path / "ranged")
+    manifest = write_range_partitioned(df, "v", path, 8)
+    assert len(manifest) == 8
+    assert sum(m["rows"] for m in manifest) == 20000
+    # files disjoint and ordered once sorted by lo
+    ms = sorted(manifest, key=lambda m: m["lo"])
+    assert all(a["hi"] < b["lo"] for a, b in zip(ms, ms[1:]))
+    # a narrow range touches few files and matches the exact filter
+    lo, hi = 250.0, 300.0
+    pruned = read_range_pruned(spark, path, "v", lo, hi, manifest=manifest)
+    got = sorted(r["v"] for r in pruned.collect())
+    want = sorted(v for v in vals if lo <= v <= hi)
+    assert np.allclose(got, want)
+    touched = [m for m in manifest
+               if m["lo"] <= hi and m["hi"] >= lo]
+    assert len(touched) <= 2  # ~5% of the value domain -> 1-2 of 8 files
+    # footer scan path (no manifest) gives the same answer
+    again = read_range_pruned(spark, path, "v", lo, hi)
+    assert again.count() == len(want)
+    # empty-overlap range returns an empty frame with the right schema
+    none = read_range_pruned(spark, path, "v", 5000.0, 6000.0)
+    assert none.count() == 0 and "v" in none.columns
+    # scan_footers standalone agrees with the returned manifest
+    assert scan_footers(path, "v") == manifest
+
+
+def test_write_range_partitioned_strings(spark, tmp_path):
+    from sketchlib.spark.ranges import (read_range_pruned,
+                                        write_range_partitioned)
+    urls = [f"https://h{i % 199:03d}.example.com/p/{i}" for i in range(6000)]
+    df = spark.createDataFrame([Row(u=u) for u in urls]).repartition(5)
+    path = str(tmp_path / "urls")
+    manifest = write_range_partitioned(df, "u", path, 6)
+    assert sum(m["rows"] for m in manifest) == 6000
+    lo, hi = "https://h050", "https://h059￿"
+    pruned = read_range_pruned(spark, path, "u", lo, hi, manifest=manifest)
+    want = sorted(u for u in urls if lo <= u <= hi)
+    assert sorted(r["u"] for r in pruned.collect()) == want
+    assert len([m for m in manifest
+                if m["lo"] <= hi and m["hi"] >= lo]) < 6  # pruning engaged
+
+
+def test_profile_quantiles_feeds_balanced_sort(spark):
+    from sketchlib.spark.profile import profile_quantiles
+    from sketchlib.spark.ranges import boundaries_from_blob
+    rng = np.random.default_rng(41)
+    df = spark.createDataFrame(
+        [Row(a=float(x), b=float(y), s="txt")
+         for x, y in zip(rng.normal(0, 5, 6000),
+                         rng.exponential(9, 6000))]).repartition(5)
+    prof = {r["column"]: bytes(r["sketch"])
+            for r in profile_quantiles(df, ["a", "b"]).collect()}
+    assert set(prof) == {"a", "b"}
+    # blob -> boundaries -> balanced partitions with ZERO further scans of df
+    b = boundaries_from_blob(prof["b"], 4)
+    out = repartition_by_boundaries(df, "b", b, bucket_col="bkt")
+    counts = [r["n"] for r in
+              out.groupBy("bkt").agg(F.count("*").alias("n")).collect()]
+    assert all(abs(c / 6000 - 0.25) < 0.04 for c in counts)
+    # auto-detect numeric columns; reject non-numeric explicitly
+    assert {r["column"] for r in profile_quantiles(df).collect()} == \
+        {"a", "b"}
+    with pytest.raises(ValueError, match="not numeric"):
+        profile_quantiles(df, ["s"])
+
+
 def test_math_sanity():
     assert math.isclose(np.searchsorted([1.0, 2.0], 2.0, side="right"), 2)
