@@ -1731,7 +1731,13 @@ def q_streaming_windowed_eviction(spark: SparkSession, sf_dir: str) -> DataFrame
     collected: list = []
 
     def write(rows, mtime: float):
-        (spark.createDataFrame(rows, schema).coalesce(1)
+        # repartition(1), NOT coalesce(1): a python-parallelized local
+        # relation has defaultParallelism (32) pickled partitions, and a
+        # coalesced single task deserializes them SEQUENTIALLY (one python
+        # worker round-trip each) — measured 4.9 s vs 0.6 s per tiny
+        # write, ~15 s of this gate's former 18 s wall.  repartition's map
+        # side stays 32-wide and parallel.
+        (spark.createDataFrame(rows, schema).repartition(1)
          .write.mode("append").parquet(src))
         # pin file modTimes ascending so the file source's batch order is
         # deterministic (it sorts new files by timestamp)
