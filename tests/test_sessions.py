@@ -131,12 +131,12 @@ class TestStreamingSessions:
                  .trigger(availableNow=True).start())
             assert q.awaitTermination(120), "streaming pass timed out"
 
-        spark.createDataFrame(early, schema).coalesce(1).write.mode(
+        spark.createDataFrame(early, schema).repartition(1).write.mode(
             "append").parquet(src)
         run_pass()
         # second pass: the 10h-later event advances the watermark past the
         # early session's close, finalizing it
-        spark.createDataFrame(late, schema).coalesce(1).write.mode(
+        spark.createDataFrame(late, schema).repartition(1).write.mode(
             "append").parquet(src)
         run_pass()
         done = [r for r in collected if r["user_id"] == 7]

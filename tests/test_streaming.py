@@ -15,7 +15,7 @@ SCHEMA = T.StructType([
 
 def _write_chunk(spark, src_dir, rows, chunk_id):
     df = spark.createDataFrame(rows, SCHEMA)
-    df.coalesce(1).write.mode("append").parquet(src_dir)
+    df.repartition(1).write.mode("append").parquet(src_dir)
 
 
 def _run_available_now(spark, src_dir, ckpt_dir, sink_table):
@@ -82,7 +82,7 @@ def test_streaming_windowed_event_time(spark, tmp_path):
     os.makedirs(src, exist_ok=True)
     rows = ([(f"https://a/{i}", datetime(2026, 1, 1, 0, 10)) for i in range(30)]
             + [(f"https://a/{i}", datetime(2026, 1, 1, 1, 10)) for i in range(10, 50)])
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows, schema).repartition(1).write.mode("append").parquet(src)
 
     collected = []
     stream = (spark.readStream.schema(schema).parquet(src)
@@ -126,7 +126,7 @@ def test_streaming_tdigest_median(spark, tmp_path):
     src = str(tmp_path / "tdsrc")
     os.makedirs(src, exist_ok=True)
     rows = [("a", float(i)) for i in range(101)] + [("b", float(i * 10)) for i in range(11)]
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows, schema).repartition(1).write.mode("append").parquet(src)
 
     collected = []
     stream = spark.readStream.schema(schema).parquet(src)
@@ -207,7 +207,7 @@ def test_windowed_state_eviction(spark, tmp_path):
 
     rows1 = ([(f"https://a/{i}", datetime(2026, 1, 1, 0, 10)) for i in range(30)]
              + [(f"https://b/{i}", datetime(2026, 1, 1, 1, 10)) for i in range(40)])
-    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows1, schema).repartition(1).write.mode("append").parquet(src)
     run_pass()
     got1 = {r["window_start"].hour: r["estimate"] for r in collected}
     assert got1 == {0: 30, 1: 40}
@@ -216,7 +216,7 @@ def test_windowed_state_eviction(spark, tmp_path):
     # of windows 0 and 1 -> their state must be evicted; only window 3 stays
     collected.clear()
     rows2 = [(f"https://c/{i}", datetime(2026, 1, 1, 3, 10)) for i in range(20)]
-    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).repartition(1).write.mode("append").parquet(src)
     q = run_pass()
     got2 = {r["window_start"].hour: r["estimate"] for r in collected}
     assert got2 == {3: 20}  # eviction emits nothing; closed windows final
@@ -241,7 +241,7 @@ def test_windowed_sliding(spark, tmp_path):
     os.makedirs(src, exist_ok=True)
     # 20 urls at 00:40 -> in windows [00:00,01:00) and [00:30,01:30)
     rows = [(f"https://a/{i}", datetime(2026, 1, 1, 0, 40)) for i in range(20)]
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows, schema).repartition(1).write.mode("append").parquet(src)
 
     collected = []
     stream = spark.readStream.schema(schema).parquet(src)

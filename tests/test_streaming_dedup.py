@@ -47,7 +47,7 @@ def test_content_dedup_within_stream_and_across_restart(spark, tmp_path):
              (1, "gamma delta", _ts(1)),
              (2, "ALPHA   beta", _ts(2)),     # dup of 0 modulo normalization
              (3, "unique text", _ts(3))]
-    spark.createDataFrame(rows1, SCHEMA).coalesce(1).write.mode(
+    spark.createDataFrame(rows1, SCHEMA).repartition(1).write.mode(
         "append").parquet(src)
     out1 = sorted(r["doc_id"] for r in _run_pass(spark, src, ckpt,
                                                  text_col="text"))
@@ -57,7 +57,7 @@ def test_content_dedup_within_stream_and_across_restart(spark, tmp_path):
     # still suppressed by recovered state; a new text passes
     rows2 = [(4, "gamma delta", _ts(10)),     # dup of 1, state recovered
              (5, "fresh content", _ts(11))]
-    spark.createDataFrame(rows2, SCHEMA).coalesce(1).write.mode(
+    spark.createDataFrame(rows2, SCHEMA).repartition(1).write.mode(
         "append").parquet(src)
     out2 = sorted(r["doc_id"] for r in _run_pass(spark, src, ckpt,
                                                  text_col="text"))
@@ -68,7 +68,7 @@ def test_key_cols_dedup(spark, tmp_path):
     src, ckpt = str(tmp_path / "src2"), str(tmp_path / "ckpt2")
     os.makedirs(src, exist_ok=True)
     rows = [(10, "a", _ts(0)), (11, "a", _ts(5)), (12, "b", _ts(6))]
-    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+    spark.createDataFrame(rows, SCHEMA).repartition(1).write.mode(
         "append").parquet(src)
     out = sorted(r["doc_id"] for r in _run_pass(spark, src, ckpt,
                                                 key_cols=["text"]))
