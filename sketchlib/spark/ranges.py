@@ -148,12 +148,20 @@ def bucket_expr(value_col: str | Column, boundaries: Sequence[float]) -> Column:
 
     bucket(v) = #{i : boundaries[i] <= v}; NULL -> 0, NaN -> B-1 (every
     tree node's ``v < b`` is false for NaN, so NaN falls to the rightmost
-    leaf — consistent with Spark sorting NaN after all doubles)."""
+    leaf — consistent with Spark sorting NaN after all doubles).
+
+    ±inf boundaries are legal (a column with >= 1/B of its mass at ±inf
+    puts infinities in the quantile set): ``v < lit(±inf)`` evaluates
+    exactly like searchsorted against an infinite boundary, the buckets
+    between equal infinite boundaries are simply empty.  Only NaN
+    boundaries are rejected — a NaN poisons every tree comparison."""
     b = np.asarray(boundaries, dtype=np.float64)
     if b.shape[0] == 0:
         raise ValueError("need at least one boundary")
-    if np.any(np.diff(b) < 0) or not np.all(np.isfinite(b)):
-        raise ValueError("boundaries must be finite and ascending")
+    if np.any(np.isnan(b)):
+        raise ValueError("boundaries must not contain NaN")
+    if np.any(b[1:] < b[:-1]):  # NaN-free, so plain compare == ascending
+        raise ValueError("boundaries must be ascending")
     col = F.col(value_col) if isinstance(value_col, str) else value_col
 
     def tree(lo: int, hi: int) -> Column:

@@ -307,7 +307,6 @@ class ComboSpec:
 
     name = "combo"
     hash_dedup = False
-    estimate_type = T.LongType()
 
     _WIRE_MAGIC = b"CB"
     _WIRE_VERSION = 1
@@ -330,6 +329,10 @@ class ComboSpec:
             raise ValueError("ComboSpec does not support prehashed sub-specs")
         self.specs = specs
         self.hash_name = hash_names[0]
+        # the scalar estimate delegates to the first sub-spec, so the
+        # declared column type must too (a value-based first spec returns a
+        # double median; a hardcoded LongType would silently truncate it)
+        self.estimate_type = specs[0].estimate_type
 
     def make(self) -> list:
         return [s.make() for s in self.specs]

@@ -54,9 +54,43 @@ def test_bucket_expr_rejects_bad_boundaries():
     with pytest.raises(ValueError):
         bucket_expr("v", [3.0, 1.0])
     with pytest.raises(ValueError):
-        bucket_expr("v", [0.0, float("inf")])
+        bucket_expr("v", [0.0, float("nan")])
     with pytest.raises(ValueError):
         bucket_expr("v", [])
+
+
+def test_bucket_expr_infinite_boundaries(spark):
+    """±inf boundaries are legal (a column with >= 1/B mass at ±inf puts
+    infinities in its quantile set) and keep searchsorted-right parity."""
+    inf = float("inf")
+    b = np.array([-inf, -inf, 0.0, 5.0, inf, inf])
+    vals = np.array([-inf, -10.0, 0.0, 3.0, 5.0, 100.0, inf])
+    df = spark.createDataFrame([Row(i=i, v=float(v))
+                                for i, v in enumerate(vals)])
+    got = (df.select("i", bucket_expr("v", b).alias("bkt"))
+           .toPandas().sort_values("i")["bkt"].to_numpy())
+    want = np.searchsorted(b, vals, side="right")
+    assert np.array_equal(got, want)
+
+
+def test_balanced_sort_with_inf_heavy_column(spark):
+    """A double column whose top 1/B mass is +inf must still sort: the KLL
+    quantiles contain inf, and the inf rows land in the last partition."""
+    vals = np.concatenate([np.arange(2000, dtype=np.float64),
+                           np.full(500, np.inf)])
+    df = spark.createDataFrame([Row(v=float(v)) for v in vals]).repartition(8)
+    out = balanced_sort(df, "v", 4)
+    per_part = (out.withColumn("pid", F.spark_partition_id())
+                .groupBy("pid").agg(F.count("*").alias("n"),
+                                    F.min("v").alias("lo"),
+                                    F.max("v").alias("hi"))
+                .orderBy("pid").collect())
+    assert sum(r["n"] for r in per_part) == vals.shape[0]
+    # strict cross-partition ordering over the non-empty partitions
+    seen = [r for r in per_part if r["n"] > 0]
+    for a, b2 in zip(seen, seen[1:]):
+        assert a["hi"] <= b2["lo"]
+    assert math.isinf(seen[-1]["hi"])
 
 
 @pytest.mark.parametrize("nb", [2, 5, 32])

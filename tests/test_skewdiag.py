@@ -92,6 +92,23 @@ class TestComboSpec:
         combo.ingest(sks, h)
         assert combo.estimate(sks) == sks[0].count() == 500
 
+    def test_estimate_type_follows_first_family(self, spark):
+        """A value-based first sub-spec estimates a double median; the
+        declared estimate column type must match (a hardcoded LongType
+        would silently truncate 0.75 -> 0)."""
+        from pyspark.sql import types as T
+
+        from sketchlib.spark.aggregate import estimate_col, sketch_agg
+        from sketchlib.spark.specs import DdSpec
+
+        combo = ComboSpec([KllSpec(k=200), DdSpec(alpha=0.01)])
+        assert combo.estimate_type == T.DoubleType()
+        assert ComboSpec([ThetaSpec(), AmsSpec()]).estimate_type == T.LongType()
+        df = spark.range(101).select((F.col("id") / 100.0 + 0.25).alias("v"))
+        agged = sketch_agg(df, "v", (), combo)
+        [row] = agged.select(estimate_col(combo).alias("med")).collect()
+        assert abs(row["med"] - 0.75) < 0.02  # a long column would hold 0
+
     def test_merge_matches_concat(self):
         combo = ComboSpec([ThetaSpec(k=256), AmsSpec(width=1 << 8, depth=3)])
         rng = np.random.default_rng(4)
