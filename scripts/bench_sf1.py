@@ -51,6 +51,11 @@ GATES = [
     "paragraph_dedup",
     "c4_filters",
     "skew_diagnosis",
+    # round-4-late: the balanced range sort (KLL boundary scan + full-data
+    # repartition + per-bucket stats) and the bucketed write+join are the
+    # two newest shuffle/IO-heavy gates
+    "range_partition_balance",
+    "bucketed_colocated_join",
 ]
 
 
