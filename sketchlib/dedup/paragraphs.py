@@ -76,7 +76,8 @@ def paragraph_dedup_summary(df: DataFrame, text_col: str = "text",
     by_fp = paras.groupBy(F.xxhash64("para").alias("fp")).agg(
         F.count("*").alias("c"),
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
+    # coalesce(sum, 0): an empty corpus audits as 0 paragraphs, not NULL
     return by_fp.agg(
-        F.sum("c").alias("n_paragraphs"),
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_paragraphs"),
         F.count("*").alias("n_distinct_paragraphs"),
         F.count_distinct(F.col(f"w.{id_col}")).alias("n_docs_out"))

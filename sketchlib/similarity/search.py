@@ -102,7 +102,13 @@ def cosine_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     n_bits with theta = arccos(threshold); tables multiply coverage.
     """
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        row = (df.select(F.size(vec_col).alias("__d"))
+               .where(F.col(vec_col).isNotNull()).first())
+        if row is None:
+            raise ValueError(
+                f"cannot infer the embedding dim: no non-null {vec_col!r} "
+                "rows (empty input?) — pass dim= explicitly")
+        dim = int(row["__d"])
     sigs = [srp_signature_col(vec_col, dim, n_bits, seed=_DEF_SEED + t).alias(f"__sig{t}")
             for t in range(n_tables)]
     with_sig = df.select(id_col, vec_col, *sigs)

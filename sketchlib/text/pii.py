@@ -146,10 +146,14 @@ def pii_summary(df: DataFrame, text_col: str = "text",
     happens map-side in the same stage as the scan."""
     stats = with_pii_stats(df, text_col, redact=False)
     keys = [group_col] if group_col else []
+    # coalesce(sum, 0): SQL sums over zero rows are NULL — an audit of an
+    # empty corpus should read 0 scanned / 0 found, not NULL
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum((F.col("n_pii") > 0).cast("long")).alias("n_docs_with_pii"),
+        F.coalesce(F.sum((F.col("n_pii") > 0).cast("long")), F.lit(0))
+         .alias("n_docs_with_pii"),
     ] + [
-        F.sum(f"n_{n}").alias(f"total_{n}") for n, _, _ in PII_PATTERNS
+        F.coalesce(F.sum(f"n_{n}"), F.lit(0)).alias(f"total_{n}")
+        for n, _, _ in PII_PATTERNS
     ]
     return stats.groupBy(*keys).agg(*aggs)

@@ -119,6 +119,38 @@ class TestDedup:
             .toString()
         assert plan.count("Scan") <= 2  # one source + AQE re-print slack
 
+    def test_empty_corpus_audits_read_zero(self, spark):
+        """SQL sums over zero rows are NULL; the audit summaries must read
+        0 scanned / 0 found on an empty corpus instead."""
+        from sketchlib.dedup import dedup_summary
+        from sketchlib.dedup.paragraphs import paragraph_dedup_summary
+        from sketchlib.text.pii import pii_summary
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        [d] = dedup_summary(empty).collect()
+        assert (d["n_docs"], d["n_kept"], d["id_checksum"]) == (0, 0, 0)
+        [p] = paragraph_dedup_summary(empty).collect()
+        assert (p["n_paragraphs"], p["n_distinct_paragraphs"],
+                p["n_docs_out"]) == (0, 0, 0)
+        [s] = pii_summary(empty).collect()
+        assert s["n_docs"] == 0 and s["n_docs_with_pii"] == 0
+        assert s["total_email"] == 0 and s["total_ip"] == 0
+
+    def test_cosine_near_dup_dim_inference_empty_raises(self, spark):
+        """dim inference on an empty / all-null embedding column must raise
+        a clear ValueError, not a bare NoneType TypeError."""
+        import pytest
+
+        from sketchlib.similarity import cosine_near_dup_pairs
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="dim"):
+            cosine_near_dup_pairs(empty)
+        nulls = spark.createDataFrame([(1, None)],
+                                      "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="dim"):
+            cosine_near_dup_pairs(nulls)
+
     def test_minhash_near_dup(self, spark, docs_df):
         from sketchlib.dedup import near_dup_pairs
 
