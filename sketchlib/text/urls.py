@@ -8,7 +8,7 @@ deliberately conservative (no path case-folding — paths are case-sensitive).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # query parameters that never change the resource (tracking)
@@ -70,13 +70,21 @@ def filter_blocked_domains(df, blocklist, url_col: str = "url",
     StevenBlack and friends are a few million rows — far under the
     broadcast threshold), so the filter is a **broadcast left-anti hash
     join**: map-only, no shuffle of the corpus, no Python.  The join key
-    is derived in the same codegen stage as the scan.
+    is derived in the same codegen stage as the scan.  A plain Python
+    sequence of domain strings is accepted too (localized to one
+    DataFrame driver-side); an empty blocklist keeps every row.
 
     Returns the kept rows with the derived key appended as ``__blockkey``
     dropped — i.e. the original schema.
     """
     if level not in ("domain", "host"):
         raise ValueError(f"level must be 'domain' or 'host', got {level!r}")
+    if not isinstance(blocklist, DataFrame):
+        domains = [(str(d),) for d in blocklist]
+        if not domains:
+            return df
+        blocklist = df.sparkSession.createDataFrame(
+            domains, "__blocked_domain string")
     key = url_domain(F.col(url_col)) if level == "domain" \
         else url_host(F.col(url_col))
     # uniquified temp name: withColumn would silently REPLACE (then drop) a

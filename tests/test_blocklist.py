@@ -40,6 +40,14 @@ def test_blocklist_case_and_dup_insensitive(spark, urls_df):
     assert sorted(r.doc_id for r in kept.collect()) == [2, 3, 4]
 
 
+def test_plain_sequence_blocklist(spark, urls_df):
+    """A Python list/tuple of domains works like the DataFrame form; an
+    empty blocklist keeps every row (it used to die on list.columns)."""
+    kept = filter_blocked_domains(urls_df, ["example.org", "EVIL.com"])
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 4]
+    assert filter_blocked_domains(urls_df, []).count() == len(URLS)
+
+
 def test_temp_column_collision_preserved(spark):
     df = spark.createDataFrame(
         [(0, "https://evil.com/a", "keepme")],
