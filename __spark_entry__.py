@@ -2496,7 +2496,7 @@ _PARAGRAPH_DEDUP_SQL = (
     "         UNNEST(range(1, len(regexp_split_to_array(text,"
     "                chr(10) || chr(10))) + 1)) AS pos"
     "  FROM enriched), "
-    "nonblank AS (SELECT * FROM paras WHERE trim(para) <> ''), "
+    "nonblank AS (SELECT * FROM paras WHERE regexp_matches(para, '\\S')), "
     "ranked AS ("
     "  SELECT doc_id, pos, para,"
     "         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn"

@@ -11,6 +11,10 @@ document that contains it; a document's output text is its surviving
 paragraphs joined in original order; documents with no surviving
 paragraph drop out.
 
+``sep`` is a LITERAL delimiter (it is regex-escaped before the split and
+used verbatim for the re-join), so ``sep="|"`` or ``sep="..."`` behave as
+a user expects rather than as accidental regexes.
+
 Scale shape (100 TB): the winner per distinct paragraph is computed with a
 partial-aggregable ``groupBy(fingerprint).agg(min(struct(id, pos)))`` —
 map-side combine collapses a million-fold repeated boilerplate paragraph
@@ -22,9 +26,19 @@ through exactly two shuffles — the (fingerprint, id, pos) equi-join that
 selects survivors (AQE splits any residual probe-side skew) and the final
 reassembly by document id.  A window over ``partitionBy(fingerprint)``
 would instead sort ALL copies of the hot paragraph in one task.
+
+The fingerprint is 128-bit (two independent xxhash64 lanes, the second
+over a domain-separated stream), NOT a single 64-bit hash: at the
+operator's stated 10^10–10^11-paragraph scale the 64-bit birthday bound
+expects dozens of collisions, and a collision here doesn't just merge two
+counts — it DELETES a unique paragraph corpus-wide (the colliding text
+loses the winner join everywhere, including its own first occurrence).
+At 128 bits the expected collision count at 10^11 paragraphs is ~1.5e-17.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,11 +49,23 @@ def explode_paragraphs(df: DataFrame, text_col: str = "text",
                        sep: str = "\n\n") -> DataFrame:
     """(id, pos, para) — one row per non-blank paragraph, position in the
     original document preserved (0-based index among ALL split blocks, so
-    surviving paragraphs re-join in original relative order)."""
-    parts = F.posexplode(F.split(F.col(text_col), sep))
+    surviving paragraphs re-join in original relative order).  Non-blank
+    means "contains a non-whitespace character": Spark's ``trim`` strips
+    only ASCII spaces, which would let newline/tab-only blocks through as
+    paragraphs."""
+    parts = F.posexplode(F.split(F.col(text_col), re.escape(sep)))
     out = (df.where(F.col(text_col).isNotNull())
            .select(F.col(id_col), parts.alias("pos", "para")))
-    return out.where(F.trim(F.col("para")) != "")
+    return out.where(F.col("para").rlike(r"\S"))
+
+
+def _with_fingerprint(paras: DataFrame) -> DataFrame:
+    """Adds the 128-bit paragraph fingerprint as two u64 columns.  The
+    second lane prepends a literal discriminator so the two lanes are
+    hashes of DIFFERENT streams (xxhash64 folds multiple arguments
+    sequentially), i.e. independent up to xxhash64's mixing."""
+    return paras.withColumn("fp1", F.xxhash64("para")).withColumn(
+        "fp2", F.xxhash64(F.lit("sketchlib.para.lane2"), F.col("para")))
 
 
 def dedup_paragraphs(df: DataFrame, text_col: str = "text",
@@ -49,14 +75,14 @@ def dedup_paragraphs(df: DataFrame, text_col: str = "text",
     distinct paragraph).  Documents whose every paragraph appeared earlier
     somewhere else are dropped; callers wanting their ids anti-join the
     result against the input."""
-    paras = explode_paragraphs(df, text_col, id_col, sep).withColumn(
-        "fp", F.xxhash64("para"))
-    winners = (paras.select("fp", id_col, "pos")
-               .groupBy("fp")
+    paras = _with_fingerprint(
+        explode_paragraphs(df, text_col, id_col, sep))
+    winners = (paras.select("fp1", "fp2", id_col, "pos")
+               .groupBy("fp1", "fp2")
                .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
-               .select("fp", F.col(f"w.{id_col}").alias(id_col),
+               .select("fp1", "fp2", F.col(f"w.{id_col}").alias(id_col),
                        F.col("w.pos").alias("pos")))
-    kept = (paras.join(winners, on=["fp", id_col, "pos"])
+    kept = (paras.join(winners, on=["fp1", "fp2", id_col, "pos"])
             .select(id_col, "pos", "para"))
     return (kept.groupBy(id_col)
             .agg(F.array_join(
@@ -72,8 +98,8 @@ def paragraph_dedup_summary(df: DataFrame, text_col: str = "text",
     """One-row audit ``(n_paragraphs, n_distinct_paragraphs, n_docs_out)``
     in two narrow aggregates — the counts a dedup run reports without
     materializing the rebuilt corpus."""
-    paras = explode_paragraphs(df, text_col, id_col, sep)
-    by_fp = paras.groupBy(F.xxhash64("para").alias("fp")).agg(
+    paras = _with_fingerprint(explode_paragraphs(df, text_col, id_col, sep))
+    by_fp = paras.groupBy("fp1", "fp2").agg(
         F.count("*").alias("c"),
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
     # coalesce(sum, 0): an empty corpus audits as 0 paragraphs, not NULL

@@ -223,8 +223,15 @@ def repartition_by_boundaries(df: DataFrame, value_col: str,
     else:
         key = F.col(value_col)
     bucket = bucket_expr(key, b)
-    relabeled = F.get(F.array(*[F.lit(int(v)) for v in relabel]), bucket)
     keep = bucket_col or "__range_bucket"
+    # __relabel references the MATERIALIZED bucket column, not the raw
+    # bucket expression: at B=65536 the O(B) WHEN-tree would otherwise be
+    # embedded twice in the plan (once per withColumn), doubling analysis
+    # and codegen cost.  CollapseProject keeps the projections split here
+    # because `keep` is referenced twice (pass-through + inside __relabel)
+    # and the tree is not cheap.
+    relabeled = F.get(F.array(*[F.lit(int(v)) for v in relabel]),
+                      F.col(keep))
     out = (df.withColumn(keep, bucket)
            .withColumn("__relabel", relabeled)
            .repartition(num_buckets, F.col("__relabel"))
@@ -278,9 +285,15 @@ def scan_footers(path: str, value_col: str) -> list[dict]:
     out = []
     for f in sorted(_glob.glob(os.path.join(path, "part-*.parquet"))):
         md = pq.ParquetFile(f).metadata
-        ci = md.schema.to_arrow_schema().get_field_index(value_col)
+        # LEAF index, not the Arrow top-level field index: parquet flattens
+        # nested columns into one leaf each, so any struct column BEFORE
+        # value_col would shift the positions and silently read another
+        # column's stats (wrong bounds -> wrong pruning).  A top-level
+        # primitive column's path_in_schema is exactly its name.
+        ci = next((i for i in range(md.num_columns)
+                   if md.schema.column(i).path == value_col), -1)
         if ci < 0:
-            raise ValueError(f"column {value_col!r} not in {f}")
+            raise ValueError(f"column {value_col!r} not a leaf column of {f}")
         lo = hi = None
         for g in range(md.num_row_groups):
             st = md.row_group(g).column(ci).statistics

@@ -135,9 +135,13 @@ class JoinAdvice:
         if small[1] <= broadcast_rows:
             return f"broadcast_{small[0]}"
         out = "shuffle"
-        if self.collision_prob_left * n_partitions > skew_tolerance:
+        # same semantics as SkewDiagnosis.skew_factor: a key with row share
+        # s makes the hot task ~(s*P + 1)x the average task, so the flag
+        # fires when s*P + 1 > tolerance (share*P > tolerance alone would
+        # under-flag the (tolerance-1, tolerance] band)
+        if self.collision_prob_left * n_partitions + 1.0 > skew_tolerance:
             out += "+salt_left"
-        if self.collision_prob_right * n_partitions > skew_tolerance:
+        if self.collision_prob_right * n_partitions + 1.0 > skew_tolerance:
             out += "+salt_right"
         return out
 
@@ -149,8 +153,6 @@ def advise_join(df_left: DataFrame, left_key, df_right: DataFrame,
                 hash_name: str = "murmur3") -> JoinAdvice:
     """One ComboSpec scan per side -> :class:`JoinAdvice`.  No join runs,
     no raw rows shuffle; the driver folds two ~300 KB blob sets."""
-    import math
-
     from ..cms import CountMinSketch
 
     def side(df, key):

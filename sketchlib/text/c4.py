@@ -46,8 +46,21 @@ MIN_SENTENCES = 3
 #: terminal punctuation accepted at end-of-line: period, exclamation,
 #: question mark, straight or curly closing double quote (the paper says
 #: "terminal punctuation mark (i.e. a period, exclamation mark, question
-#: mark, or end quotation mark)")
-_TERMINAL_RE = '[.!?"”]$'
+#: mark, or end quotation mark)").  Anchored with \z (absolute end), not $:
+#: Java's $ also matches BEFORE a final line terminator while RE2's (the
+#: DuckDB oracle engine) never does, so a stray trailing \r would make the
+#: two engines disagree — \z means end-of-text in both.
+_TERMINAL_RE = '[.!?"”]\\z'
+
+#: line delimiter: \r?\n so CRLF corpora don't leave a carriage return on
+#: every line (which would fail the terminal-punctuation rule); identical
+#: RE2/Java semantics
+_LINE_SPLIT_RE = r"\r?\n"
+
+#: intra-line whitespace for word counting.  NOT \s: Java's \s includes
+#: \x0B (vertical tab) while RE2's does not — this explicit class means
+#: the same characters in both engines (\n can't occur inside a line)
+_WORD_SPLIT_RE = "[ \\t\\x0B\\f\\r]+"
 
 #: small representative subset of the public LDNOOBW English list the paper
 #: cites; substitute the full list in production (`bad_words=` parameter)
@@ -73,13 +86,13 @@ def c4_line_keep(ln: Column) -> Column:
     'javascript'.  Word count = whitespace-split of the trimmed line (a
     blank line splits to one empty token and fails the >= 5 rule)."""
     return (F.rtrim(ln).rlike(_TERMINAL_RE)
-            & (F.size(F.split(F.trim(ln), r"\s+")) >= MIN_LINE_WORDS)
+            & (F.size(F.split(F.trim(ln), _WORD_SPLIT_RE)) >= MIN_LINE_WORDS)
             & ~F.contains(F.lower(ln), F.lit("javascript")))
 
 
 def c4_kept_lines(col: Column) -> Column:
     """Array of lines surviving the line-level rules."""
-    return F.filter(F.split(col, r"\n"), c4_line_keep)
+    return F.filter(F.split(col, _LINE_SPLIT_RE), c4_line_keep)
 
 
 def with_c4_stats(df: DataFrame, text_col: str = "text",
@@ -118,7 +131,7 @@ def with_c4_stats(df: DataFrame, text_col: str = "text",
         F.lit(False))
     out = base.select(
         "*",
-        F.size(F.split(col, r"\n")).alias("c4_n_lines"),
+        F.size(F.split(col, _LINE_SPLIT_RE)).alias("c4_n_lines"),
         F.size(kept).alias("c4_n_kept_lines"),
         n_sent.alias("c4_n_sentences"),
         has_lorem.alias("c4_has_lorem_ipsum"),
@@ -147,9 +160,9 @@ def c4_filter(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 SQL_KEPT_LINES = (
-    "list_filter(regexp_split_to_array({c}, '\\n'), x -> "
-    "regexp_matches(rtrim(x), '[.!?\"”]$') "
-    "AND len(regexp_split_to_array(trim(x), '\\s+')) >= 5 "
+    "list_filter(regexp_split_to_array({c}, '\\r?\\n'), x -> "
+    "regexp_matches(rtrim(x), '[.!?\"”]\\z') "
+    "AND len(regexp_split_to_array(trim(x), '[ \\t\\x0B\\f\\r]+')) >= 5 "
     "AND NOT contains(lower(x), 'javascript'))"
 )
 
@@ -168,7 +181,7 @@ def sql_c4_stats(c: str, bad_words: Sequence[str] = DEFAULT_BAD_WORDS) -> dict[s
     has_brace = f"contains({c}, '{{')"
     has_bad = f"regexp_matches(lower({c}), '{pat}')"
     return {
-        "c4_n_lines": f"CAST(len(regexp_split_to_array({c}, '\\n')) AS BIGINT)",
+        "c4_n_lines": f"CAST(len(regexp_split_to_array({c}, '\\r?\\n')) AS BIGINT)",
         "c4_n_kept_lines": f"CAST(len({kept}) AS BIGINT)",
         "c4_n_sentences": f"CAST({n_sent} AS BIGINT)",
         "c4_has_lorem_ipsum": has_lorem,

@@ -36,13 +36,21 @@ DOCS = [
     (9, None),                                                 # NULL
     (10, "Only two good sentences live on this page right now.\n"
          "The three-sentence rule therefore drops the page."),  # 2 sentences
+    (11, "A CRLF page still keeps its proper first sentence.\r\n"
+         "The second carriage-return line also survives fine.\r\n"
+         "And the third one makes the sentence quota today."),  # CRLF keeps
+    (12, "First proper sentence is long enough to pass today.\n"
+         "Second proper sentence also passes the bar just fine.\n"
+         "Stray final carriage return breaks this line now.\r"),  # \r at EOF
 ]
 
 
 def _py_line_keep(ln: str) -> bool:
-    return (bool(re.search(r'[.!?"”]$', ln.rstrip()))
-            and len(ln.strip().split()) >= 5
-            and len(re.split(r"\s+", ln.strip())) >= 5
+    # mirrors the fixed engine semantics exactly: rtrim strips only 0x20,
+    # the punctuation anchor is absolute end-of-text (\Z = Java/RE2 \z),
+    # word whitespace is the explicit [ \t\x0b\f\r] class
+    return (bool(re.search(r'[.!?"”]\Z', ln.rstrip(" ")))
+            and len(re.split(r"[ \t\x0b\f\r]+", ln.strip(" "))) >= 5
             and "javascript" not in ln.lower())
 
 
@@ -53,7 +61,7 @@ def _py_c4(text):
                     c4_n_sentences=None, c4_has_lorem_ipsum=None,
                     c4_has_brace=None, c4_has_bad_word=None,
                     c4_keep=False, c4_text=None)
-    lines = text.split("\n")
+    lines = re.split(r"\r?\n", text)
     kept = [ln for ln in lines if _py_line_keep(ln)]
     clean = "\n".join(kept)
     n_sent = len(re.split(r"[.!?]", clean)) - 1
@@ -89,7 +97,7 @@ class TestC4Stats:
                 for r in c4.with_c4_stats(docs_df).collect()}
         assert keep == {0: True, 1: False, 2: False, 3: True, 4: False,
                         5: False, 6: False, 7: True, 8: False, 9: False,
-                        10: False}
+                        10: False, 11: True, 12: False}
 
     def test_javascript_line_dropped_but_page_kept(self, spark, docs_df):
         [r] = c4.with_c4_stats(docs_df.where("doc_id = 3")).collect()
@@ -108,8 +116,10 @@ class TestC4Stats:
         out = c4.c4_filter(docs_df)
         assert set(out.columns) == {"doc_id", "text"}
         rows = {r["doc_id"]: r["text"] for r in out.collect()}
-        assert set(rows) == {0, 3, 7}
+        assert set(rows) == {0, 3, 7, 11}
         assert rows[3] == "\n".join(DOCS[3][1].split("\n")[1:])
+        # CRLF page comes out newline-joined with the \r consumed
+        assert rows[11] == DOCS[11][1].replace("\r\n", "\n")
 
     def test_duckdb_sql_parity(self, spark, docs_df):
         """The shipped SQL fragments agree with the Spark expressions on

@@ -63,6 +63,27 @@ class TestParagraphDedup:
         assert 5 not in got and 6 not in got
         assert got[7] == "A\n\nB"    # blank block removed, order kept
 
+    def test_literal_sep_with_regex_metachars(self, spark):
+        """sep is a LITERAL: '|' must not behave as an empty-alternation
+        regex (which would split at every character boundary)."""
+        docs = [(0, "alpha beta|gamma delta|alpha beta"),
+                (1, "gamma delta|new one")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["doc_id"]: r["text"]
+               for r in dedup_paragraphs(df, sep="|").collect()}
+        assert got == _py_dedup(docs, sep="|")
+        assert got[0] == "alpha beta|gamma delta"
+
+    def test_whitespace_only_blocks_dropped(self, spark):
+        """A tab/newline-only block is not a paragraph: it must not be
+        fingerprinted, deduped, or re-joined into the output (Spark trim
+        strips only 0x20 — the filter is \\S-aware)."""
+        docs = [(0, "Real paragraph.\n\n\t\n\nAnother real one.")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        assert explode_paragraphs(df).count() == 2
+        [row] = dedup_paragraphs(df).collect()
+        assert row["text"] == "Real paragraph.\n\nAnother real one."
+
     def test_explode_positions(self, spark, docs_df):
         rows = explode_paragraphs(docs_df.where("doc_id = 0")).collect()
         assert [(r["pos"], r["para"]) for r in sorted(rows)] == [

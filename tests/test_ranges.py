@@ -355,3 +355,29 @@ def test_profile_quantiles_feeds_balanced_sort(spark):
 
 def test_math_sanity():
     assert math.isclose(np.searchsorted([1.0, 2.0], 2.0, side="right"), 2)
+
+
+def test_scan_footers_with_nested_column_before_value(spark, tmp_path):
+    """Parquet flattens a struct into one leaf per field: stats must be
+    located by LEAF path, not the Arrow top-level field index — with a
+    struct before v, the field index would silently read a struct leaf's
+    bounds and prune wrongly."""
+    from sketchlib.spark.ranges import scan_footers, write_range_partitioned
+
+    rng = np.random.default_rng(5)
+    vals = rng.uniform(0.0, 100.0, 4000)
+    df = (spark.createDataFrame([Row(v=float(x)) for x in vals])
+          .select(F.struct((F.col("v") * 1000.0).alias("a"),
+                           F.lit(-1.0).alias("b")).alias("meta"), "v"))
+    path = str(tmp_path / "nested")
+    write_range_partitioned(df, "v", path, 4)
+    fts = scan_footers(path, "v")
+    assert sum(m["rows"] for m in fts) == 4000
+    # bounds live in v's [0, 100] domain, not meta.a's [0, 100000] or
+    # meta.b's constant -1
+    assert min(m["lo"] for m in fts) >= 0.0
+    assert max(m["hi"] for m in fts) <= 100.0
+    ms = sorted(fts, key=lambda m: m["lo"])
+    assert all(a["hi"] < b["lo"] for a, b in zip(ms, ms[1:]))
+    with pytest.raises(ValueError, match="not a leaf column"):
+        scan_footers(path, "nope")

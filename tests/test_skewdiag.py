@@ -212,3 +212,20 @@ class TestJoinAdvice:
         assert s.startswith("shuffle") and "+salt_left" in s
         assert "+salt_right" not in s
         assert adv.fanout >= 0.0
+
+    def test_strategy_salt_threshold_matches_skew_factor_semantics(self):
+        """strategy uses the same hot-task model as
+        SkewDiagnosis.skew_factor (share*P + 1): a share whose s*P lands
+        in (tolerance-1, tolerance] still means a >tolerance-x-average
+        hot task and must salt."""
+        from sketchlib.spark.skewdiag import JoinAdvice
+
+        adv = JoinAdvice(
+            n_left=1_000_000, n_right=1_000_000, ndv_left=1000,
+            ndv_right=1_000_000, f2_left=7_500_000_000,  # share 0.0075
+            f2_right=1_000_000,                          # share 1e-6
+            est_join_rows=0, upper_margin=0.0)
+        # hot-task factor left = 0.0075 * 200 + 1 = 2.5 > 2.0 tolerance
+        s = adv.strategy(broadcast_rows=100, n_partitions=200,
+                         skew_tolerance=2.0)
+        assert "+salt_left" in s and "+salt_right" not in s
