@@ -144,6 +144,12 @@ def _encode_mat(mat: np.ndarray, codebooks: np.ndarray,
     within float epsilon of equidistant; both choices are then equally
     near-optimal."""
     m, ksub, dsub = codebooks.shape
+    if mat.shape[1] != m * dsub:
+        # without this, a wider vector is silently truncated to its first
+        # m*dsub dims (every code then wrong); adc_topk validates the
+        # query side the same way
+        raise ValueError(
+            f"vector dim {mat.shape[1]} != m*dsub {m * dsub} of the codebooks")
     codes = np.empty((mat.shape[0], m), dtype=np.uint8)
     for j in range(m):
         x = mat[:, j * dsub:(j + 1) * dsub]
@@ -251,8 +257,13 @@ def adc_topk(encoded: DataFrame, queries: list[tuple], codebooks: np.ndarray,
         return (local.withColumn("rnk", F.row_number().over(w))
                 .filter(F.col("rnk") <= k))
     source = rerank_df if rerank_df is not None else encoded
-    if fetch is None:  # exhaustive: candidates = every scanned id
-        cand_ids = local.select(id_col).distinct()
+    if fetch is None:
+        # exhaustive: candidates = every encoded id.  Derived from the
+        # codes frame directly — routing through `local` would run the
+        # full n_queries x n_rows ADC scan and a distinct shuffle just to
+        # recover the id set it then discards
+        cand_ids = (encoded.filter(F.col(code_col).isNotNull())
+                    .select(id_col).distinct())
     else:
         ranked = (local.withColumn("rnk", F.row_number().over(w))
                   .filter(F.col("rnk") <= fetch))

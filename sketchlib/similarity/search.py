@@ -64,8 +64,13 @@ def cosine_topk(base: DataFrame, queries: list[tuple], k: int = 10,
             for j, qid in enumerate(qids):
                 col = sims[:, j]
                 top = min(k, col.shape[0])
-                idx = np.argpartition(-col, top - 1)[:top]
-                for i in idx:
+                # keep EVERY row tied at the cut similarity: argpartition
+                # alone breaks boundary ties by partition order, which the
+                # global (cosine desc, id asc) window can't repair once a
+                # tied id was dropped batch-side (same guard as the ADC
+                # scan in pq.py — integer-grid embeddings tie often)
+                thr = np.partition(-col, top - 1)[top - 1]
+                for i in np.flatnonzero(-col <= thr):
                     out.append((qid, ids[i], float(col[i])))
             yield pd.DataFrame(out, columns=["query_id", id_col, "cosine"])
 

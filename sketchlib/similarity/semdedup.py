@@ -98,7 +98,14 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
     clusters with one BLAS matmul per batch; pass an existing integer
     column name to dedup within your own partitioning (e.g. the gate
     query uses the table's ``label``).  ``tau`` is the paper's duplicate
-    threshold (0.75 for text embeddings in the paper's ablations)."""
+    threshold (0.75 for text embeddings in the paper's ablations).
+
+    NULL-embedding rows are excluded up front and never appear in the
+    output: a row with no vector cannot be compared, so it has no
+    keep/drop decision (callers keep such rows by anti-joining, the same
+    policy as ``pq_encode``'s NULL-in-NULL-out).  Without the filter the
+    kernel would die deep in numpy on the first None."""
+    df = df.filter(F.col(vec_col).isNotNull())
     if cluster_col is None:
         from .ivf import ivf_assign, train_centroids
 

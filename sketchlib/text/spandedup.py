@@ -90,14 +90,24 @@ def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
     tokens removed, single-space joined — whitespace-normalized, the
     tokenizer's contract).  Deterministic and partition-independent:
     every decision derives from corpus-global gram counts."""
+    clash = sorted({"__ps", "__toks", "__sidx", "__spans"} & set(df.columns))
+    if clash:
+        raise ValueError(f"input already has internal column(s) {clash}; "
+                         "rename them before calling remove_duplicate_spans")
     flagged = duplicate_gram_positions(df, text_col, id_col, n, min_count)
     per_doc = flagged.groupBy(id_col).agg(
         F.array_sort(F.collect_list("pos")).alias("__ps"))
 
+    # NULL text coalesces to zero tokens (F.size(NULL) is -1 under legacy
+    # sizeOfNull, which would corrupt span_dedup_summary's token totals):
+    # such a doc comes out n_tokens = 0, clean_text = "" — same policy as
+    # boilerplate.py / lmscore.py / dsir.py
     out = (df.join(per_doc, id_col, "left")
            .withColumn("__ps", F.coalesce(
                F.col("__ps"), F.array().cast("array<int>")))
-           .withColumn("__toks", tokens_col(F.col(text_col))))
+           .withColumn("__toks", F.coalesce(
+               tokens_col(F.col(text_col)),
+               F.array().cast("array<string>"))))
     # maximal spans from sorted equal-length interval starts: a new span
     # begins where the gap to the previous start exceeds the gram length
     # sequence(1, 0) would generate a DESCENDING [1, 0] (and element_at
