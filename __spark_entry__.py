@@ -134,6 +134,46 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cuckoo_membership_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuckoo-filter build + retract (sketchlib/cuckoo.py, Fan et al. 2014
+    — the deletable membership sketch Bloom cannot be): build over the
+    DISTINCT member keys (the documented exact-delete path), retract the
+    odd keys, then probe every customer.  Surviving members must ALL hit
+    (no false negatives survive a retract); retracted keys and non-members
+    hit only at the false-positive rate."""
+    from sketchlib.spark.membership import (cuckoo_build_bytes,
+                                            cuckoo_delete_bytes,
+                                            might_contain_udf)
+    from sketchlib.spark.specs import CuckooSpec
+
+    spec = CuckooSpec(n_buckets=1 << 15)
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    member = orders.select("o_custkey").distinct()
+    blob = cuckoo_build_bytes(member, "o_custkey", spec=spec)
+    blob = cuckoo_delete_bytes(
+        blob, member.filter(F.col("o_custkey") % 2 == 1), "o_custkey",
+        spec=spec)
+    member_keys = member.select(F.col("o_custkey").alias("k"))
+    probes = (customer.select(F.col("c_custkey").alias("k")).distinct()
+              .join(member_keys.withColumn("is_member", F.lit(True)), "k",
+                    "left")
+              .withColumn("is_member", F.coalesce("is_member", F.lit(False)))
+              .withColumn("kept", F.col("is_member") & (F.col("k") % 2 == 0))
+              .withColumn("hit", might_contain_udf(blob, "k", spec=spec)))
+    return probes.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept_members"),
+        F.sum((F.col("kept") & ~F.col("hit")).cast("long"))
+        .alias("n_kept_missed"),
+        (F.sum(((~F.col("kept")) & F.col("hit")).cast("long"))
+         <= F.greatest(
+             F.lit(5),
+             (F.lit(0.01) * F.sum((~F.col("kept")).cast("long")))
+             .cast("long"))).alias("fp_ok"),
+    )
+
+
 def q_bloom_distinct_custkeys_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom fill-ratio cardinality estimate (Swamidass–Baldi) within 5%."""
     from sketchlib.spark.aggregate import distinct_count as dc
@@ -2840,6 +2880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kll_median": q_streaming_kll_median,
         "streaming_cms_point_counts": q_streaming_cms_point_counts,
         "streaming_dedup_events": q_streaming_dedup_events,
+        "cuckoo_membership_retract": q_cuckoo_membership_retract,
     }
 
 
@@ -3599,6 +3640,15 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) FILTER (WHERE is_member) AS n_members, "
             "CAST(0 AS BIGINT) AS n_members_missed, TRUE AS fp_ok FROM ("
             "SELECT DISTINCT c_custkey, "
+            "c_custkey IN (SELECT o_custkey FROM orders) AS is_member "
+            "FROM customer)"
+        ),
+        "cuckoo_membership_retract": (
+            "SELECT COUNT(*) AS n_probes, "
+            "COUNT(*) FILTER (WHERE is_member AND k % 2 = 0) "
+            "AS n_kept_members, "
+            "CAST(0 AS BIGINT) AS n_kept_missed, TRUE AS fp_ok FROM ("
+            "SELECT DISTINCT c_custkey AS k, "
             "c_custkey IN (SELECT o_custkey FROM orders) AS is_member "
             "FROM customer)"
         ),

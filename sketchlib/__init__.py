@@ -24,6 +24,7 @@ Layering:
 
 from .ams import AmsSketch  # noqa: F401
 from .bloom import BloomFilter  # noqa: F401
+from .cuckoo import CuckooFilter  # noqa: F401
 from .cms import CountMinSketch  # noqa: F401
 from .ddsketch import DDSketch  # noqa: F401
 from .hll import HllSketch  # noqa: F401

@@ -19,6 +19,7 @@ from .specs import (  # noqa: F401
     AmsSpec,
     BloomSpec,
     CmsSpec,
+    CuckooSpec,
     ComboSpec,
     DdSpec,
     KllSpec,

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .aggregate import hash_columns, sketch_agg
-from .specs import BloomSpec
+from .specs import BloomSpec, CuckooSpec
 
 
 def bloom_build(df: DataFrame, element_cols, group_cols: Sequence[str] = (),
@@ -32,6 +32,44 @@ def bloom_build_bytes(df: DataFrame, element_cols,
     """Global filter as raw bytes (driver-side), for probing other frames."""
     [row] = bloom_build(df, element_cols, (), spec).collect()
     return bytes(row["sketch"])
+
+
+def cuckoo_build(df: DataFrame, element_cols, group_cols: Sequence[str] = (),
+                 spec: CuckooSpec | None = None) -> DataFrame:
+    """One cuckoo filter blob per group (two-stage: partial build, merge by
+    fingerprint re-insertion).  Unlike Bloom, the result supports deletion
+    (:func:`cuckoo_delete_bytes`)."""
+    return sketch_agg(df, element_cols, group_cols, spec or CuckooSpec())
+
+
+def cuckoo_build_bytes(df: DataFrame, element_cols,
+                       spec: CuckooSpec | None = None) -> bytes:
+    """Global deletable filter as raw bytes (driver-side)."""
+    [row] = cuckoo_build(df, element_cols, (), spec).collect()
+    return bytes(row["sketch"])
+
+
+def cuckoo_delete_bytes(blob: bytes, df: DataFrame, cols,
+                        spec: CuckooSpec | None = None) -> bytes:
+    """Retract a (bounded) key set from a cuckoo filter blob; returns the
+    updated blob.
+
+    Deletion is inherently sequential against one filter state, so the
+    retract keys are collected to the driver — the intended shape is a
+    SMALL withdrawal set (recrawled urls, a revoked source) against a
+    large seen-filter; 8 bytes/key after the distinct.  Keys never
+    inserted are ignored (the filter guarantees a miss never removes
+    another element).  For corpus-sized retractions rebuild the filter
+    instead — that is a full scan either way."""
+    spec = spec or CuckooSpec()
+    if isinstance(cols, str):
+        cols = [cols]
+    cols = list(cols)
+    pdf = df.select(*cols).distinct().toPandas()
+    cf = spec.from_bytes(blob)
+    if len(pdf):
+        cf.delete_hashes(hash_columns(pdf, cols, spec.hash_name))
+    return cf.to_bytes()
 
 
 def might_contain_udf(blob: bytes, cols: Sequence[str] | str,

@@ -17,6 +17,7 @@ from pyspark.sql import types as T
 
 from ..ams import AmsSketch
 from ..bloom import BloomFilter
+from ..cuckoo import CuckooFilter
 from ..mg import MisraGriesSketch
 from ..cms import CountMinSketch
 from ..ddsketch import DDSketch
@@ -70,6 +71,54 @@ class BloomSpec:
 
     def estimate(self, sketch: BloomFilter) -> int:
         return sketch.estimate_cardinality()
+
+
+class CuckooSpec:
+    """Cuckoo membership sketch: set semantics like Bloom (stage-1 dedup is
+    per-partition, see the duplicate-copies caveat in
+    :mod:`sketchlib.cuckoo`), merge = fingerprint re-insertion.  Estimate is
+    the exact stored-fingerprint count (inserts minus deletes)."""
+
+    name = "cuckoo"
+    hash_dedup = True
+    estimate_type = T.LongType()
+
+    def __init__(self, n_buckets: int = 1 << 16,
+                 hash_name: str = "murmur3") -> None:
+        self.n_buckets = n_buckets
+        self.hash_name = hash_name
+
+    def make(self) -> CuckooFilter:
+        return CuckooFilter(n_buckets=self.n_buckets)
+
+    def prepare(self, pdf: pd.DataFrame, element_cols: Sequence[str]) -> np.ndarray:
+        return hash_columns(pdf, element_cols, self.hash_name)
+
+    def prepare_arrow(self, batch, element_cols: Sequence[str]) -> np.ndarray:
+        return hash_arrow_columns(batch, element_cols, self.hash_name)
+
+    def ingest(self, sketch: CuckooFilter, prepared: np.ndarray) -> None:
+        sketch.add_hashes(prepared)
+
+    def build_from_hashes(self, unique_hashes: np.ndarray,
+                          count_additions: int) -> CuckooFilter:
+        cf = self.make()
+        cf.add_hashes(unique_hashes)
+        cf.count_items = count_additions
+        return cf
+
+    def to_bytes(self, sketch: CuckooFilter) -> bytes:
+        return sketch.to_bytes()
+
+    def from_bytes(self, blob: bytes) -> CuckooFilter:
+        return CuckooFilter.from_bytes(blob)
+
+    def merge(self, a: CuckooFilter, b: CuckooFilter) -> CuckooFilter:
+        a.merge(b)
+        return a
+
+    def estimate(self, sketch: CuckooFilter) -> int:
+        return sketch.size()
 
 
 class CmsSpec:

@@ -346,3 +346,35 @@ def test_combo_spec_equals_dedicated_builds(vals, seed):
         assert cnt <= exact[key]
         assert exact[key] <= cnt + mg.total_decrement
     assert combo.to_bytes(combo.from_bytes(blob)) == blob
+
+
+@given(elements, cut_seed)
+@settings(**SETTINGS)
+def test_cuckoo_distributed_merge_membership_and_delete(vals, seed):
+    """For arbitrary multisets and arbitrary partitionings: the merged
+    filter has no false negatives, stores between n_unique and
+    DUP_CAP*n_unique fingerprints, and deleting every stored copy empties
+    it (delete never removes another element's membership)."""
+    from sketchlib.cuckoo import DUP_CAP, CuckooFilter
+
+    h = _hashes(vals)
+    uniq = np.unique(h)
+    parts = _random_split(h, seed)
+    merged = CuckooFilter(n_buckets=1 << 11)
+    for p in parts:
+        cf = CuckooFilter(n_buckets=1 << 11)
+        cf.add_hashes(np.unique(p))  # stage-1 per-partition dedup
+        merged.merge(cf)
+    if uniq.shape[0] == 0:
+        assert merged.size() == 0
+        return
+    assert merged.contains_hashes(uniq).all()
+    assert uniq.shape[0] <= merged.size() <= DUP_CAP * uniq.shape[0]
+    # drain every stored copy: each unique key has <= DUP_CAP copies
+    for _ in range(DUP_CAP):
+        if merged.size() == 0:
+            break
+        merged.delete_hashes(uniq)
+    assert merged.size() == 0
+    rt = CuckooFilter.from_bytes(merged.to_bytes())
+    assert rt == merged
