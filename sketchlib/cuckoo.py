@@ -97,11 +97,11 @@ class CuckooFilter:
     numpy with a scalar eviction walk only for overflow rows.
     """
 
-    __slots__ = ("n_buckets", "buckets", "occ", "count_items", "_kick")
+    __slots__ = ("n_buckets", "buckets", "occ", "count_additions", "_kick")
 
     def __init__(self, n_buckets: int = 1 << 16,
                  buckets: np.ndarray | None = None,
-                 count_items: int = 0) -> None:
+                 count_additions: int = 0) -> None:
         if n_buckets < 8 or n_buckets & (n_buckets - 1):
             raise ValueError(
                 f"n_buckets must be a power of two >= 8, got {n_buckets}")
@@ -112,7 +112,7 @@ class CuckooFilter:
         # prefix-packed invariant: occupied slots of a bucket are exactly
         # [0, occ) — established at construction, preserved by compaction
         self.occ = (buckets != 0).sum(axis=1).astype(np.int64)
-        self.count_items = count_items
+        self.count_additions = count_additions
         self._kick = 0
 
     # -- hash -> (fp, bucket, alt bucket) ---------------------------------
@@ -145,7 +145,7 @@ class CuckooFilter:
         buckets, occ = self.buckets.copy(), self.occ.copy()
         kick = self._bulk_insert(buckets, occ, fp, b1, b2, self._kick)
         self.buckets, self.occ, self._kick = buckets, occ, kick
-        self.count_items += int(h.shape[0])
+        self.count_additions += int(h.shape[0])
 
     def _bulk_insert(self, buckets: np.ndarray, occ: np.ndarray,
                      fp: np.ndarray, b1: np.ndarray, b2: np.ndarray,
@@ -169,6 +169,14 @@ class CuckooFilter:
                   + (buckets[alt] == fp[:, None]).sum(axis=1))
         degenerate = cur == alt  # both lookups scanned the same bucket
         stored = np.where(degenerate, stored >> 1, stored)
+        # drop already-capped rows BEFORE the rank sort: in steady-state
+        # distributed merges most incoming copies are duplicates of stored
+        # fingerprints, and the argsort is the dominant cost of this block
+        pre = stored < DUP_CAP
+        if not pre.all():
+            if not pre.any():
+                return kick
+            fp, cur, alt, stored = fp[pre], cur[pre], alt[pre], stored[pre]
         pair_key = (np.minimum(cur, alt).astype(np.uint64)
                     << np.uint64(16)) | fp
         order = np.argsort(pair_key, kind="stable")
@@ -229,8 +237,9 @@ class CuckooFilter:
         ever offers the same parity class of slots and a bucket pair full
         of one fingerprint's copies can cycle forever even though evicting
         the OTHER resident would escape immediately.)"""
-        cur_fp = np.uint16(fp)
-        cur_b = np.int64(b)
+        cur_fp = int(fp)
+        cur_b = int(b)
+        mask = self.n_buckets - 1
         for _ in range(MAX_KICKS):
             if occ[cur_b] < SLOTS:
                 buckets[cur_b, occ[cur_b]] = cur_fp
@@ -239,8 +248,12 @@ class CuckooFilter:
             kick += 1
             victim = (((kick * 6364136223846793005 + 1442695040888963407)
                        & 0xFFFFFFFFFFFFFFFF) >> 32) % SLOTS
-            cur_fp, buckets[cur_b, victim] = buckets[cur_b, victim], cur_fp
-            cur_b = self._alt(cur_fp[None], cur_b[None])[0]
+            resident = int(buckets[cur_b, victim])
+            buckets[cur_b, victim] = cur_fp
+            cur_fp = resident
+            # scalar _alt: python-int arithmetic, no per-kick numpy allocs
+            cur_b ^= (((cur_fp * 0x9E3779B97F4A7C15)
+                       & 0xFFFFFFFFFFFFFFFF) >> 24) & mask
         raise ValueError(
             "cuckoo filter over capacity: eviction walk exceeded "
             f"{MAX_KICKS} kicks at "
@@ -296,7 +309,7 @@ class CuckooFilter:
             self.buckets[wb, ws] = self.buckets[wb, last]
             self.buckets[wb, last] = 0
             self.occ[wb] = last
-            self.count_items -= win.shape[0]
+            self.count_additions -= win.shape[0]
             removed[pending[win]] = True
             # rows still unresolved = found contenders that lost the race
             lost = np.setdiff1d(fi, win, assume_unique=True)
@@ -312,6 +325,11 @@ class CuckooFilter:
         if other.n_buckets != self.n_buckets:
             raise ValueError(
                 "cannot merge cuckoo filters with different bucket counts")
+        if not self.occ.any():  # empty self: adopt the other's layout
+            self.buckets = other.buckets.copy()
+            self.occ = other.occ.copy()
+            self.count_additions += other.count_additions
+            return
         nz_b, nz_s = np.nonzero(other.buckets)
         if nz_b.shape[0]:
             ofp = other.buckets[nz_b, nz_s]
@@ -320,7 +338,7 @@ class CuckooFilter:
             buckets, occ = self.buckets.copy(), self.occ.copy()
             kick = self._bulk_insert(buckets, occ, ofp, cur, alt, self._kick)
             self.buckets, self.occ, self._kick = buckets, occ, kick
-        self.count_items += other.count_items
+        self.count_additions += other.count_additions
 
     def size(self) -> int:
         """Stored fingerprints — exact inserts-minus-deletes as long as no
@@ -341,14 +359,14 @@ class CuckooFilter:
         return (WIRE_MAGIC
                 + struct.pack("<BBiiq", WIRE_VERSION, 0,
                               self.n_buckets.bit_length() - 1, SLOTS,
-                              self.count_items)
+                              self.count_additions)
                 + self.buckets.astype("<u2", copy=False).tobytes())
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "CuckooFilter":
         if blob[:2] != WIRE_MAGIC:
             raise ValueError("not a cuckoo filter blob")
-        version, _pad, log_nb, slots, count_items = unpack(
+        version, _pad, log_nb, slots, count_additions = unpack(
             "<BBiiq", blob, 2, "Cuckoo")
         if version > WIRE_VERSION:
             raise ValueError(f"incompatible Cuckoo wire version {version}")
@@ -367,13 +385,13 @@ class CuckooFilter:
                             & (buckets[:, 1:] != 0)].shape[0]):
             order = np.argsort(buckets == 0, axis=1, kind="stable")
             buckets = np.take_along_axis(buckets, order, axis=1)
-        return cls(n_buckets=nb, buckets=buckets, count_items=count_items)
+        return cls(n_buckets=nb, buckets=buckets, count_additions=count_additions)
 
     def __eq__(self, other: object) -> bool:
         if not isinstance(other, CuckooFilter):
             return NotImplemented
         return (self.n_buckets == other.n_buckets
                 and bool(np.array_equal(self.buckets, other.buckets))
-                and self.count_items == other.count_items)
+                and self.count_additions == other.count_additions)
 
     __hash__ = None  # type: ignore[assignment]

@@ -35,17 +35,39 @@ def bloom_build_bytes(df: DataFrame, element_cols,
 
 
 def cuckoo_build(df: DataFrame, element_cols, group_cols: Sequence[str] = (),
-                 spec: CuckooSpec | None = None) -> DataFrame:
+                 spec: CuckooSpec | None = None,
+                 tree_fanout: int | None = 8) -> DataFrame:
     """One cuckoo filter blob per group (two-stage: partial build, merge by
     fingerprint re-insertion).  Unlike Bloom, the result supports deletion
-    (:func:`cuckoo_delete_bytes`)."""
-    return sketch_agg(df, element_cols, group_cols, spec or CuckooSpec())
+    (:func:`cuckoo_delete_bytes`).
+
+    Cuckoo merge is O(stored fingerprints) per partial — NOT a cheap
+    bitwise OR — so with P input partitions a flat fold does P full
+    re-insertions in one task.  The default ``tree_fanout=8`` inserts a
+    salted pre-merge tree (treeAggregate shape), with enough rounds that
+    no task ever folds more than ~``tree_fanout`` blobs even at 10^5
+    input partitions (measured: flat fold at 32 partials was SLOWER than
+    a 2-partition run; the tree restores the scaling).  Pass ``None`` for
+    the flat fold on small partition counts."""
+    spec = spec or CuckooSpec()
+    if not tree_fanout:
+        return sketch_agg(df, element_cols, group_cols, spec)
+    from .aggregate import build_partials
+    from .skew import tree_merge_capped
+
+    p = df.rdd.getNumPartitions()
+    partials = build_partials(df, element_cols, list(group_cols), spec,
+                              "sketch")
+    return tree_merge_capped(partials, list(group_cols), spec, "sketch",
+                             fanout=tree_fanout, n_partials=p)
 
 
 def cuckoo_build_bytes(df: DataFrame, element_cols,
-                       spec: CuckooSpec | None = None) -> bytes:
+                       spec: CuckooSpec | None = None,
+                       tree_fanout: int | None = 8) -> bytes:
     """Global deletable filter as raw bytes (driver-side)."""
-    [row] = cuckoo_build(df, element_cols, (), spec).collect()
+    [row] = cuckoo_build(df, element_cols, (), spec,
+                         tree_fanout=tree_fanout).collect()
     return bytes(row["sketch"])
 
 

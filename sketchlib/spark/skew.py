@@ -51,6 +51,46 @@ def salted_repartition(df: DataFrame, cols: Sequence[str], buckets: int,
     return df.repartition(n_partitions, *parts) if n_partitions else df.repartition(*parts)
 
 
+def tree_merge_capped(partials: DataFrame, group_cols: Sequence[str] = (),
+                      spec=None, sketch_col: str = "sketch",
+                      fanout: int = 8,
+                      n_partials: int | None = None) -> DataFrame:
+    """Fold-merge partial sketches so that NO task ever folds more than
+    ~``fanout`` blobs, whatever the partial count: salt width starts at
+    ``ceil(P / fanout)`` and shrinks by ``fanout`` each round
+    (:func:`tree_merge_partials` keeps a FIXED salt width, so its level-0
+    tasks still fold P/fanout blobs — fine for cheap bitwise merges like
+    HLL/Bloom, wrong for merges that are O(sketch size) per blob, e.g. the
+    cuckoo filter's fingerprint re-insertion).
+
+    Set-level associativity+commutativity of the merge is the only
+    requirement; pass ``n_partials`` when the caller already knows P (one
+    ``getNumPartitions`` otherwise)."""
+    from .aggregate import HllSpec, merge_blobs_udf
+
+    group_cols = list(group_cols)
+    spec = spec or HllSpec()
+    merge = merge_blobs_udf(spec)
+    p = n_partials if n_partials is not None else \
+        partials.rdd.getNumPartitions()
+    df = partials
+    width = (max(p, 1) + fanout - 1) // fanout
+    level = 0
+    while width > 1:
+        salt = F.pmod(F.xxhash64(F.col(sketch_col), F.lit(level)),
+                      F.lit(width))
+        df = (df.withColumn("__salt", salt)
+                .groupBy(*group_cols, "__salt")
+                .agg(F.collect_list(sketch_col).alias("__blobs"))
+                .select(*group_cols, merge("__blobs").alias(sketch_col)))
+        width = (width + fanout - 1) // fanout
+        level += 1
+    collected = F.collect_list(sketch_col).alias("__blobs")
+    agged = (df.groupBy(*group_cols).agg(collected) if group_cols
+             else df.agg(collected))
+    return agged.select(*group_cols, merge("__blobs").alias(sketch_col))
+
+
 def tree_merge_partials(partials: DataFrame, group_cols: Sequence[str] = (),
                         spec=None, sketch_col: str = "sketch",
                         fanout: int = 64, levels: int = 1) -> DataFrame:

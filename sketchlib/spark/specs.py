@@ -83,8 +83,17 @@ class CuckooSpec:
     hash_dedup = True
     estimate_type = T.LongType()
 
-    def __init__(self, n_buckets: int = 1 << 16,
-                 hash_name: str = "murmur3") -> None:
+    def __init__(self, n_buckets: int | None = None,
+                 hash_name: str = "murmur3",
+                 expected_n: int | None = None) -> None:
+        if n_buckets is None:
+            from ..cuckoo import DUP_CAP, optimal_params
+
+            # a distributed build stores up to DUP_CAP copies per key
+            # (stage-1 dedup is per-partition; a key spanning partitions
+            # or accumulator flushes lands once per source, capped) — size
+            # the table for the worst case so partials can't overflow
+            n_buckets = optimal_params(DUP_CAP * (expected_n or (1 << 16)))
         self.n_buckets = n_buckets
         self.hash_name = hash_name
 
@@ -104,7 +113,7 @@ class CuckooSpec:
                           count_additions: int) -> CuckooFilter:
         cf = self.make()
         cf.add_hashes(unique_hashes)
-        cf.count_items = count_additions
+        cf.count_additions = count_additions
         return cf
 
     def to_bytes(self, sketch: CuckooFilter) -> bytes:
