@@ -146,7 +146,9 @@ def q_cuckoo_membership_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             might_contain_udf)
     from sketchlib.spark.specs import CuckooSpec
 
-    spec = CuckooSpec(n_buckets=1 << 15)
+    # sized for the largest scale this gate runs at (sf1 cliff bench:
+    # 150k distinct custkeys) with the spec's DUP_CAP headroom -> 1 MB blob
+    spec = CuckooSpec(expected_n=200_000)
     orders = _read(spark, sf_dir, "orders")
     customer = _read(spark, sf_dir, "customer")
     member = orders.select("o_custkey").distinct()

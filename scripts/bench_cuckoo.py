@@ -98,7 +98,7 @@ def main() -> None:
     n = args.rows
     spec = CuckooSpec(expected_n=1_000_000)
     walls: dict[str, dict[str, float]] = {}
-    for cores in ("2", "8", CPUS):
+    for cores in dict.fromkeys(("2", "8", CPUS)):
         spark = _session(cores)
         users = (spark.range(n)
                  .select((F.col("id") % 1_000_000).alias("user_id")))
@@ -129,12 +129,13 @@ def main() -> None:
     print("|---|---|---|---|")
     for name, cnt, wall in rows_out:
         print(f"| {name} | {cnt:,} | {wall:.2f} | {cnt / wall:,.0f} |")
+    rows_label = f"{n / 1e6:g}M rows, 1M uniq"
     for cores, w in b.items():
         print(f"| cuckoo distributed build local[{cores}] "
-              f"(24M rows, 1M uniq) | {n:,} | {w:.2f} | {n / w:,.0f} |")
+              f"({rows_label}) | {n:,} | {w:.2f} | {n / w:,.0f} |")
     pw = walls["probe"][CPUS]
-    print(f"| cuckoo probe filter local[{CPUS}] (24M probes) | {n:,} | "
-          f"{pw:.2f} | {n / pw:,.0f} |")
+    print(f"| cuckoo probe filter local[{CPUS}] ({n / 1e6:g}M probes) | "
+          f"{n:,} | {pw:.2f} | {n / pw:,.0f} |")
     print(f"\n2->8 core build scaling efficiency: {eff:.3f}")
 
 

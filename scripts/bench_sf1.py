@@ -56,6 +56,9 @@ GATES = [
     # two newest shuffle/IO-heavy gates
     "range_partition_balance",
     "bucketed_colocated_join",
+    # round-4: deletable membership — blob-only build + map-only probe,
+    # pins the broadcast-blob linearity at 10x rows
+    "cuckoo_membership_retract",
 ]
 
 

@@ -508,6 +508,33 @@ def main() -> None:
     sections.append(("balanced_sort(lineitem.price, 16) — sketch-driven "
                      "range partitioning", p, checks))
 
+    # 31. cuckoo membership: width-capped merge tree on the build side,
+    # map-only broadcast-blob probe on the filter side
+    from sketchlib.spark.membership import (cuckoo_build,
+                                            cuckoo_build_bytes,
+                                            filter_might_contain)
+    from sketchlib.spark.specs import CuckooSpec
+
+    cspec = CuckooSpec(n_buckets=1 << 14)
+    df = cuckoo_build(li.select("l_suppkey"), "l_suppkey", spec=cspec)
+    p = plan_of(df)
+    checks = [("scan reads only the element column",
+               "l_extendedprice" not in p and "l_comment" not in p),
+              ("blob-only shuffles (raw keys never shuffled): every "
+               "exchange moves sketch blobs through the capped merge tree",
+               "CartesianProduct" not in p and n_shuffles(p) <= 3)]
+    sections.append(("cuckoo_build(lineitem, l_suppkey)", p, checks))
+
+    blob = cuckoo_build_bytes(li.select("l_suppkey").distinct(),
+                              "l_suppkey", spec=cspec)
+    df = filter_might_contain(li, "l_suppkey", blob, spec=cspec)
+    p = plan_of(df)
+    checks = [("probe is map-only (zero shuffle exchanges; the blob ships "
+               "by broadcast, the corpus never moves)", n_shuffles(p) == 0),
+              ("no cartesian product", "CartesianProduct" not in p)]
+    sections.append(("filter_might_contain(lineitem, cuckoo blob)", p,
+                     checks))
+
     out = ["# BENCH/PLANS — physical-plan audit",
            "",
            "Generated by `python scripts/explain_audit.py`. Each section is "

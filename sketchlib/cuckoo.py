@@ -29,11 +29,14 @@ rows.  Buckets keep their occupied slots prefix-packed (deletes compact by
 swapping the last occupied slot into the hole) so a bucket's free capacity
 is a single ``occ`` lookup, not a slot scan.
 
-Guarantees (and the one sharp edge, paper §3.2): an inserted-and-not-
-deleted element is ALWAYS found (no false negatives); lookups of absent
-elements hit with probability ~``2·SLOTS/2^16`` ≈ 1.2e-4; deleting an
-element that was never inserted is reported (``False`` in the result mask)
-and never removes another element; duplicate inserts store at most
+Guarantees (and the sharp edges, paper §3.2): an inserted-and-not-deleted
+element is ALWAYS found (no false negatives); lookups of absent elements
+hit with probability ~``2·SLOTS/2^16`` ≈ 1.2e-4.  Deletion carries the
+paper's standing caveat: delete only elements you know were inserted — a
+delete of a never-inserted element usually reports ``False`` harmlessly,
+but with probability ~fpr it collides with a stored element's
+(fingerprint, bucket-pair) and removes THAT element's copy, creating a
+false negative.  Duplicate inserts store at most
 ``DUP_CAP = 2`` copies per (fingerprint, bucket-pair) — the pair they are
 permanently confined to — so duplicate-heavy columns cannot saturate a
 closed bucket chain and wedge the eviction walk, while one delete stays
@@ -275,8 +278,11 @@ class CuckooFilter:
 
     def delete_hashes(self, hashes: np.ndarray) -> np.ndarray:
         """Remove ONE stored copy per row; returns the per-row removed
-        mask (False = no matching fingerprint was present — the caller
-        deleted something it never inserted).
+        mask (False = no matching fingerprint was present).  Delete only
+        elements known to be inserted: a never-inserted row usually
+        reports False harmlessly, but at ~fpr its fingerprint collides
+        with a stored element's and removes that element's copy (module
+        docstring, paper §3.2).
 
         Batch-safe under contention: rows that race for the same bucket
         retry in the next pass (at most one removal per bucket per pass
@@ -341,8 +347,10 @@ class CuckooFilter:
         self.count_additions += other.count_additions
 
     def size(self) -> int:
-        """Stored fingerprints — exact inserts-minus-deletes as long as no
-        insert ever failed."""
+        """Stored fingerprints: distinct-insert count when the insert side
+        was pre-deduped; duplicate copies past ``DUP_CAP`` are dropped, so
+        on a non-distinct stream this is neither a multiset count nor a
+        distinct count — use HLL/Theta for cardinality."""
         return int(self.occ.sum())
 
     def load_factor(self) -> float:

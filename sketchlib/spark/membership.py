@@ -79,10 +79,12 @@ def cuckoo_delete_bytes(blob: bytes, df: DataFrame, cols,
     Deletion is inherently sequential against one filter state, so the
     retract keys are collected to the driver — the intended shape is a
     SMALL withdrawal set (recrawled urls, a revoked source) against a
-    large seen-filter; 8 bytes/key after the distinct.  Keys never
-    inserted are ignored (the filter guarantees a miss never removes
-    another element).  For corpus-sized retractions rebuild the filter
-    instead — that is a full scan either way."""
+    large seen-filter; 8 bytes/key after the distinct.  Retract only keys
+    that were actually inserted (Fan et al. §3.2): a never-inserted key
+    usually deletes nothing, but with probability ~fpr its fingerprint
+    collides with a stored element's and removes THAT element's copy —
+    a silent false negative.  For corpus-sized retractions rebuild the
+    filter instead — that is a full scan either way."""
     spec = spec or CuckooSpec()
     if isinstance(cols, str):
         cols = [cols]

@@ -77,8 +77,11 @@ def tree_merge_capped(partials: DataFrame, group_cols: Sequence[str] = (),
     width = (max(p, 1) + fanout - 1) // fanout
     level = 0
     while width > 1:
-        salt = F.pmod(F.xxhash64(F.col(sketch_col), F.lit(level)),
-                      F.lit(width))
+        # salt by ROW POSITION, not blob content: P byte-identical partials
+        # (a replicated dimension repartitioned to P) would all hash to one
+        # bin and re-create the flat fold this tree exists to avoid
+        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id(),
+                                 F.lit(level)), F.lit(width))
         df = (df.withColumn("__salt", salt)
                 .groupBy(*group_cols, "__salt")
                 .agg(F.collect_list(sketch_col).alias("__blobs"))

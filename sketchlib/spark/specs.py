@@ -77,7 +77,9 @@ class CuckooSpec:
     """Cuckoo membership sketch: set semantics like Bloom (stage-1 dedup is
     per-partition, see the duplicate-copies caveat in
     :mod:`sketchlib.cuckoo`), merge = fingerprint re-insertion.  Estimate is
-    the exact stored-fingerprint count (inserts minus deletes)."""
+    the stored-fingerprint count (cap-dropped duplicates excluded; a
+    distinct count only when the insert side is pre-deduped — use
+    HllSpec/ThetaSpec for cardinality)."""
 
     name = "cuckoo"
     hash_dedup = True
@@ -86,6 +88,11 @@ class CuckooSpec:
     def __init__(self, n_buckets: int | None = None,
                  hash_name: str = "murmur3",
                  expected_n: int | None = None) -> None:
+        if n_buckets is not None and expected_n is not None:
+            raise ValueError(
+                "pass n_buckets OR expected_n, not both — expected_n sizes "
+                "the table itself (with DUP_CAP headroom) and would be "
+                "silently ignored")
         if n_buckets is None:
             from ..cuckoo import DUP_CAP, optimal_params
 
