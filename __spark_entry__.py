@@ -2315,6 +2315,40 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id").orderBy("doc_id")
 
 
+def q_incremental_retract_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retractable seen-set (sketchlib/dedup/incremental.py seen_cuckoo /
+    retract_seen + sketchlib/cuckoo.py): ingest two shards of the seen
+    corpus into a cuckoo filter, WITHDRAW shard A by deleting its
+    fingerprints (no rescan of the remaining corpus for the filter), then
+    run the split-mode drop_seen of a new increment containing recrawls
+    of both shards plus fresh docs.  Shard A's recrawls must be accepted
+    again, shard B's still dropped, fresh kept — exact by construction
+    (the retracted blob only prefilters; probe-true candidates hit the
+    exact anti-join against the remaining corpus), so the oracle is the
+    plain normalized-text anti-join against seen-minus-withdrawn."""
+    from sketchlib.dedup.incremental import (drop_seen, retract_seen,
+                                             seen_cuckoo)
+    from sketchlib.spark.specs import CuckooSpec
+
+    spec = CuckooSpec(expected_n=50_000)
+    docs = (_read(spark, sf_dir, "documents").select("doc_id", "text")
+            .filter(F.col("text").isNotNull()))
+    seen = docs.filter(F.col("doc_id") % 10 < 6)
+    shard_a = seen.filter(F.col("doc_id") % 2 == 0)
+    shard_b = seen.filter(F.col("doc_id") % 2 == 1)
+    recrawl = (seen.filter(F.col("doc_id") % 3 == 0)
+               .select((F.col("doc_id") + 100000).alias("doc_id"),
+                       F.concat(F.lit("  "),
+                                F.replace(F.col("text"), F.lit(" "),
+                                          F.lit("   ")),
+                                F.lit(" ")).alias("text")))
+    new = docs.filter(F.col("doc_id") % 10 >= 6).unionByName(recrawl)
+    blob = seen_cuckoo(seen, spec=spec)
+    blob = retract_seen(blob, shard_a, spec=spec)
+    kept = drop_seen(new, shard_b, bloom_blob=blob, spec=spec)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring span dedup (sketchlib/text/spandedup.py — Lee et
     al. 2022 ExactSubstr, token-level): flag every 13-token gram occurring
@@ -2883,6 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cms_point_counts": q_streaming_cms_point_counts,
         "streaming_dedup_events": q_streaming_dedup_events,
         "cuckoo_membership_retract": q_cuckoo_membership_retract,
+        "incremental_retract_dedup": q_incremental_retract_dedup,
     }
 
 
@@ -3367,6 +3402,25 @@ def _pipeline_oracles() -> dict[str, str]:
             "FROM old) "
             "SELECT doc_id FROM norm "
             "WHERE nt NOT IN (SELECT nt FROM oldn) ORDER BY doc_id"
+        ),
+        "incremental_retract_dedup": (
+            "WITH base AS (SELECT doc_id, text FROM documents "
+            "WHERE text IS NOT NULL), "
+            "seen AS (SELECT * FROM base WHERE doc_id % 10 < 6), "
+            "shard_b AS (SELECT * FROM seen WHERE doc_id % 2 = 1), "
+            "recrawl AS (SELECT doc_id + 100000 AS doc_id, "
+            "concat('  ', replace(text, ' ', '   '), ' ') AS text "
+            "FROM seen WHERE doc_id % 3 = 0), "
+            "nw AS (SELECT doc_id, text FROM base WHERE doc_id % 10 >= 6 "
+            "UNION ALL SELECT doc_id, text FROM recrawl), "
+            "norm AS (SELECT doc_id, "
+            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt "
+            "FROM nw), "
+            "bn AS (SELECT DISTINCT "
+            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt "
+            "FROM shard_b) "
+            "SELECT doc_id FROM norm "
+            "WHERE nt NOT IN (SELECT nt FROM bn) ORDER BY doc_id"
         ),
         "tfidf_keywords": (
             "WITH toks AS (SELECT doc_id, "

@@ -33,6 +33,23 @@ Modes (by which inputs are given):
 
 Within-shard duplicates are out of scope — compose with
 :func:`sketchlib.dedup.exact.dedup_exact` first (the corpus job does).
+
+**Retractable seen-set** (:func:`seen_cuckoo` / :func:`retract_seen`): the
+Bloom blob unions monotonically but can never forget — withdrawing an
+accepted shard (licensing takedown, recrawl invalidation) forces a full
+rebuild scan of the remaining corpus.  The cuckoo variant
+(:mod:`sketchlib.cuckoo`) stores per-fingerprint entries that can be
+deleted: ``retract_seen(blob, withdrawn_shard)`` removes the shard's
+fingerprints driver-side in one pass over the (small) withdrawn shard.
+Because the seen-set is built over DISTINCT content fingerprints, the
+semantics line up with content dedup exactly: identical text in two
+accepted shards occupies ONE entry, and withdrawing either shard frees
+that content to be accepted again — which is the correct outcome, since
+the dedup pipeline admitted only one copy in the first place.  Retract
+only shards that were actually ingested (Fan et al. §3.2: deleting
+never-inserted fingerprints can collide at ~fpr and evict live entries).
+``drop_seen`` accepts a cuckoo blob + ``CuckooSpec`` unchanged — the
+probe path is spec-generic.
 """
 
 from __future__ import annotations
@@ -65,6 +82,40 @@ def seen_bloom(seen: DataFrame, text_col: str = "text",
     fp = seen.filter(F.col(text_col).isNotNull()).select(
         fingerprint_key(F.col(text_col)).alias("__fp"))
     return bloom_build_bytes(fp, "__fp", spec or BloomSpec())
+
+
+def seen_cuckoo(seen: DataFrame, text_col: str = "text",
+                spec: "CuckooSpec | None" = None) -> bytes:
+    """Retractable seen-set blob over DISTINCT content fingerprints.
+
+    The ``distinct()`` before the build is load-bearing twice over: it
+    gives exact one-retract-removes-membership semantics (one stored copy
+    per content), and it keeps duplicate copies from eating the table's
+    DUP_CAP headroom.  Size the spec via ``expected_n`` to the seen
+    cardinality."""
+    from ..spark.membership import cuckoo_build_bytes
+    from ..spark.specs import CuckooSpec
+
+    fp = (seen.filter(F.col(text_col).isNotNull())
+          .select(fingerprint_key(F.col(text_col)).alias("__fp"))
+          .distinct())
+    return cuckoo_build_bytes(fp, "__fp", spec or CuckooSpec())
+
+
+def retract_seen(blob: bytes, withdrawn: DataFrame, text_col: str = "text",
+                 spec: "CuckooSpec | None" = None) -> bytes:
+    """Remove a withdrawn shard's content fingerprints from a
+    :func:`seen_cuckoo` blob; returns the updated blob.
+
+    One driver-side pass over the withdrawn shard's distinct fingerprints
+    (8 bytes each) — the seen corpus is never rescanned.  The shard must
+    have been ingested into the blob (module docstring)."""
+    from ..spark.membership import cuckoo_delete_bytes
+    from ..spark.specs import CuckooSpec
+
+    fp = (withdrawn.filter(F.col(text_col).isNotNull())
+          .select(fingerprint_key(F.col(text_col)).alias("__fp")))
+    return cuckoo_delete_bytes(blob, fp, "__fp", spec or CuckooSpec())
 
 
 def drop_seen(new: DataFrame, seen: DataFrame | None = None,

@@ -93,3 +93,55 @@ def test_bloom_split_join_input_is_prefiltered(spark):
     import re
     # both union branches filter on the probe; the join appears once
     assert len(re.findall(r"SortMergeJoin .*LeftAnti|BroadcastHashJoin .*LeftAnti", plan)) == 1
+
+
+def test_cuckoo_retract_roundtrip(spark):
+    """Withdraw a shard from the retractable seen-set: its content is
+    accepted again, everything still live keeps being dropped, and no
+    genuinely-new doc is over-dropped beyond the fp bound."""
+    from sketchlib.dedup.incremental import retract_seen, seen_cuckoo
+    from sketchlib.spark.specs import CuckooSpec
+
+    seen, new = _corpora(spark)
+    spec = CuckooSpec(expected_n=1000)
+    # seen = two shards: A (ids 0..99), B (ids 100..199)
+    shard_a = seen.filter(F.col("doc_id") < 100)
+    shard_b = seen.filter(F.col("doc_id") >= 100)
+    blob = seen_cuckoo(seen, spec=spec)
+
+    # before retract: the 80 recrawls (ids 1000..1079 match seen 0..79,
+    # all in shard A) are dropped in pure-sketch mode
+    kept0 = {r["doc_id"] for r in drop_seen(new, bloom_blob=blob,
+                                            spec=spec).collect()}
+    assert kept0.isdisjoint(set(range(1000, 1080)))
+
+    # retract shard A -> its recrawls are accepted again; shard B stays
+    blob2 = retract_seen(blob, shard_a, spec=spec)
+    kept1 = {r["doc_id"] for r in drop_seen(new, bloom_blob=blob2,
+                                            spec=spec).collect()}
+    assert set(range(1000, 1080)) <= kept1          # freed content
+    assert set(range(1080, 1300)) <= kept1          # fresh never dropped...
+    # ...beyond the fp bound: with these sizes, zero is the expectation
+    b_probe = drop_seen(
+        spark.createDataFrame(
+            [(i, f"seen document number {i} body text")
+             for i in range(100, 200)], "doc_id long, text string"),
+        bloom_blob=blob2, spec=spec)
+    assert b_probe.count() == 0                     # shard B still seen
+
+
+def test_cuckoo_retract_shared_content_freed(spark):
+    """Identical text ingested via two shards occupies ONE distinct
+    fingerprint; withdrawing either shard frees the content (the dedup
+    pipeline only ever admitted one copy)."""
+    from sketchlib.dedup.incremental import retract_seen, seen_cuckoo
+    from sketchlib.spark.specs import CuckooSpec
+
+    spec = CuckooSpec(expected_n=100)
+    dup_text = "the same exact boilerplate in both shards"
+    shard_a = spark.createDataFrame([(1, dup_text)], "doc_id long, text string")
+    shard_b = spark.createDataFrame([(2, dup_text)], "doc_id long, text string")
+    blob = seen_cuckoo(shard_a.unionByName(shard_b), spec=spec)
+    blob = retract_seen(blob, shard_a, spec=spec)
+    probe = spark.createDataFrame([(9, dup_text)], "doc_id long, text string")
+    assert drop_seen(probe, bloom_blob=blob, spec=spec).count() == 1
