@@ -26,6 +26,7 @@ import pytest
 from sketchlib.ams import AmsSketch
 from sketchlib.bloom import BloomFilter
 from sketchlib.cms import CountMinSketch
+from sketchlib.cuckoo import CuckooFilter
 from sketchlib.ddsketch import DDSketch
 from sketchlib.hashing import murmur3_64_flat, to_flat_bytes
 from sketchlib.hll import HllSketch
@@ -76,9 +77,13 @@ def _families():
     fd = FrequentDirections(ell=4, d=8)
     fd.update(np.arange(80, dtype=np.float64).reshape(10, 8))
 
+    cuckoo = CuckooFilter(n_buckets=1 << 10)
+    cuckoo.add_hashes(h)
+
     return {
         "hll": hll, "bloom": bloom, "cms": cms, "tdigest": td, "kll": kll,
         "ddsketch": dd, "theta": theta, "mg": mg, "ams": ams, "freqdir": fd,
+        "cuckoo": cuckoo,
     }
 
 
