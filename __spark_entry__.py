@@ -3058,8 +3058,11 @@ def _pipeline_oracles() -> dict[str, str]:
         ),
         "repetition_stats": (
             "WITH tok AS (SELECT doc_id, CAST(length(text) AS BIGINT) "
-            "AS n_chars, regexp_split_to_array(lower(trim(text)), '\\s+') "
-            "AS t FROM documents WHERE text IS NOT NULL), "
+            "AS n_chars, CASE WHEN "
+            "regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') = '' "
+            "THEN [] ELSE regexp_split_to_array("
+            "regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') "
+            "END AS t FROM documents WHERE text IS NOT NULL), "
             "g2 AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] "
             "for i in range(1, len(t))]) AS g FROM tok), "
             "c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 "

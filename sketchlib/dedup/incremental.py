@@ -109,7 +109,18 @@ def retract_seen(blob: bytes, withdrawn: DataFrame, text_col: str = "text",
 
     One driver-side pass over the withdrawn shard's distinct fingerprints
     (8 bytes each) — the seen corpus is never rescanned.  The shard must
-    have been ingested into the blob (module docstring)."""
+    have been ingested into the blob (module docstring).
+
+    Sequential withdrawals of content-SHARING shards carry a residual
+    risk: shards A and B both containing text X occupy one entry (the
+    distinct build), so withdrawing A removes it and a later withdrawal
+    of B re-deletes an absent fingerprint — which collides with some
+    OTHER live entry with probability ~fpr (~1.2e-4) per re-deleted key.
+    When shards overlap and multiple withdrawals are expected, retract
+    the set difference instead (this shard's fingerprints minus all
+    previously-withdrawn ones — exact data the caller holds), or accept
+    the fpr-bounded over-forget, which is re-corrected the next time the
+    affected content is re-ingested."""
     from ..spark.membership import cuckoo_delete_bytes
     from ..spark.specs import CuckooSpec
 

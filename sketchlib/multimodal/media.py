@@ -91,10 +91,18 @@ def media_meta_col(payload_col: str | Column, kind: str = "image") -> Column:
 
 
 def _le_int32(bin_col: Column, pos: int) -> Column:
-    """Little-endian int32 at 1-based byte offset, via JVM byte ops."""
+    """Little-endian int32 at 1-based byte offset, via JVM byte ops.
+
+    Sign-extends BEFORE the int cast: a negative field (top-down BMP
+    heights store height as a negative int32) reconstructs to an unsigned
+    long >= 2^31, and ``cast("int")`` on that value is a CAST_OVERFLOW
+    error under Spark 4's default ANSI mode — one such row would abort
+    the whole metadata scan."""
     b = [F.conv(F.hex(F.substring(bin_col, pos + i, 1)), 16, 10).cast("long")
          for i in range(4)]
-    return (b[0] + b[1] * 256 + b[2] * 65536 + b[3] * 16777216).cast("int")
+    v = b[0] + b[1] * 256 + b[2] * 65536 + b[3] * 16777216
+    return (F.when(v >= F.lit(1 << 31), v - F.lit(1 << 32))
+            .otherwise(v).cast("int"))
 
 
 def decode_image_stub(payload: bytes) -> np.ndarray:
@@ -220,9 +228,12 @@ def decode_image(payload: bytes) -> np.ndarray:
                 "compressed image codec requires Pillow, which is not "
                 "installed in this environment")
         import io
-        img = np.asarray(pil.open(io.BytesIO(payload)).convert("RGB"))
-        _check_dims(img.shape[1], img.shape[0])
-        return img
+        opened = pil.open(io.BytesIO(payload))
+        # bound-check from the HEADER (PIL parses only metadata on open):
+        # converting first would allocate the full decompressed buffer —
+        # the decompression-bomb allocation _MAX_PIXELS exists to prevent
+        _check_dims(*opened.size)
+        return np.asarray(opened.convert("RGB"))
     raise ValueError("unknown image codec")
 
 
@@ -294,10 +305,26 @@ def extract_media_features(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
+#: longest video a sampling plan will enumerate (1000 h at 1 fps-equiv
+#: stays far under Spark's array-size limit); longer or negative durations
+#: are treated as bad headers -> empty plan (skip the video, don't abort
+#: the job)
+_MAX_PLAN_DURATION_MS = 3_600_000_000
+
+
 def frame_sample_plan(duration_ms_col: Column, every_ms: int = 1000) -> Column:
     """JVM-side frame-sampling plan: array of timestamps to decode. The
-    decode stage then touches only these offsets."""
-    return F.sequence(F.lit(0), duration_ms_col.cast("long"), F.lit(every_ms))
+    decode stage then touches only these offsets.
+
+    Defensive on the header field: a negative duration would raise
+    'Illegal sequence boundaries' and a huge one would exceed Spark's
+    array limit — either way one corrupt row aborts the whole job.  Both
+    map to an EMPTY plan instead (the documented bad-header -> skip
+    contract)."""
+    d = duration_ms_col.cast("long")
+    return (F.when((d >= 0) & (d <= F.lit(_MAX_PLAN_DURATION_MS)),
+                   F.sequence(F.lit(0), d, F.lit(every_ms)))
+            .otherwise(F.array().cast("array<long>")))
 
 
 # deterministic fake video container: magic | w | h | duration_ms | seed
@@ -312,11 +339,17 @@ def pack_fake_video(width: int, height: int, duration_ms: int,
 
 
 def _le_int64(bin_col: Column, pos: int) -> Column:
+    """Little-endian int64 via shift-and-OR: ``b[7] * 2^56`` overflows
+    long (ARITHMETIC_OVERFLOW aborts the stage under default ANSI mode)
+    whenever the high byte is >= 0x80 — e.g. any negative or corrupted
+    duration field.  ``shiftleft`` is a bitwise op (wraps, never errors)
+    and the shifted bytes occupy disjoint bits, so OR-ing them is exact
+    two's-complement reconstruction."""
     b = [F.conv(F.hex(F.substring(bin_col, pos + i, 1)), 16, 10).cast("long")
          for i in range(8)]
     out = b[0]
     for i in range(1, 8):
-        out = out + b[i] * F.lit(1 << (8 * i)).cast("long")
+        out = out.bitwiseOR(F.shiftleft(b[i], 8 * i))
     return out.cast("long")
 
 
@@ -407,6 +440,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         (size,) = unpack("<I", payload, pos + 4, "WAV")
+        if pos + 8 + size > len(payload):
+            # a size-lying/truncated chunk would silently shorten the clip
+            # (wrong n_samples/rms downstream); fail loudly like the
+            # sibling raster decoders
+            raise ValueError(
+                f"truncated WAV chunk {cid!r}: declares {size} bytes, "
+                f"{len(payload) - pos - 8} available")
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt = unpack("<HHIIHH", body, 0, "WAV")

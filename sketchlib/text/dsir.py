@@ -149,6 +149,12 @@ def fit_dsir(target_df: DataFrame, raw_df: DataFrame, text_col: str = "text",
 
     universe = np.array(sorted(set(tc) | set(rc)), dtype=np.int64)
     v = float(len(universe))
+    if v == 0.0:
+        # t_tot + alpha*v would be 0.0 and the smoothed logs below would
+        # die in a bare ZeroDivisionError
+        raise ValueError(
+            "cannot fit DSIR: no features in either corpus "
+            "(empty or all-null text)")
     ct = np.array([tc.get(int(h), 0) for h in universe], dtype=np.float64)
     cr = np.array([rc.get(int(h), 0) for h in universe], dtype=np.float64)
     lam = np.round(1000.0 * (
@@ -218,6 +224,8 @@ def dsir_scores(df: DataFrame, model: DsirModel, text_col: str = "text",
                 score_milli=cs[ends] - cs[starts])
 
     tcol = fcol + "_t"
+    while tcol in df.columns:  # the fcol probe does not cover "_t" names
+        tcol += "_"
     proj = (df.withColumn(tcol, tokens_col(F.col(text_col)))  # let-bind
             .withColumn(fcol, F.when(
                 F.col(text_col).isNotNull(),

@@ -79,7 +79,10 @@ def has_pii(col: Column) -> Column:
     for name, pat, _ in PII_PATTERNS:
         r = F.contains(col, F.lit(_GUARD[name])) & col.rlike(pat)
         out = r if out is None else out | r
-    return out
+    # NULL text -> false, not NULL: contains/rlike propagate NULL through
+    # the OR, and a consumer's filter(~has_pii) would silently drop the
+    # row — inconsistent with pii_counts mapping the same row to n_pii=0
+    return F.coalesce(out, F.lit(False))
 
 
 def pii_counts(col: Column) -> list[Column]:

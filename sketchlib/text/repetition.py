@@ -348,11 +348,20 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """``(id_col, n_chars, n_2grams, top_2gram_count, top_2gram_len,
     n_5grams, dup_5gram_chars)`` per non-null-text document."""
+    # full-whitespace trim, NOT F.trim: trim() strips ASCII spaces only, so
+    # "\nhello world\n" would tokenize to ['', hello, world, ''] — phantom
+    # empty tokens that fabricate n-grams and crown ("", "hello") the top
+    # 2-gram.  Web text routinely ends with \n.  Whitespace-only text maps
+    # to ZERO tokens (python str.split() semantics, matching the pytest
+    # oracle's re-derivation).
+    cleaned = F.regexp_replace(F.lower(F.col(text_col)),
+                               r"^\s+|\s+$", "")
     base = (df.filter(F.col(text_col).isNotNull())
             .select(F.col(id_col).alias("__id"),
                     F.length(text_col).alias("__nc"),
-                    F.split(F.lower(F.trim(F.col(text_col))),
-                            r"\s+").alias("__t")))
+                    F.when(cleaned == "",
+                           F.array().cast("array<string>"))
+                    .otherwise(F.split(cleaned, r"\s+")).alias("__t")))
 
     def compute(batches) -> Iterator:
         import pyarrow as pa

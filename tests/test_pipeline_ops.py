@@ -496,6 +496,8 @@ class TestMultimodal:
         want = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
 
         class _FakeImg:
+            size = (3, 2)  # (width, height), checked BEFORE convert
+
             def convert(self, mode):
                 assert mode == "RGB"
                 return want
@@ -664,3 +666,121 @@ class TestMinHashEdgeCases:
         finally:
             M._SIG_CHUNK_BYTES = old
         assert (full == small).all()
+
+
+class TestHardenedHeaders:
+    """Regression tests for the ANSI-mode header-parse crashes: one corrupt
+    or sign-extended header field must degrade (skip/null), never abort the
+    whole scan."""
+
+    def test_topdown_bmp_negative_height_meta(self, spark):
+        # top-down BMPs store height as a NEGATIVE int32; cast("int") of the
+        # unsigned reconstruction was a CAST_OVERFLOW job-killer under
+        # Spark 4 ANSI mode
+        import struct
+
+        from sketchlib.multimodal import media_meta_col
+        from sketchlib.multimodal.media import decode_bmp, encode_bmp
+
+        import numpy as np
+        img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+        bmp = bytearray(encode_bmp(img))
+        h = struct.unpack_from("<i", bmp, 22)[0]
+        struct.pack_into("<i", bmp, 22, -h)   # flip to top-down
+        # flip row order so the decoded pixels stay identical
+        df = spark.createDataFrame([(0, bytes(bmp))],
+                                   "media_id long, payload binary")
+        [row] = df.select(media_meta_col("payload").alias("m")).collect()
+        assert row["m"]["height"] == h and row["m"]["width"] == 3
+
+    def test_video_negative_duration_skipped_not_fatal(self, spark):
+        # b[7]*2^56 overflowed long under ANSI for any high byte >= 0x80;
+        # sequence() then raised on the negative duration — either way one
+        # bad row aborted the job
+        from sketchlib.multimodal.media import (pack_fake_video,
+                                                sample_frames,
+                                                video_meta_col)
+
+        rows = [(0, pack_fake_video(4, 4, 1500, 7)),
+                (1, pack_fake_video(4, 4, -1, 7)),          # negative
+                (2, pack_fake_video(4, 4, 2**62, 7))]       # absurd
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        meta = {r["media_id"]: r["m"]["duration_ms"] for r in
+                df.select("media_id", video_meta_col("payload").alias("m"))
+                .collect()}
+        assert meta[0] == 1500 and meta[1] == -1 and meta[2] == 2**62
+        got = {r["media_id"] for r in sample_frames(df, every_ms=500).collect()}
+        assert got == {0}  # bad durations -> empty plan, job survives
+
+    def test_wav_truncated_chunk_raises(self):
+        import numpy as np
+
+        from sketchlib.multimodal import decode_wav
+        from sketchlib.multimodal.media import encode_wav
+
+        wav = encode_wav(np.arange(64, dtype=np.int16).reshape(-1, 2), 8000)
+        with pytest.raises(ValueError, match="truncated WAV chunk"):
+            decode_wav(wav[:-5])
+
+    def test_repetition_whitespace_wrapped_text(self, spark):
+        # "\nhello world\n" used to tokenize to ['', hello, world, ''],
+        # fabricating 3 2-grams and crowning ("", "hello") the top 2-gram
+        from sketchlib.text.repetition import repetition_stats
+
+        df = spark.createDataFrame(
+            [(0, "\nhello world\n"), (1, "  \t \n "), (2, "one")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+        assert rows[0]["n_2grams"] == 1
+        assert rows[0]["top_2gram_len"] == len("hello world")
+        assert rows[1]["n_2grams"] == 0 and rows[1]["n_5grams"] == 0
+        assert rows[2]["n_2grams"] == 0
+
+    def test_dsir_empty_corpora_raise_clearly(self, spark):
+        from sketchlib.text.dsir import fit_dsir
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        with pytest.raises(ValueError, match="no features"):
+            fit_dsir(empty, empty, buckets=None)
+
+    def test_dsir_scores_token_temp_column_clash(self, spark):
+        from sketchlib.text.dsir import dsir_scores, fit_dsir
+
+        docs = spark.createDataFrame(
+            [(i, f"some target text number {i}") for i in range(20)],
+            "doc_id long, text string")
+        model = fit_dsir(docs, docs, buckets=None)
+        clash = docs.withColumn("__feats_t", F.lit("user data"))
+        out = dsir_scores(clash, model)
+        [row] = out.filter(F.col("doc_id") == 3).collect()
+        assert row["__feats_t"] == "user data"  # user column survives
+
+    def test_has_pii_null_text_false(self, spark):
+        from sketchlib.text.pii import has_pii
+
+        df = spark.createDataFrame([(0, None), (1, "mail me a@b.com")],
+                                   "doc_id long, text string")
+        got = {r["doc_id"]: r["f"] for r in
+               df.select("doc_id", has_pii(F.col("text")).alias("f"))
+               .collect()}
+        assert got[0] is False and got[1] is True
+
+    def test_pil_bomb_rejected_before_decode(self, monkeypatch):
+        # dimension bound must fire from the HEADER (PIL .size), before
+        # .convert() allocates the decompressed buffer
+        import sketchlib.multimodal.media as media
+
+        class _BombImg:
+            size = (50_000, 3_000)
+
+            def convert(self, mode):  # pragma: no cover - must not run
+                raise AssertionError("decoded past the dimension bound")
+
+        class _FakePIL:
+            @staticmethod
+            def open(buf):
+                return _BombImg()
+
+        monkeypatch.setattr(media, "_PIL_IMAGE", _FakePIL)
+        with pytest.raises(ValueError, match="implausible image dimensions"):
+            media.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
