@@ -60,7 +60,14 @@ def pack_sequences(df: DataFrame, token_col: str, budget: int,
     order = [F.col(order_col).asc()] if order_col \
         else [h.asc(), F.col(id_col).asc()]
 
-    t = F.col(token_col).cast("long")
+    # NULL token counts pack as zero-token docs (they occupy no stream
+    # space); a NEGATIVE count would silently walk the running sum
+    # backwards and corrupt every later offset in the bucket — fail the
+    # row loudly instead (raise_error evaluates JVM-side, no extra scan)
+    t = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    t = F.when(t >= 0, t).otherwise(F.raise_error(F.concat(
+        F.lit(f"negative {token_col} for "),
+        F.col(id_col).cast("string"))).cast("long"))
     w = Window.partitionBy(bucket).orderBy(*order) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     end = F.sum(t).over(w)
@@ -79,13 +86,21 @@ def pack_sequences(df: DataFrame, token_col: str, budget: int,
 def packing_summary(packed: DataFrame, token_col: str,
                     budget: int) -> DataFrame:
     """Per-bucket packing stats: docs, tokens, sequences used, and fill
-    ratio of the budget (last partial sequence counted as full)."""
-    t = F.col(token_col).cast("long")
+    ratio of the budget (last partial sequence counted as full).
+
+    ``n_seqs = ceil(n_tokens / budget)`` — the stream is contiguous, so
+    that IS the number of sequences holding at least one token.  (Taking
+    ``max(last_seq) + 1`` instead over-counts when a trailing zero-token
+    doc's start offset lands exactly on a budget boundary: its empty
+    ``first_seq == last_seq`` names a sequence no token occupies.)  An
+    all-empty bucket reports 0 sequences and a NULL fill ratio."""
+    t = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
     return (packed.groupBy("bucket").agg(
         F.count("*").alias("n_docs"),
         F.sum(t).alias("n_tokens"),
-        (F.max("last_seq") + 1).alias("n_seqs"),
+        F.ceil(F.sum(t) / F.lit(budget)).cast("long").alias("n_seqs"),
     ).withColumn(
         "fill_ratio",
-        F.col("n_tokens").cast("double")
-        / (F.col("n_seqs") * F.lit(float(budget)))))
+        F.when(F.col("n_seqs") > 0,
+               F.col("n_tokens").cast("double")
+               / (F.col("n_seqs") * F.lit(float(budget))))))

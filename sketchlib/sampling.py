@@ -125,7 +125,10 @@ def mix_fractions(df: DataFrame, source_col: str, targets: dict[str, float],
         raise ValueError("target shares must be non-negative")
     mass_expr = (F.count(F.lit(1)) if weight_col is None
                  else F.sum(weight_col))
-    mass = {r["s"]: float(r["m"]) for r in
+    # SUM over an all-NULL weight column is NULL — map it to 0 mass so an
+    # unpopulated source routes into the clear "no mass" error below
+    # instead of a bare float(None) TypeError
+    mass = {r["s"]: float(r["m"]) if r["m"] is not None else 0.0 for r in
             df.groupBy(F.col(source_col).alias("s"))
             .agg(mass_expr.cast("double").alias("m")).collect()}
     missing = [s for s, w in targets.items() if w > 0 and not mass.get(s)]
@@ -189,7 +192,11 @@ def weighted_sample_per_group(df: DataFrame, group_cols, weight_col: str,
         rn += "_"
     w = Window.partitionBy(*group_cols).orderBy(
         F.desc(es_key), *[F.col(c).asc() for c in id_cols])
+    # ~isnan too: Spark's NaN orders LARGER than every number, so a NaN
+    # weight passes `> 0`, makes es_key NaN, and NaN sorts first under
+    # desc — NaN-weight garbage rows would displace the entire sample
     return (df.filter(F.col(weight_col).isNotNull()
+                      & ~F.isnan(F.col(weight_col).cast("double"))
                       & (F.col(weight_col) > 0))
             .withColumn(rn, F.row_number().over(w))
             .filter(F.col(rn) <= k).drop(rn))

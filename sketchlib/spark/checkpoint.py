@@ -12,6 +12,10 @@ lineage and metrics". Design:
   a unit is done iff its record exists (partials without a record are
   overwritten on retry — write-then-commit, idempotent).
 * Resume: completed units are skipped; only missing units are scanned.
+  The manifest's recorded (element_cols, group_cols, sketch) identity is
+  VALIDATED against the current config first — a relaunched job pointing a
+  differently-configured aggregation at an existing checkpoint would
+  otherwise silently merge semantically mixed partials.
 * The final merge reads *all* partial Parquet and fold-merges per group —
   bit-identical to an uninterrupted run because merge order is immaterial
   (canonical bytes, register-max associativity).
@@ -77,6 +81,32 @@ class SketchCheckpoint:
             f.flush()
             os.fsync(f.fileno())
 
+    def _sketch_label(self) -> str:
+        return getattr(self.spec, "name", "sketch")
+
+    def _config_record(self) -> dict:
+        """The aggregation identity stamped into every lineage record and
+        validated on resume."""
+        return {"element_cols": self.element_cols,
+                "group_cols": self.group_cols,
+                "sketch": self._sketch_label()}
+
+    def _check_resume_config(self) -> None:
+        """Refuse to mix partials built under a different aggregation
+        config: a url-distinct checkpoint resumed by a host-distinct job
+        would fold incompatible sketches into one nonsense estimate.  The
+        lineage records carry the identity — check it."""
+        want = self._config_record()
+        for rec in self.lineage():
+            for key, cur in want.items():
+                if rec.get(key) != cur:
+                    raise ValueError(
+                        f"checkpoint config mismatch on unit "
+                        f"{rec.get('unit')!r}: {key} recorded "
+                        f"{rec.get(key)!r} but the current job uses "
+                        f"{cur!r} — use a fresh checkpoint_dir (or the "
+                        f"original config) instead of mixing")
+
     # -- build ------------------------------------------------------------------
 
     def _observed_write(self, partials: DataFrame, path: str,
@@ -84,7 +114,10 @@ class SketchCheckpoint:
         """Write the unit's partials and return (n_partials, n_input_rows)
         observed *during the write job* — every sketch blob carries
         ``count_additions`` (exactly the rows it ingested), so lineage
-        metrics cost zero extra jobs and zero extra input scans."""
+        metrics cost zero extra jobs and zero extra input scans.
+        ``n_partials`` counts BLOB rows (``count(blob_col)`` skips NULLs),
+        so mixed stage-1 outputs that interleave non-blob rows (heavy
+        hitters' candidates) don't inflate the metric."""
         from pyspark.sql import Observation
 
         spec = self.spec
@@ -97,27 +130,31 @@ class SketchCheckpoint:
 
         obs = Observation()
         observed = partials.observe(
-            obs, F.count(F.lit(1)).alias("n_partials"),
+            obs, F.count(F.col(blob_col)).alias("n_partials"),
             F.sum(_adds(F.col(blob_col))).alias("n_rows"))
         observed.write.mode("overwrite").parquet(path)
         got = obs.get
         return int(got["n_partials"]), int(got["n_rows"] or 0)
 
+    def _build_unit_partials(self, df_unit: DataFrame) -> tuple[DataFrame, str]:
+        """(stage-1 partials frame, blob column name) — the one piece that
+        differs between checkpoint flavors."""
+        return (build_partials(df_unit, self.element_cols, self.group_cols,
+                               self.spec), "sketch")
+
     def run_unit(self, df_unit: DataFrame, unit: str) -> dict:
         """Build + persist stage-1 partials for one unit, then commit its
         lineage record. Safe to re-run a crashed unit (overwrite-then-commit)."""
         t0 = time.time()
-        partials = build_partials(df_unit, self.element_cols, self.group_cols,
-                                  self.spec)
-        path = self._unit_path(unit)
-        n_partials, n_rows = self._observed_write(partials, path)
+        partials, blob_col = self._build_unit_partials(df_unit)
+        n_partials, n_rows = self._observed_write(partials,
+                                                  self._unit_path(unit),
+                                                  blob_col=blob_col)
         record = {
             "unit": unit,
             "n_partials": n_partials,
             "n_input_rows": n_rows,
-            "element_cols": self.element_cols,
-            "group_cols": self.group_cols,
-            "sketch": getattr(self.spec, "name", "sketch"),
+            **self._config_record(),
             "wall_sec": round(time.time() - t0, 3),
             "writer": uuid.uuid4().hex[:12],
             "finished_at": time.time(),
@@ -129,6 +166,7 @@ class SketchCheckpoint:
             units: Sequence[str]) -> dict:
         """Process all not-yet-completed units. ``source(unit)`` returns the
         unit's (partition-pruned) DataFrame."""
+        self._check_resume_config()
         done = self.completed_units()
         todo = [u for u in units if str(u) not in done]
         records = [self.run_unit(source(u), str(u)) for u in todo]
@@ -139,6 +177,7 @@ class SketchCheckpoint:
 
     def result(self, spark: SparkSession, tree_fanout: int | None = None) -> DataFrame:
         """Final per-group merge over every committed unit's partials."""
+        self._check_resume_config()
         done = sorted(self.completed_units())
         if not done:
             raise ValueError(f"no completed units in checkpoint {self.dir}")
@@ -154,7 +193,9 @@ class HeavyHittersCheckpoint(SketchCheckpoint):
     """Checkpointed heavy hitters: each unit persists the one-pass mixed
     stage-1 output (per-partition candidate counts + partial CMS blobs), so
     the final top-k is computable from the checkpoint alone — no input rescan
-    on resume. Lineage/commit semantics inherited from SketchCheckpoint."""
+    on resume. Lineage/commit/resume-validation semantics inherited from
+    SketchCheckpoint; ``n_partials`` counts CMS blob rows only (candidate
+    rows carry a NULL blob)."""
 
     def __init__(self, checkpoint_dir: str, spec, value_col: str,
                  group_cols: Sequence[str] = (), k: int = 20,
@@ -163,33 +204,20 @@ class HeavyHittersCheckpoint(SketchCheckpoint):
         self.value_col = value_col
         self.k = k
 
-    def run_unit(self, df_unit: DataFrame, unit: str) -> dict:
+    def _sketch_label(self) -> str:
+        return getattr(self.spec, "name", "sketch") + "+candidates"
+
+    def _build_unit_partials(self, df_unit: DataFrame) -> tuple[DataFrame, str]:
         from .heavy_hitters import heavy_hitters_partials
 
-        t0 = time.time()
-        partials = heavy_hitters_partials(df_unit, self.value_col,
-                                          self.group_cols, self.spec,
-                                          n_cand=max(4 * self.k, 64))
-        path = self._unit_path(unit)
-        n_partials, n_rows = self._observed_write(partials, path,
-                                                  blob_col="cms")
-        record = {
-            "unit": unit,
-            "n_partials": n_partials,
-            "n_input_rows": n_rows,
-            "element_cols": [self.value_col],
-            "group_cols": self.group_cols,
-            "sketch": getattr(self.spec, "name", "sketch") + "+candidates",
-            "wall_sec": round(time.time() - t0, 3),
-            "writer": uuid.uuid4().hex[:12],
-            "finished_at": time.time(),
-        }
-        self._commit(record)
-        return record
+        return (heavy_hitters_partials(df_unit, self.value_col,
+                                       self.group_cols, self.spec,
+                                       n_cand=max(4 * self.k, 64)), "cms")
 
     def result(self, spark: SparkSession, tree_fanout: int | None = None) -> DataFrame:
         from .heavy_hitters import heavy_hitters_from_partials
 
+        self._check_resume_config()
         done = sorted(self.completed_units())
         if not done:
             raise ValueError(f"no completed units in checkpoint {self.dir}")

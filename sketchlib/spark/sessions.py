@@ -62,6 +62,11 @@ def sessionize(df: DataFrame, ts_col: str = "ts", user_col: str = "user_id",
     us = _epoch_us(base, ts_col)
     w = Window.partitionBy(user_col).orderBy(us)
     gap_us = int(gap_seconds) * 1_000_000
+    # STRICT >: session_window's ranges are [start, last + gap) and Spark
+    # merges sessions whose ranges TOUCH, so an event arriving exactly
+    # `gap` after the previous one stays in the SAME session — pinned
+    # empirically by test_boundary_parity_with_streaming (a >= here was
+    # tried and diverged from the streaming twin on boundary events).
     new = F.when(
         us - F.lag(us).over(w) > F.lit(gap_us), F.lit(1)
     ).otherwise(F.lit(0))

@@ -46,6 +46,8 @@ def streaming_dedup(stream_df: DataFrame, ts_col: str,
     if text_col is not None:
         from ..text.analysis import fingerprint_key
 
+        while fp_col in stream_df.columns:  # never clobber a user column
+            fp_col += "_"
         keyed = wm.withColumn(fp_col, fingerprint_key(F.col(text_col)))
         return (keyed.dropDuplicatesWithinWatermark([fp_col])
                 .drop(fp_col))

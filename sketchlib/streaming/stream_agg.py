@@ -123,14 +123,35 @@ def windowed_sketch_agg(stream_df: DataFrame, element_cols, ts_col: str,
           .select("__w", *group_cols, *element_cols))
 
     est_type = getattr(spec, "estimate_type", T.LongType())
+    # the output window bounds carry the SAME timestamp flavor as the
+    # input event-time column (F.window over TIMESTAMP_NTZ yields an NTZ
+    # struct; declaring tz-aware TimestampType for it would shift the
+    # emitted bounds by the session offset)
+    wtype = df.schema["__w"].dataType["start"].dataType
     out_schema = T.StructType(
-        [T.StructField("window_start", T.TimestampType()),
-         T.StructField("window_end", T.TimestampType())]
+        [T.StructField("window_start", wtype),
+         T.StructField("window_end", wtype)]
         + [df.schema[g] for g in group_cols]
         + [T.StructField("estimate", est_type),
            T.StructField("count_additions", T.LongType())]
     )
     cast = float if isinstance(est_type, T.DoubleType) else int
+    # The struct key reaches update() as NAIVE datetimes: rendered in the
+    # SESSION timezone for tz-aware event time, or as the literal wall
+    # clock (epoch-anchored, i.e. UTC) for NTZ.  Naive .timestamp() would
+    # interpret them in the worker's OS timezone instead — with session tz
+    # UTC and OS tz America/New_York every timeout lands 5 h late (state
+    # never evicts on time) or live windows test as boundary-late and drop
+    # rows.  Localize explicitly with the plan-time-captured zone.
+    key_tz = ("UTC" if isinstance(wtype, T.TimestampNTZType)
+              else stream_df.sparkSession.conf.get(
+                  "spark.sql.session.timeZone"))
+
+    def _key_epoch_ms(value) -> int:
+        ts = pd.Timestamp(value)
+        if ts.tzinfo is None:
+            ts = ts.tz_localize(key_tz)
+        return int(ts.timestamp() * 1000)
 
     def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
@@ -140,7 +161,7 @@ def windowed_sketch_agg(stream_df: DataFrame, element_cols, ts_col: str,
             return
         # the struct group key arrives as a mapping of field name -> value
         window_start, window_end = key[0]["start"], key[0]["end"]
-        end_ms = int(window_end.timestamp() * 1000)
+        end_ms = _key_epoch_ms(window_end)
         if end_ms <= state.getCurrentWatermarkMs():
             # boundary-late group: Spark's late-record filter for
             # applyInPandasWithState uses the PREVIOUS micro-batch's

@@ -169,3 +169,25 @@ def test_pages_job_heavy_hosts_in_session(spark, pages_dir, tmp_path):
     assert len(rows) == 20
     assert {"value", "est_count", "lower_bound"} <= set(out.columns)
     assert all(r["lower_bound"] <= r["est_count"] for r in rows)
+
+
+def test_resume_config_mismatch_rejected(spark, tmp_path):
+    """A checkpoint resumed under a different aggregation identity must be
+    refused — mixing url-distinct and host-distinct partials would merge
+    into one nonsense estimate."""
+    import pytest
+
+    from sketchlib.spark.aggregate import HllSpec
+    from sketchlib.spark.checkpoint import SketchCheckpoint
+
+    df = spark.createDataFrame([(i, f"u{i % 7}", "d0") for i in range(100)],
+                               "id long, url string, day string")
+    ck = SketchCheckpoint(str(tmp_path / "ck"), HllSpec(p=12), "url")
+    ck.run(spark, lambda u: df, ["d0"])
+    assert ck.result(spark).count() == 1
+    # same dir, different element column -> hard error on run AND result
+    ck2 = SketchCheckpoint(str(tmp_path / "ck"), HllSpec(p=12), "id")
+    with pytest.raises(ValueError, match="config mismatch"):
+        ck2.run(spark, lambda u: df, ["d1"])
+    with pytest.raises(ValueError, match="config mismatch"):
+        ck2.result(spark)

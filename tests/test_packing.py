@@ -94,3 +94,46 @@ def test_single_shuffle_plan(spark, docs_df):
     import re
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "Python" not in plan and "MapIn" not in plan
+
+
+def test_summary_boundary_empty_doc_no_phantom_seq(spark):
+    """A zero-token doc whose offset lands exactly on a budget boundary at
+    the end of a bucket must not open a phantom sequence."""
+    from sketchlib.packing import pack_sequences, packing_summary
+
+    rows = [(1, 100), (2, 100), (3, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long") \
+        .withColumn("b", F.lit(0))
+    packed = pack_sequences(df, "n_tokens", budget=100,
+                            bucket_col="b", order_col="doc_id")
+    [s] = packing_summary(packed, "n_tokens", budget=100).collect()
+    assert s["n_seqs"] == 2 and s["fill_ratio"] == 1.0
+    # all-empty bucket: zero sequences, NULL fill ratio
+    empty = spark.createDataFrame([(9, 0)], "doc_id long, n_tokens long") \
+        .withColumn("b", F.lit(0))
+    [e] = packing_summary(
+        pack_sequences(empty, "n_tokens", budget=100,
+                       bucket_col="b", order_col="doc_id"),
+        "n_tokens", budget=100).collect()
+    assert e["n_seqs"] == 0 and e["fill_ratio"] is None
+
+
+def test_pack_null_tokens_zero_negative_raises(spark):
+    import pytest
+
+    from sketchlib.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, 50), (2, None), (3, 30)],
+                               "doc_id long, n_tokens long") \
+        .withColumn("b", F.lit(0))
+    got = {r["doc_id"]: r for r in
+           pack_sequences(df, "n_tokens", budget=100, bucket_col="b",
+                          order_col="doc_id").collect()}
+    # NULL packs as a zero-token doc; offsets stay consistent
+    assert got[2]["start_offset"] == 50 and got[3]["start_offset"] == 50
+    bad = spark.createDataFrame([(1, 50), (2, -7)],
+                                "doc_id long, n_tokens long") \
+        .withColumn("b", F.lit(0))
+    with pytest.raises(Exception, match="negative n_tokens"):
+        pack_sequences(bad, "n_tokens", budget=100, bucket_col="b",
+                       order_col="doc_id").collect()

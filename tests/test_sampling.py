@@ -227,3 +227,32 @@ def test_weighted_sample_plan_pre_caps(spark):
     plan = weighted_sample_per_group(df, "grp", "w", 5, "id") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_weighted_sample_excludes_nan_weights(spark):
+    """Spark orders NaN LARGER than every number, so a NaN weight passes
+    `> 0` and its NaN sort key ranks first under desc — NaN rows would
+    displace the whole sample."""
+    from sketchlib.sampling import weighted_sample_per_group
+
+    rows = ([(i, "g", 10.0) for i in range(20)]
+            + [(100 + i, "g", float("nan")) for i in range(5)])
+    df = spark.createDataFrame(rows, "doc_id long, src string, w double")
+    got = {r["doc_id"] for r in
+           weighted_sample_per_group(df, k=5, group_cols=["src"],
+                                     weight_col="w",
+                                     id_cols=["doc_id"]).collect()}
+    assert len(got) == 5 and all(i < 100 for i in got)
+
+
+def test_mix_fractions_all_null_mass_clear_error(spark):
+    """SUM over an all-NULL weight column is NULL -> must route into the
+    'no mass' ValueError, not a bare float(None) TypeError."""
+    import pytest
+
+    from sketchlib.sampling import mix_fractions
+
+    rows = [(1, "a", 10), (2, "b", None), (3, "b", None)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w long")
+    with pytest.raises(ValueError, match="no mass"):
+        mix_fractions(df, "src", {"a": 0.5, "b": 0.5}, weight_col="w")

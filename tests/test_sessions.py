@@ -97,7 +97,10 @@ class TestBatchSessions:
 
     def test_exact_boundary_is_same_session(self, spark):
         """Gap STRICTLY greater than the threshold starts a session; an
-        event exactly gap_seconds later stays in the same session."""
+        event exactly gap_seconds later stays in the same session — the
+        semantics Spark's session_window exhibits (it MERGES sessions
+        whose [start, last+gap) ranges touch), empirically pinned by
+        test_boundary_parity_with_streaming."""
         t0 = dt.datetime(2026, 1, 1)
         df = spark.createDataFrame(
             [(1, t0), (1, t0 + dt.timedelta(seconds=GAP)),
@@ -106,6 +109,49 @@ class TestBatchSessions:
         [r1, r2] = sorted(session_stats(df, gap_seconds=GAP).collect(),
                           key=lambda r: r["session_idx"])
         assert (r1["n_events"], r2["n_events"]) == (2, 1)
+
+    def test_boundary_parity_with_streaming(self, spark, tmp_path):
+        """Batch and streaming sessionizers agree on an exact-gap event."""
+        import datetime as dt
+
+        from sketchlib.spark.sessions import streaming_session_stats
+
+        t0 = dt.datetime(2026, 1, 1, 8, 0, 0)
+        rows = [(1, t0), (1, t0 + dt.timedelta(seconds=GAP)),
+                (9, t0 + dt.timedelta(hours=30))]  # watermark pusher
+        schema = "user_id long, ts timestamp"
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        collected = []
+
+        def run_pass():
+            stream = spark.readStream.schema(schema).parquet(src)
+            agg = streaming_session_stats(stream, gap_seconds=GAP,
+                                          watermark_delay="1 hour")
+            q = (agg.writeStream
+                 .foreachBatch(
+                     lambda bdf, _b: collected.extend(bdf.collect()))
+                 .outputMode("append")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            assert q.awaitTermination(120)
+
+        spark.createDataFrame(rows[:2], schema).repartition(1).write.mode(
+            "append").parquet(src)
+        run_pass()
+        spark.createDataFrame(rows[2:], schema).repartition(1).write.mode(
+            "append").parquet(src)
+        run_pass()
+        stream_sessions = sorted(
+            (r["session_start"], r["n_events"])
+            for r in collected if r["user_id"] == 1)
+        batch = session_stats(
+            spark.createDataFrame(rows, schema), gap_seconds=GAP)
+        batch_sessions = sorted(
+            (r["session_start"], r["n_events"])
+            for r in batch.collect() if r["user_id"] == 1)
+        # session_window MERGES the touching ranges: one session, 2 events
+        assert stream_sessions == batch_sessions == [(t0, 2)]
 
 
 class TestStreamingSessions:

@@ -259,3 +259,63 @@ def test_windowed_sliding(spark, tmp_path):
     got = {(r["window_start"].hour, r["window_start"].minute): r["estimate"]
            for r in collected}
     assert got == {(0, 0): 20, (0, 30): 20}
+
+
+def test_windowed_eviction_non_utc_session_tz(spark, tmp_path):
+    """The window-struct key reaches the state function as NAIVE datetimes
+    rendered in the SESSION timezone; end_ms must be derived by localizing
+    with that zone, not the worker OS zone.  With session tz
+    America/New_York (OS tz UTC here) the old naive .timestamp() read
+    end_ms 5h EARLY, so every live window tested as boundary-late and its
+    rows were silently dropped."""
+    from datetime import datetime
+
+    from sketchlib.streaming import windowed_distinct_count
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src = str(tmp_path / "tzsrc")
+    os.makedirs(src, exist_ok=True)
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        collected = []
+
+        def run_pass():
+            stream = spark.readStream.schema(schema).parquet(src)
+            agg = windowed_distinct_count(stream, "url", "ts", "1 hour",
+                                          "30 minutes")
+            q = (agg.writeStream
+                 .foreachBatch(
+                     lambda bdf, _b: collected.extend(bdf.collect()))
+                 .outputMode("update")
+                 .option("checkpointLocation", str(tmp_path / "tzckpt"))
+                 .trigger(availableNow=True).start())
+            assert q.awaitTermination(120)
+            return q
+
+        rows1 = [(f"https://a/{i}", datetime(2026, 1, 1, 0, 10))
+                 for i in range(25)]
+        spark.createDataFrame(rows1, schema).repartition(1).write.mode(
+            "append").parquet(src)
+        run_pass()
+        got = {r["window_start"].hour: r["estimate"] for r in collected}
+        assert got == {0: 25}  # live window emitted, not dropped as late
+
+        # eviction still works: push the watermark far past window 0
+        collected.clear()
+        rows2 = [(f"https://b/{i}", datetime(2026, 1, 1, 6, 10))
+                 for i in range(10)]
+        spark.createDataFrame(rows2, schema).repartition(1).write.mode(
+            "append").parquet(src)
+        q = run_pass()
+        got2 = {r["window_start"].hour: r["estimate"] for r in collected}
+        assert got2 == {6: 10}
+        n_state = [p["stateOperators"][0]["numRowsTotal"]
+                   for p in (q.recentProgress or [])
+                   if p.get("stateOperators")]
+        assert n_state and n_state[-1] == 1, n_state
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
