@@ -2953,7 +2953,7 @@ def _pipeline_oracles() -> dict[str, str]:
     norm = A.SQL_NORMALIZE.format(c="text")
     dedup = (
         "SELECT (SELECT COUNT(*) FROM documents) AS n_docs, "
-        "COUNT(*) AS n_kept, CAST(SUM(m) AS BIGINT) AS id_checksum "
+        "COUNT(*) AS n_kept, CAST(BIT_XOR(m) AS BIGINT) AS id_checksum "
         f"FROM (SELECT MIN(doc_id) AS m FROM documents GROUP BY {norm})"
     )
     # word-3-gram shingles with the same <3-token whole-string fallback as
@@ -3053,7 +3053,7 @@ def _pipeline_oracles() -> dict[str, str]:
             "SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id), "
             "comp AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id) "
             "SELECT component, COUNT(*) AS size, "
-            "CAST(SUM(id) AS BIGINT) AS id_checksum "
+            "CAST(BIT_XOR(id) AS BIGINT) AS id_checksum "
             "FROM comp GROUP BY component ORDER BY component"
         ),
         "repetition_stats": (
@@ -3330,7 +3330,7 @@ def _pipeline_oracles() -> dict[str, str]:
             "UNION ALL SELECT doc_id, 3, 'promo block ' || (doc_id % 7) "
             "FROM documents), "
             "freq AS (SELECT lower(trim(line)) AS nl FROM lines "
-            "WHERE trim(line) != '' GROUP BY 1 HAVING COUNT(*) >= 50), "
+            "WHERE regexp_matches(line, '\\S') GROUP BY 1 HAVING COUNT(*) >= 50), "
             "k AS (SELECT doc_id, COUNT(*) AS nk, "
             "string_agg(line, chr(10) ORDER BY ord) AS ct FROM lines "
             "WHERE lower(trim(line)) NOT IN (SELECT nl FROM freq) "
@@ -3432,13 +3432,13 @@ def _pipeline_oracles() -> dict[str, str]:
             "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM toks), "
             "dfs AS (SELECT tok, COUNT(*) AS dfc FROM ("
             "SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks) "
-            "GROUP BY tok), "
+            "WHERE tok != '' GROUP BY tok), "
             "voc AS (SELECT tok, CAST(round(1000 * ln("
             "((SELECT nd FROM n) + 1) / (dfc + 1))) AS BIGINT) AS idf "
             "FROM dfs ORDER BY dfc DESC, tok LIMIT 50), "
             "tfc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf "
             "FROM (SELECT doc_id, unnest(t) AS tok FROM toks) "
-            "GROUP BY doc_id, tok), "
+            "WHERE tok != '' GROUP BY doc_id, tok), "
             "sc AS (SELECT tfc.doc_id, tfc.tok AS token, tfc.tf, "
             "tfc.tf * v.idf AS score_milli FROM tfc JOIN voc v "
             "ON tfc.tok = v.tok), "

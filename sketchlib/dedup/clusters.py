@@ -201,6 +201,10 @@ def cluster_summary(pairs: DataFrame, src_col: str = "id_a",
     connected-components once."""
     comp = (components if components is not None
             else connected_components(pairs, src_col, dst_col))
+    # bit_xor, not sum: cluster members at web scale are 64-bit hash ids,
+    # and summing two ~9e18 values overflows long (ANSI error / silent
+    # wrap) — the same hazard _signature documents above.  XOR is the
+    # standard overflow-free set checksum (order- and partition-free).
     return comp.groupBy("component").agg(
         F.count("*").alias("size"),
-        F.sum("id").alias("id_checksum"))
+        F.bit_xor("id").alias("id_checksum"))

@@ -39,11 +39,13 @@ def dedup_summary(df: DataFrame, text_col: str = "text",
     key: Column = fingerprint_key(F.col(text_col))
     groups = df.groupBy(key.alias("__fp")).agg(
         F.count("*").alias("__c"), F.min(id_col).alias("__m"))
-    # coalesce(sum, 0): an empty corpus audits as 0 docs, not NULL
+    # coalesce(agg, 0): an empty corpus audits as 0 docs, not NULL.
+    # Checksum via bit_xor, not sum: kept ids at web scale are 64-bit
+    # hash values and summing them overflows long (ANSI error / wrap).
     return groups.agg(
         F.coalesce(F.sum("__c"), F.lit(0)).alias("n_docs"),
         F.count("*").alias("n_kept"),
-        F.coalesce(F.sum("__m"), F.lit(0)).alias("id_checksum"))
+        F.coalesce(F.bit_xor("__m"), F.lit(0)).alias("id_checksum"))
 
 
 def duplicate_groups(df: DataFrame, text_col: str = "text",

@@ -96,7 +96,13 @@ def _min_sigs(hashes: np.ndarray, starts: np.ndarray, ends: np.ndarray,
     i = 0
     with np.errstate(over="ignore"):
         while i < n_rows:
-            j = int(np.searchsorted(starts, starts[i] + max_shingles, "left"))
+            # bound the chunk by row ENDS, not starts: a huge row whose
+            # START falls inside the window would otherwise be sliced in
+            # full (hashes[starts[i]:ends[j-1]]), building an unbounded
+            # (len, n_hashes) matrix whenever it shares a chunk with a
+            # smaller row — only the lone-row sub-chunk path below may
+            # handle over-long rows
+            j = int(np.searchsorted(ends, starts[i] + max_shingles, "right"))
             j = min(max(j, i + 1), n_rows)
             if j == i + 1 and ends[i] - starts[i] > max_shingles:
                 # one huge document: sub-chunk with a running min
@@ -268,8 +274,18 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
     ``max_bucket`` are dropped whole (degenerate boilerplate clusters; the
     size filter doubles as the pair-explosion bound: <= max_bucket^2/2
     pairs per bucket)."""
+    if bands < 1:
+        raise ValueError("bands must be >= 1")
     n_hashes_col = F.size("sig")
-    rows_per_band = (n_hashes_col / bands).cast("int")
+    # bands > signature length would make rows_per_band 0: every band
+    # hashes an EMPTY slice, all docs share one bucket per band, and the
+    # max_bucket filter then silently reports zero candidates — fail the
+    # row loudly instead (raise_error evaluates JVM-side)
+    rows_per_band = (F.when(
+        n_hashes_col >= F.lit(bands), (n_hashes_col / bands).cast("int"))
+        .otherwise(F.raise_error(F.concat(
+            F.lit(f"bands={bands} exceeds the signature length "),
+            n_hashes_col.cast("string"))).cast("int")))
     banded = sig_df.filter(F.col("sig").isNotNull()).select(
         id_col,
         F.posexplode(

@@ -54,7 +54,10 @@ def _simhash_rows(hashes: np.ndarray, starts: np.ndarray,
     max_tokens = max(1, _BIT_CHUNK_BYTES // (64 * 4))
     i = 0
     while i < n_rows:
-        j = int(np.searchsorted(starts, starts[i] + max_tokens, "left"))
+        # bound by row ENDS (see minhash._min_sigs): a huge row sharing a
+        # chunk with a small one must fall through to the sub-chunk path,
+        # not be sliced in full
+        j = int(np.searchsorted(ends, starts[i] + max_tokens, "right"))
         j = min(max(j, i + 1), n_rows)
         if j == i + 1 and ends[i] - starts[i] > max_tokens:
             # one huge document: accumulate bit sums across sub-chunks
@@ -156,14 +159,20 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     agreeing chunk lands in a bucket larger than ``max_bucket`` (degenerate
     boilerplate clusters) — raise ``max_bucket`` if exactness under such
     clusters is required."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
     sim = simhash_signatures(df, text_col, id_col)
+    # signed-long-safe chunk mask: for max_hamming=0 the chunk is the
+    # whole word and (1 << 64) - 1 does not fit a Java long — -1 is the
+    # same all-ones bit pattern
+    mask = F.lit(-1 if chunk_bits == 64 else (1 << chunk_bits) - 1)
     chunks = sim.select(
         id_col, "simhash",
         F.posexplode(F.array(*[
             F.shiftrightunsigned(F.col("simhash"), i * chunk_bits)
-            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+            .bitwiseAND(mask)
             for i in range(n_chunks)
         ])).alias("chunk_id", "chunk_val"))
     # collect-then-expand (not a self-join, which would re-execute the

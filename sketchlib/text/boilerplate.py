@@ -56,7 +56,12 @@ def frequent_line_hashes(df: DataFrame, text_col: str = "text",
     lines = df.select(
         F.explode(F.split(F.col(text_col), "\n")).alias("__line"))
     freq = (lines
-            .filter(F.trim(F.col("__line")) != "")
+            # rlike(\S), not trim != '': Spark trim strips ASCII spaces
+            # only, so a tab- or unicode-whitespace-only separator line
+            # would count as frequent and get stripped, breaking the
+            # "blank lines can never be removed" guarantee (paragraphs.py
+            # documents the same pitfall)
+            .filter(F.col("__line").rlike(r"\S"))
             .select(line_hash_expr(F.col("__line")).alias("h"))
             .groupBy("h").agg(F.count("*").alias("c"))
             .filter(F.col("c") >= min_count)

@@ -63,6 +63,10 @@ def fit_idf(df: DataFrame, text_col: str = "text",
     rows = (df.filter(F.col(text_col).isNotNull())
             .select(F.explode(F.array_distinct(
                 tokens_col(F.col(text_col)))).alias("tok"))
+            # blank/whitespace-only text tokenizes to [''] — the empty
+            # token would climb the df ordering into the vocab and score
+            # as a "keyword" for every blank doc
+            .filter(F.col("tok") != "")
             .groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
             .orderBy(F.desc("df"), F.asc("tok"))
             .limit(vocab_size)
@@ -92,6 +96,7 @@ def top_keywords(df: DataFrame, model: IdfModel, k: int = 5,
     pairs = (df.filter(F.col(text_col).isNotNull())
              .select(id_col, F.explode(
                  tokens_col(F.col(text_col))).alias("token"))
+             .filter(F.col("token") != "")
              .groupBy(id_col, "token")
              .agg(F.count(F.lit(1)).alias("tf")))
     scored = (pairs.join(vocab, "token")

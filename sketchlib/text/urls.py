@@ -32,25 +32,37 @@ def url_domain(col: Column) -> Column:
 
 
 def strip_tracking_params(col: Column) -> Column:
-    """Remove known tracking query parameters; repair separators."""
+    """Remove known tracking query parameters; repair separators.
+
+    The separator repairs run ONLY when a parameter was actually removed:
+    an RFC-legal URL with '&' in its path and no query string
+    ('https://e.com/a&b') must pass through untouched, not get its '&'
+    promoted to '?'."""
     pat = "[?&](?:" + "|".join(TRACKING_PARAMS) + ")=[^&#]*"
     out = F.regexp_replace(col, pat, "")
+    changed = out != col
     # if the '?' was consumed but params remain, promote the first '&'
-    has_amp_no_q = (~out.contains("?")) & out.contains("&")
+    has_amp_no_q = changed & (~out.contains("?")) & out.contains("&")
     repaired = F.regexp_replace(out, r"^([^&?]*)&", "$1?")
     out = F.when(has_amp_no_q, repaired).otherwise(out)
-    # drop a dangling '?'
-    return F.regexp_replace(out, r"\?$", "")
+    # drop a dangling '?' left by a full strip
+    return F.when(changed, F.regexp_replace(out, r"\?$", "")).otherwise(out)
 
 
 def normalize_url(col: Column) -> Column:
     """Canonical dedup key: lowercase scheme+host, strip www / default ports /
     fragments / tracking params / trailing slash."""
     u = F.trim(col)
+    # scheme-less / malformed input passes through as-is: regexp_extract
+    # returns '' on no match, so the unconditional rebuild would collapse
+    # EVERY such row to the constant ':/' — one shared dedup key that
+    # deletes all-but-one malformed row corpus-wide
+    is_url = u.rlike(f"^{_SCHEME}://")
     scheme = F.lower(F.regexp_extract(u, f"^({_SCHEME})://", 1))
     host = F.lower(F.regexp_extract(u, f"^{_SCHEME}://([^/?#]*)", 1))
     rest = F.regexp_extract(u, f"^{_SCHEME}://[^/?#]*(.*)$", 1)
-    u = F.concat(scheme, F.lit("://"), host, rest)
+    u = F.when(is_url, F.concat(scheme, F.lit("://"), host, rest)) \
+        .otherwise(u)
     u = F.regexp_replace(u, r"^(\w+://)www\.", "$1")
     u = F.regexp_replace(u, r"^(\w+://[^/:?#]*):80(/|\?|$)", "$1$2")
     u = F.regexp_replace(u, r"^(\w+://[^/:?#]*):443(/|\?|$)", "$1$2")

@@ -54,10 +54,20 @@ def vocab_growth(docs: DataFrame, n_buckets: int = 10,
                 "est_cum_distinct_tokens long")
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     span = max(hi - lo + 1, 1)
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        F.floor((F.col(id_col) - F.lit(lo)) * n_buckets / F.lit(span))
-    ).cast("int").alias("bucket")
+    # bucket from driver-computed boundary comparisons, NOT the closed
+    # form floor((id - lo) * n / span): for 64-bit hash ids the span can
+    # exceed Long.MAX (F.lit would fail) and (id - lo) * n overflows long
+    # (ANSI error / silent negative buckets).  Every edge is an exact
+    # python big-int that lands back inside [lo, hi], so each comparison
+    # is long-safe; id >= edge_b  <=>  floor((id-lo)*n/span) >= b, so the
+    # assignment is bit-identical to the closed form where that form is
+    # computable.
+    edges = [lo + (b * span + n_buckets - 1) // n_buckets
+             for b in range(1, n_buckets)]
+    bucket_expr = F.lit(0)
+    for e in edges:
+        bucket_expr = bucket_expr + (F.col(id_col) >= F.lit(e)).cast("int")
+    bucket = bucket_expr.cast("int").alias("bucket")
 
     toks = base.select(bucket, F.explode(
         tokens_col(F.col(text_col))).alias("tok"))

@@ -97,7 +97,7 @@ def test_cluster_summary(spark):
                                   "id_a long, id_b long")
     rows = {r["component"]: (r["size"], r["id_checksum"])
             for r in cluster_summary(pairs).collect()}
-    assert rows == {1: (3, 11), 2: (2, 5)}
+    assert rows == {1: (3, 1 ^ 4 ^ 6), 2: (2, 2 ^ 3)}
 
 
 def test_nonconvergence_guard(spark):

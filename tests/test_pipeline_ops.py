@@ -113,7 +113,9 @@ class TestDedup:
         [row] = dedup_summary(docs_df).collect()
         assert row["n_docs"] == docs_df.count()
         assert row["n_kept"] == len(kept)
-        assert row["id_checksum"] == sum(r["doc_id"] for r in kept)
+        from functools import reduce
+        assert row["id_checksum"] == reduce(
+            lambda a, b: a ^ b, (r["doc_id"] for r in kept), 0)
         # single scan: exactly one parquet/LocalTableScan source in the plan
         plan = dedup_summary(docs_df)._jdf.queryExecution().executedPlan() \
             .toString()
@@ -784,3 +786,123 @@ class TestHardenedHeaders:
         monkeypatch.setattr(media, "_PIL_IMAGE", _FakePIL)
         with pytest.raises(ValueError, match="implausible image dimensions"):
             media.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+
+
+class TestDedupTextHardening:
+    """Regression tests for the dedup/text review batch."""
+
+    def test_min_sigs_chunk_boundary_mixed_sizes(self, monkeypatch):
+        # a huge row sharing a chunk with a small one must produce the
+        # SAME signatures as processing rows separately (the old
+        # start-bounded chunking sliced the huge row in full, and with a
+        # real-size cap that was an unbounded allocation)
+        import numpy as np
+
+        import sketchlib.dedup.minhash as mh
+
+        rng = np.random.default_rng(5)
+        lens = [3, 900, 2, 41, 700]
+        hashes = rng.integers(0, 2**63, size=sum(lens), dtype=np.int64) \
+            .astype(np.uint64)
+        ends = np.cumsum(lens).astype(np.int64)
+        starts = ends - np.array(lens, dtype=np.int64)
+        a = (rng.integers(0, 2**62, 16, dtype=np.int64).astype(np.uint64)
+             | np.uint64(1))
+        b = rng.integers(0, 2**62, 16, dtype=np.int64).astype(np.uint64)
+        want = mh._min_sigs(hashes, starts, ends, a, b)
+        monkeypatch.setattr(mh, "_SIG_CHUNK_BYTES", 16 * 8 * 64)  # 64 shingles
+        got = mh._min_sigs(hashes, starts, ends, a, b)
+        assert np.array_equal(got, want)
+
+    def test_simhash_rows_chunk_boundary_mixed_sizes(self, monkeypatch):
+        import numpy as np
+
+        import sketchlib.dedup.simhash as sh
+
+        rng = np.random.default_rng(6)
+        lens = [2, 500, 1, 30]
+        hashes = rng.integers(0, 2**63, size=sum(lens), dtype=np.int64) \
+            .astype(np.uint64)
+        ends = np.cumsum(lens).astype(np.int64)
+        starts = ends - np.array(lens, dtype=np.int64)
+        want = sh._simhash_rows(hashes, starts, ends)
+        monkeypatch.setattr(sh, "_BIT_CHUNK_BYTES", 64 * 4 * 32)  # 32 tokens
+        got = sh._simhash_rows(hashes, starts, ends)
+        assert np.array_equal(got, want)
+
+    def test_strip_tracking_params_noop_on_clean_urls(self, spark):
+        from sketchlib.text.urls import normalize_url, strip_tracking_params
+
+        rows = [(0, "https://e.com/a&b"),        # legal & in path, no query
+                (1, "https://e.com/x?"),          # dangling ? in input
+                (2, "https://e.com/p?utm_source=x&q=1")]
+        df = spark.createDataFrame(rows, "i long, url string")
+        got = {r["i"]: r["s"] for r in df.select(
+            "i", strip_tracking_params(F.col("url")).alias("s")).collect()}
+        assert got[0] == "https://e.com/a&b"      # untouched
+        assert got[1] == "https://e.com/x?"       # untouched
+        assert got[2] == "https://e.com/p?q=1"    # stripped + repaired
+
+    def test_normalize_url_schemeless_passthrough(self, spark):
+        from sketchlib.text.urls import normalize_url
+
+        rows = [(0, "example.com/page"), (1, "not a url"),
+                (2, "HTTPS://WWW.E.com/x/")]
+        df = spark.createDataFrame(rows, "i long, url string")
+        got = {r["i"]: r["n"] for r in df.select(
+            "i", normalize_url(F.col("url")).alias("n")).collect()}
+        # malformed rows keep distinct keys instead of collapsing to ':/'
+        assert got[0] == "example.com/page" and got[1] == "not a url"
+        assert got[2] == "https://e.com/x"
+
+    def test_vocab_growth_hash_id_range(self, spark):
+        # 64-bit hash doc ids: span > Long.MAX must neither crash F.lit
+        # nor wrap buckets negative
+        from sketchlib.text.vocab import vocab_growth
+
+        rows = [(-(2**62) - 5, "alpha beta"), (0, "beta gamma"),
+                (2**62 + 7, "gamma delta")]  # span ~2^63 + 13 > Long.MAX
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = vocab_growth(df, n_buckets=4).collect()
+        assert [r["bucket"] for r in got] == [0, 1, 2, 3]
+        assert sum(r["n_docs"] for r in got) == 3
+        assert got[-1]["cum_docs"] == 3
+        assert got[-1]["est_cum_distinct_tokens"] >= 4  # alpha..delta
+
+    def test_lsh_bands_exceeding_signature_raises(self, spark, docs_df):
+        import pytest
+
+        from sketchlib.dedup import near_dup_pairs
+
+        with pytest.raises(Exception, match="bands=64 exceeds"):
+            near_dup_pairs(docs_df, threshold=0.5, n_hashes=16,
+                           bands=64).collect()
+
+    def test_simhash_max_hamming_zero(self, spark, docs_df):
+        from sketchlib.dedup.simhash import simhash_near_dup_pairs
+
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in simhash_near_dup_pairs(
+                     docs_df, max_hamming=0).collect()}
+        assert (0, 1) in pairs  # case-dup -> identical simhash
+
+    def test_boilerplate_tab_only_lines_survive(self, spark):
+        from sketchlib.text.boilerplate import remove_boilerplate
+
+        docs = spark.createDataFrame(
+            [(i, f"unique head {i}\n\t\nshared promo line") for i in range(60)],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["clean_text"] for r in
+               remove_boilerplate(docs, min_count=50).collect()}
+        assert out[0] == "unique head 0\n\t"  # tab line kept, promo gone
+
+    def test_tfidf_blank_docs_no_empty_keyword(self, spark):
+        from sketchlib.text.tfidf import fit_idf, top_keywords
+
+        rows = [(i, "real words appear here") for i in range(5)] \
+            + [(100 + i, "   ") for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        model = fit_idf(df, vocab_size=10)
+        assert "" not in set(map(str, model.tokens))
+        kws = top_keywords(df, model, k=3)
+        assert kws.filter(F.col("token") == "").count() == 0
