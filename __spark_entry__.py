@@ -3097,7 +3097,10 @@ def _pipeline_oracles() -> dict[str, str]:
         ),
         "gopher_quality": (
             "WITH base AS (SELECT doc_id, text, "
-            "regexp_split_to_array(trim(text), '\\s+') AS w, "
+            "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' "
+            "THEN [] ELSE regexp_split_to_array("
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') "
+            "END AS w, "
             "list_filter(regexp_split_to_array(text, '\\n'), "
             "x -> trim(x) <> '') AS ln FROM documents "
             "WHERE text IS NOT NULL), "
@@ -3108,7 +3111,8 @@ def _pipeline_oracles() -> dict[str, str]:
             "CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) "
             "AS BIGINT) AS n_alpha_words, "
             "CAST(len(regexp_split_to_array(text, '#')) - 1 "
-            "+ len(regexp_split_to_array(text, '\\.\\.\\.')) - 1 AS BIGINT) "
+            "+ len(regexp_split_to_array(text, '\\.\\.\\.')) - 1 "
+            "+ len(regexp_split_to_array(text, '\u2026')) - 1 AS BIGINT) "
             "AS n_symbols, "
             "CAST(len(ln) AS BIGINT) AS n_lines, "
             "CAST(len(list_distinct(list_transform(ln, x -> trim(x)))) "
@@ -3116,7 +3120,7 @@ def _pipeline_oracles() -> dict[str, str]:
             "CAST(len(list_filter(ln, x -> regexp_matches(trim(x), "
             "'^[-*•]'))) AS BIGINT) AS n_bullet_lines, "
             "CAST(len(list_filter(ln, x -> regexp_matches(trim(x), "
-            "'\\.\\.\\.$'))) AS BIGINT) AS n_ellipsis_lines FROM base) "
+            "'(\\.\\.\\.|\u2026)$'))) AS BIGINT) AS n_ellipsis_lines FROM base) "
             "SELECT *, (n_words >= 20 AND n_words <= 100000 "
             "AND total_word_chars / n_words >= 3.0 "
             "AND total_word_chars / n_words <= 10.0 "

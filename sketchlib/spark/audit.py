@@ -42,14 +42,22 @@ def published_rse(spec) -> float:
     * HLL: 1.04/sqrt(m) (Flajolet et al. 2007; reference README.md:58).
     * Theta/KMV: 1/sqrt(k-1) on the retained sample (Beyer et al. 2007).
     Specs may also carry an explicit ``rse`` attribute.
+
+    Identified by spec ``name``, not attribute sniffing: plenty of specs
+    carry a ``k`` that is NOT a KMV sample size (Bloom's hash count,
+    KLL's capacity) — deriving 1/sqrt(k-1) from those would hand the
+    audit a bogus bound that waves everything through.
     """
     if hasattr(spec, "rse"):
         return float(spec.rse)
-    if hasattr(spec, "p"):  # HLL-shaped
+    name = getattr(spec, "name", "")
+    if name == "hll" or (hasattr(spec, "p") and not hasattr(spec, "k")):
         return 1.04 / math.sqrt(float(1 << spec.p))
-    if hasattr(spec, "k"):  # Theta/KMV-shaped
+    if name == "theta":
         return 1.0 / math.sqrt(float(spec.k - 1))
-    raise ValueError(f"cannot derive a published RSE for {type(spec).__name__}")
+    raise ValueError(
+        f"cannot derive a published RSE for {type(spec).__name__}; "
+        "pass a spec with an explicit `rse` attribute")
 
 
 def accuracy_audit(df: DataFrame, element_cols, group_cols: Sequence[str],
@@ -67,20 +75,40 @@ def accuracy_audit(df: DataFrame, element_cols, group_cols: Sequence[str],
     abs_slack)``: the multiplicative term is the published bound at
     ``sigmas`` standard errors; ``abs_slack`` absorbs integer rounding for
     tiny groups (direct-count mode is exact, so 2 is generous).
+
+    Extra keyword arguments are FORWARDED to :func:`distinct_count`
+    (``prehash64``, ``tree_fanout``, …) so the audit runs the exact
+    configuration the production job runs — except the three
+    ``HllSpec`` constructor keys (``p``/``hash_name``/``prehashed``),
+    which build the default spec when none is given.  Unknown keys reach
+    ``distinct_count`` and fail loudly there instead of being silently
+    dropped.
     """
+    _SPEC_KEYS = ("p", "hash_name", "prehashed")
     if spec is None:
         spec = HllSpec(**{k: v for k, v in distinct_kwargs.items()
-                          if k in ("p", "hash_name", "prehashed")})
+                          if k in _SPEC_KEYS})
+    dc_kwargs = {k: v for k, v in distinct_kwargs.items()
+                 if k not in _SPEC_KEYS}
     sampled = df.filter(sample_pred) if sample_pred is not None else df
     est = distinct_count(sampled, element_cols, list(group_cols), spec=spec,
-                         estimate_name="estimate")
+                         estimate_name="estimate", **dc_kwargs)
     elems = ([element_cols] if isinstance(element_cols, str)
              else list(element_cols))
     exact = (sampled.groupBy(*group_cols)
              .agg(F.count_distinct(*[F.col(c) for c in elems])
                   .alias("exact_distinct")))
     rse = published_rse(spec)
-    j = est.join(exact, on=list(group_cols))
+    # null-SAFE group join: a NULL-keyed group appears in both branches
+    # but plain equality would drop it — the group most likely to hide a
+    # data-quality problem must stay audited
+    cond = None
+    for g in group_cols:
+        c = est[g].eqNullSafe(exact[g])
+        cond = c if cond is None else cond & c
+    j = est.join(exact, on=cond).select(
+        *[est[g] for g in group_cols], est["estimate"],
+        exact["exact_distinct"])
     rel_err = (F.abs(F.col("estimate") - F.col("exact_distinct"))
                / F.greatest(F.col("exact_distinct"), F.lit(1)))
     within = (F.abs(F.col("estimate") - F.col("exact_distinct"))
@@ -92,8 +120,14 @@ def accuracy_audit(df: DataFrame, element_cols, group_cols: Sequence[str],
 
 def audit_summary(audit_df: DataFrame) -> DataFrame:
     """Collapse an audit to one alertable row: groups audited, max relative
-    error, and how many groups fell outside the published bound."""
+    error, and how many groups fell outside the published bound.
+
+    An EMPTY audit (sampling predicate matched no groups) reads
+    ``(0, 0.0, 0)`` — aggregates over zero rows are NULL, and a NULL
+    ``n_out_of_bound`` would make the documented ``> 0`` alert silently
+    never fire."""
     return audit_df.agg(
         F.count(F.lit(1)).alias("n_groups_audited"),
-        F.max("rel_err").alias("max_rel_err"),
-        F.sum((~F.col("within_bound")).cast("long")).alias("n_out_of_bound"))
+        F.coalesce(F.max("rel_err"), F.lit(0.0)).alias("max_rel_err"),
+        F.coalesce(F.sum((~F.col("within_bound")).cast("long")),
+                   F.lit(0)).alias("n_out_of_bound"))

@@ -78,7 +78,11 @@ def joinable_pairs(spark: SparkSession, sketches: Mapping[str, ThetaSketch],
     rows = []
     for a in names:
         for b in names:
-            if a == b or a.split(".", 1)[0] == b.split(".", 1)[0]:
+            # rsplit: the TABLE part is everything before the LAST dot
+            # ('db.table.col'); split-first would collapse every dotted
+            # table name to its catalog prefix and suppress all
+            # cross-table pairs within it
+            if a == b or a.rsplit(".", 1)[0] == b.rsplit(".", 1)[0]:
                 continue
             if sketches[a].containment(sketches[b]) >= threshold:
                 rows.append((a, b))

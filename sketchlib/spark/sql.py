@@ -81,19 +81,28 @@ def register_sql_functions(spark: SparkSession) -> None:
 
     @F.pandas_udf(T.DoubleType())
     def tdigest_quantile(blobs: pd.Series, qs: pd.Series) -> pd.Series:
-        return pd.Series([None if b is None else
+        # pd.isna(q), not q is None: a NULL in the double q column
+        # reaches the UDF as NaN, and NaN passes the [0,1] range check
+        # (comparisons are False) to silently return the sketch MAX
+        return pd.Series([None if (b is None or pd.isna(q)) else
                           float(TDigest.from_bytes(bytes(b)).quantile(float(q)))
                           for b, q in zip(blobs, qs)])
 
     @F.pandas_udf(T.DoubleType())
     def kll_quantile(blobs: pd.Series, qs: pd.Series) -> pd.Series:
-        return pd.Series([None if b is None else
+        # pd.isna(q), not q is None: a NULL in the double q column
+        # reaches the UDF as NaN, and NaN passes the [0,1] range check
+        # (comparisons are False) to silently return the sketch MAX
+        return pd.Series([None if (b is None or pd.isna(q)) else
                           float(KllSketch.from_bytes(bytes(b)).quantile(float(q)))
                           for b, q in zip(blobs, qs)])
 
     @F.pandas_udf(T.DoubleType())
     def ddsketch_quantile(blobs: pd.Series, qs: pd.Series) -> pd.Series:
-        return pd.Series([None if b is None else
+        # pd.isna(q), not q is None: a NULL in the double q column
+        # reaches the UDF as NaN, and NaN passes the [0,1] range check
+        # (comparisons are False) to silently return the sketch MAX
+        return pd.Series([None if (b is None or pd.isna(q)) else
                           float(DDSketch.from_bytes(bytes(b)).quantile(float(q)))
                           for b, q in zip(blobs, qs)])
 
@@ -123,8 +132,10 @@ def register_sql_functions(spark: SparkSession) -> None:
     def mg_point_estimate(blobs: pd.Series, hashes: pd.Series) -> pd.Series:
         import numpy as np
 
+        # pd.isna(h): a NULL long hash arrives as float64 NaN, and
+        # np.int64(NaN) raises instead of yielding NULL
         return pd.Series([
-            None if (b is None or h is None) else
+            None if (b is None or pd.isna(h)) else
             int(MisraGriesSketch.from_bytes(bytes(b)).estimate_hashes(
                 np.array([np.int64(h)], dtype=np.int64).view(np.uint64))[0])
             for b, h in zip(blobs, hashes)])
@@ -148,7 +159,7 @@ def register_sql_functions(spark: SparkSession) -> None:
         import numpy as np
 
         return pd.Series([
-            None if (b is None or h is None) else
+            None if (b is None or pd.isna(h)) else
             int(AmsSketch.from_bytes(bytes(b)).estimate_hashes(
                 np.array([np.int64(h)], dtype=np.int64).view(np.uint64))[0])
             for b, h in zip(blobs, hashes)])

@@ -33,7 +33,14 @@ MAX_DUP_LINE_FRAC = 0.3
 
 
 def _words(col: Column) -> Column:
-    return F.split(F.trim(col), r"\s+")
+    """Whitespace-run word split after a FULL-whitespace trim.  F.trim
+    strips ASCII spaces only, so "\nhello\n" would split to
+    ['', hello, ''] — phantom words that inflate n_words and dilute every
+    per-word ratio on newline-wrapped web text; a blank doc is ZERO words
+    (the old single phantom '' counted as one)."""
+    cleaned = F.regexp_replace(col, r"^\s+|\s+$", "")
+    return (F.when(cleaned == "", F.array().cast("array<string>"))
+            .otherwise(F.split(cleaned, r"\s+")))
 
 
 def _lines(col: Column) -> Column:
@@ -93,13 +100,15 @@ def _stats_from(w: Column, ln: Column, col: Column) -> list[Column]:
          .cast("long").alias("n_alpha_words"),
         (F.size(F.split(col, "#")) - 1
          + F.size(F.split(col, r"\.\.\.")) - 1
+         + F.size(F.split(col, "\u2026")) - 1
          ).cast("long").alias("n_symbols"),
         F.size(ln).cast("long").alias("n_lines"),
         F.size(F.array_distinct(F.transform(ln, F.trim)))
          .cast("long").alias("n_distinct_lines"),
         F.size(F.filter(ln, lambda x: F.trim(x).rlike(r"^[-*•]")))
          .cast("long").alias("n_bullet_lines"),
-        F.size(F.filter(ln, lambda x: F.trim(x).rlike(r"\.\.\.$")))
+        F.size(F.filter(ln, lambda x: F.trim(x)
+                        .rlike("(\\.\\.\\.|\u2026)$")))
          .cast("long").alias("n_ellipsis_lines"),
     ]
 
@@ -109,20 +118,35 @@ def gopher_keep(min_words: int = MIN_WORDS, max_words: int = MAX_WORDS) -> Colum
     after selecting them).  Ratios derive from the integer counts, so the
     decision reproduces bit-for-bit in any engine computing the same
     divisions."""
+    if min_words < 1:
+        # every ratio below divides by n_words, which is 0 for a blank
+        # doc; the divisions sit BEHIND the n_words >= min_words conjunct
+        # (And short-circuits in both codegen and interpreted eval), so a
+        # positive floor is what keeps ANSI mode from DIVIDE_BY_ZERO
+        raise ValueError("min_words must be >= 1")
     n_words = F.col("n_words")
+    n_lines = F.col("n_lines")
     mean_wl = F.col("total_word_chars") / n_words
-    return (
-        (n_words >= min_words) & (n_words <= max_words)
+    # the divisions live inside CASE WHEN branches, not behind AND/OR
+    # conjuncts: Catalyst splits and REORDERS filter conjuncts, so
+    # boolean short-circuit order is not guaranteed and a 0-word (blank)
+    # or 0-line doc would abort the job with DIVIDE_BY_ZERO under ANSI
+    # mode — CaseWhen branches are genuinely conditional
+    word_checks = (
+        (n_words <= max_words)
         & (mean_wl >= MIN_MEAN_WORD_LEN) & (mean_wl <= MAX_MEAN_WORD_LEN)
         & (F.col("n_symbols") / n_words <= MAX_SYMBOL_WORD_RATIO)
-        & (F.col("n_alpha_words") / n_words >= MIN_ALPHA_WORD_FRAC)
-        & ((F.col("n_lines") == 0)
-           | ((F.col("n_bullet_lines") / F.col("n_lines")
-               <= MAX_BULLET_LINE_FRAC)
-              & (F.col("n_ellipsis_lines") / F.col("n_lines")
-                 <= MAX_ELLIPSIS_LINE_FRAC)
-              & ((F.col("n_lines") - F.col("n_distinct_lines"))
-                 / F.col("n_lines") <= MAX_DUP_LINE_FRAC)))
+        & (F.col("n_alpha_words") / n_words >= MIN_ALPHA_WORD_FRAC))
+    line_checks = (
+        (F.col("n_bullet_lines") / n_lines <= MAX_BULLET_LINE_FRAC)
+        & (F.col("n_ellipsis_lines") / n_lines <= MAX_ELLIPSIS_LINE_FRAC)
+        & ((n_lines - F.col("n_distinct_lines")) / n_lines
+           <= MAX_DUP_LINE_FRAC))
+    return (
+        F.when(n_words >= F.lit(int(min_words)),
+               word_checks
+               & F.when(n_lines > 0, line_checks).otherwise(F.lit(True)))
+        .otherwise(F.lit(False))
     ).alias("keep")
 
 

@@ -70,3 +70,27 @@ def test_user_temp_columns_pass_through(spark):
     assert set(out.columns) == {"text", "__w", "__ln"}
     row = out.collect()[0]
     assert row["__w"] == "keepme" and row["__ln"] == "metoo"
+
+
+def test_blank_and_wrapped_docs_word_counts(spark):
+    """Full-whitespace trim: '\nhello world\n' is 2 words (was 4 with
+    phantom empty tokens), a blank doc is 0 words (was 1), U+2026 counts
+    as an ellipsis, and the keep decision survives n_words = 0 under ANSI
+    mode (short-circuited behind the min_words floor)."""
+    import pytest
+
+    from sketchlib.text.gopher import gopher_filter, gopher_keep, with_gopher_stats
+
+    rows = [(0, "\nhello world\n"), (1, "  \t "),
+            (2, "truncated line ends with…\nanother line here now ok")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in with_gopher_stats(df).collect()}
+    assert got[0]["n_words"] == 2
+    assert got[1]["n_words"] == 0
+    assert got[2]["n_symbols"] == 1          # the U+2026
+    assert got[2]["n_ellipsis_lines"] == 1
+    # blank doc must be droppable without a DIVIDE_BY_ZERO abort
+    kept = gopher_filter(df).collect()
+    assert all(r["doc_id"] != 1 for r in kept)
+    with pytest.raises(ValueError, match="min_words"):
+        gopher_keep(min_words=0)
