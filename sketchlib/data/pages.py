@@ -146,9 +146,23 @@ def write_pages_parquet(out_dir: str, n_rows: int, seed: int = 42,
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    marker = os.path.join(out_dir, f"_GENERATED_{n_rows}_{seed}_{n_days}")
+    # marker keyed on EVERY generation parameter: a rows_per_chunk or
+    # **kw change must not silently return a differently-generated
+    # fixture as if it matched
+    spec = "_".join(str(x) for x in
+                    (n_rows, seed, n_days, rows_per_chunk,
+                     *(f"{k}={kw[k]}" for k in sorted(kw))))
+    marker = os.path.join(out_dir, f"_GENERATED_{spec}")
     if os.path.exists(marker):
         return out_dir
+    if os.path.isdir(out_dir):
+        # no (matching) marker but the dir exists: a crashed or
+        # differently-parameterized previous run — write_to_dataset
+        # APPENDS uuid-named files, so regenerating on top would
+        # duplicate rows; start clean instead
+        import shutil
+
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     written = 0
     chunk_id = 0

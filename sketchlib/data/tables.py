@@ -31,8 +31,13 @@ _ICEBERG_CATALOG_IMPL = "org.apache.iceberg.spark.SparkCatalog"
 
 
 def has_iceberg_catalog(spark: SparkSession, catalog: str = "iceberg") -> bool:
+    """True iff ``catalog`` is configured with the ICEBERG catalog impl —
+    any other configured catalog (Delta, JDBC) must not read as Iceberg.
+    Note :class:`PagesTable` resolves its backend purely on the
+    ``iceberg:`` location prefix; this helper only answers whether such a
+    location could bind in this session."""
     impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
-    return impl is not None
+    return impl == _ICEBERG_CATALOG_IMPL
 
 
 class PagesTable:

@@ -174,12 +174,16 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
 
         ann = ann.persist(getattr(StorageLevel, persist_level))
 
+    persisted_frames = [ann] if persist_level is not None else []
     if near_dup:
         # near-dup runs on exact-dedup survivors only (exact dups would
         # flood the LSH buckets with jaccard=1.0 pairs)
         survivors = ann.filter(~F.col("__exact_dup")).select(id_col, text_col)
         pairs = near_dup_pairs(survivors, text_col, id_col,
                                threshold=jaccard, method=minhash_method)
+        from ..spark.cacheutil import tagged_intermediates
+
+        persisted_frames += tagged_intermediates(pairs)
         near_losers = (pairs.select(F.col("id_b").alias("__near_id"))
                        .distinct())
         ann = (ann.join(near_losers, ann[id_col] == F.col("__near_id"),
@@ -216,11 +220,19 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
               .when(F.col("__c4_fail"), F.lit("c4_filtered"))
               .when(F.col("__pii_heavy"), F.lit("pii_heavy"))
               .when(F.col("__lm_tail"), F.lit("lm_tail")))
-    return ann.select(
-        id_col,
-        reason.isNull().alias("keep"),
-        reason.alias("drop_reason"),
-        "pred_lang", "quality", "n_chars", "n_bpe_tokens")
+    from ..spark.cacheutil import tag_intermediates
+
+    # the caller releases near_dup_pairs' persisted candidate frame and
+    # the optional ann persist via unpersist_intermediates(manifest) once
+    # its terminal action has run — without the tag, library callers
+    # batching many corpora through one session leak cached blocks
+    return tag_intermediates(
+        ann.select(
+            id_col,
+            reason.isNull().alias("keep"),
+            reason.alias("drop_reason"),
+            "pred_lang", "quality", "n_chars", "n_bpe_tokens"),
+        *persisted_frames)
 
 
 def apply_mix(manifest: DataFrame, docs: DataFrame, targets: dict[str, float],
@@ -277,6 +289,7 @@ def summarize(manifest: DataFrame, docs: DataFrame, id_col: str,
         "dropped_exact_dup": counts.get("exact_dup", 0),
         "dropped_near_dup": counts.get("near_dup", 0),
         "dropped_low_quality": counts.get("low_quality", 0),
+        "dropped_c4_filtered": counts.get("c4_filtered", 0),
         "dropped_blocked_domain": counts.get("blocked_domain", 0),
         "dropped_pii_heavy": counts.get("pii_heavy", 0),
         "dropped_lm_tail": counts.get("lm_tail", 0),
@@ -333,9 +346,15 @@ def main(argv=None) -> int:
     docs = spark.read.parquet(args.input)
     bl = None
     if args.blocklist:
-        bl = (spark.read.parquet(args.blocklist)
-              if args.blocklist.endswith(".parquet")
-              else spark.read.option("header", "false").csv(args.blocklist))
+        # text/csv ONLY for explicit .csv/.txt paths; everything else —
+        # including the normal Spark layout, a parquet DIRECTORY — reads
+        # as parquet.  (The old endswith('.parquet') check sent parquet
+        # directories through the csv reader, which parsed the binary
+        # files into garbage domains and silently blocked NOTHING.)
+        if args.blocklist.endswith((".csv", ".txt")):
+            bl = spark.read.option("header", "false").csv(args.blocklist)
+        else:
+            bl = spark.read.parquet(args.blocklist)
     manifest = clean_corpus(docs, args.text_col, args.id_col,
                             min_quality=args.min_quality,
                             near_dup=not args.no_near_dup,

@@ -28,7 +28,13 @@ from pyspark.sql import functions as F
 
 
 def _host(col):
-    return F.parse_url(col, F.lit("HOST"))
+    """Canonical host identity — sketchlib.text.urls.url_host (lowercase,
+    www-stripped), NOT a bare parse_url: case/www variants of one host
+    must count as ONE distinct host and pool their heavy-hitter mass, and
+    corpus_job already keys domains through the same module."""
+    from sketchlib.text.urls import url_host
+
+    return url_host(col)
 
 
 def build_session(app: str, cpus: str | None = None) -> SparkSession:
@@ -113,6 +119,7 @@ def main(argv=None) -> int:
                     help="run on local[N] (omit on a real cluster)")
     args = ap.parse_args(argv)
 
+    preexisting = SparkSession.getActiveSession() is not None
     spark = build_session(f"pages-{args.query}", args.local_cpus)
     days = list_days(spark, args.input)
     ckpt = make_checkpoint(args.query, args.checkpoint)
@@ -124,7 +131,8 @@ def main(argv=None) -> int:
                       "ran": summary["ran"],
                       "lineage_records": len(ckpt.lineage()),
                       "output": args.output}))
-    spark.stop()
+    if not preexisting:  # don't tear down a session we merely joined
+        spark.stop()
     return 0
 
 

@@ -31,6 +31,14 @@ def tag_intermediates(result: DataFrame, *persisted: DataFrame) -> DataFrame:
     return result
 
 
+def tagged_intermediates(result: DataFrame) -> list[DataFrame]:
+    """The persisted frames tagged onto ``result`` (empty if none) — for
+    composite operators that consume a tagged frame internally and must
+    RE-tag its intermediates onto their own return value so the release
+    contract survives the composition."""
+    return list(getattr(result, _ATTR, []) or [])
+
+
 def unpersist_intermediates(result: DataFrame, blocking: bool = False) -> int:
     """Unpersist every intermediate tagged onto ``result`` (idempotent;
     safe on untagged frames).  Call AFTER the terminal action on

@@ -271,10 +271,18 @@ def estimate_counts(df: DataFrame, value_col: str, cms_blob: bytes,
     spec = spec or CmsSpec()
     sc = df.sparkSession.sparkContext
     blob_bc = sc.broadcast(cms_blob)
+    cache: dict[str, object] = {}  # per-python-worker deserialized sketch
 
     @F.pandas_udf(T.LongType())
     def _est(values: pd.Series) -> pd.Series:
-        cms = spec.from_bytes(blob_bc.value)
+        # deserialize ONCE per worker, not per Arrow batch: the UDF runs
+        # per ~10k-row batch, and re-parsing a right-sized (GBs at 100 TB)
+        # blob thousands of times per partition would dominate the query.
+        # The closure carries exactly one broadcast, so a constant key is
+        # the identity.
+        cms = cache.get("cms")
+        if cms is None:
+            cms = cache["cms"] = spec.from_bytes(blob_bc.value)
         return pd.Series(cms.estimate_hashes(hash_series(values, spec.hash_name)).astype(np.int64))
 
     return df.withColumn(est_name, _est(F.col(value_col)))

@@ -119,9 +119,15 @@ def might_contain_udf(blob: bytes, cols: Sequence[str] | str,
         def load():
             return blob
 
+    cache: dict[str, object] = {}  # per-python-worker deserialized filter
+
     @F.pandas_udf(T.BooleanType())
     def _contains(*series: pd.Series) -> pd.Series:
-        bf = spec.from_bytes(load())
+        # deserialize once per worker, not per Arrow batch — a
+        # right-sized 100 TB filter blob is GBs (see estimate_counts)
+        bf = cache.get("f")
+        if bf is None:
+            bf = cache["f"] = spec.from_bytes(load())
         pdf = pd.concat(series, axis=1)
         pdf.columns = cols
         return pd.Series(bf.contains_hashes(hash_columns(pdf, cols, spec.hash_name)))

@@ -71,16 +71,26 @@ def tree_merge_capped(partials: DataFrame, group_cols: Sequence[str] = (),
     group_cols = list(group_cols)
     spec = spec or HllSpec()
     merge = merge_blobs_udf(spec)
+    if fanout < 2:
+        raise ValueError("fanout must be >= 2 (1 can never shrink the "
+                         "salt width and would loop forever)")
     p = n_partials if n_partials is not None else \
         partials.rdd.getNumPartitions()
     df = partials
     width = (max(p, 1) + fanout - 1) // fanout
     level = 0
     while width > 1:
-        # salt by ROW POSITION, not blob content: P byte-identical partials
-        # (a replicated dimension repartitioned to P) would all hash to one
-        # bin and re-create the flat fold this tree exists to avoid
-        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id(),
+        # salt by (blob, SOURCE PARTITION, level) — all deterministic
+        # under stage retries (monotonically_increasing_id is not: its
+        # row counter follows shuffle-fetch arrival order, so a retried
+        # map task re-salts blobs differently and a partial can be
+        # dropped or folded twice — fatal for additive merges).  The
+        # partition id is what separates byte-identical partials (a
+        # replicated dimension produces one identical blob per partition;
+        # blob-only hashing would collapse them into a single bin and
+        # re-create the flat fold this tree exists to avoid).
+        salt = F.pmod(F.xxhash64(F.col(sketch_col),
+                                 F.spark_partition_id().cast("long"),
                                  F.lit(level)), F.lit(width))
         df = (df.withColumn("__salt", salt)
                 .groupBy(*group_cols, "__salt")
