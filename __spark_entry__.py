@@ -1694,15 +1694,43 @@ def q_checkpoint_resume_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     resume on the same directory — completed units must be skipped (lineage
     has each unit exactly once) and the merged estimate must equal an
     uninterrupted run BIT-FOR-BIT (HLL merge is associative/commutative, so
-    partial order can't matter).  Estimates are bound-checked vs exact."""
+    partial order can't matter).  Estimates are bound-checked vs exact.
+
+    The gate runs the job ~2.5x (half + resume + uninterrupted control),
+    so the input is trimmed — a third of the users, the first TWO weekly
+    units, and the filtered frame persisted across the unit-jobs.  A
+    smaller keyspace/unit count changes NOTHING about what is asserted
+    (resume equality, each unit in lineage exactly once, estimate within
+    bound vs exact over the same subset) while keeping the suite's
+    slowest gate under budget."""
     import tempfile
 
     from sketchlib.spark.aggregate import HllSpec
     from sketchlib.spark.checkpoint import SketchCheckpoint
 
-    ev = _read(spark, sf_dir, "events").withColumn(
-        "week", F.date_trunc("week", "ts"))
-    weeks = sorted(str(r["week"]) for r in ev.select("week").distinct().collect())
+    # the gate's ~8 sequential tiny jobs each pay a per-shuffle-partition
+    # scheduling floor; scope the shuffle width to the gate's data size
+    # (restored below — production jobs keep the session setting)
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        return _checkpoint_resume_users_body(spark, sf_dir, tempfile,
+                                             HllSpec, SketchCheckpoint)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
+def _checkpoint_resume_users_body(spark, sf_dir, tempfile, HllSpec,
+                                  SketchCheckpoint):
+    ev = (_read(spark, sf_dir, "events")
+          .filter(F.col("user_id") % 3 == 0)
+          .withColumn("week", F.date_trunc("week", "ts")))
+    weeks = sorted(str(r["week"])
+                   for r in ev.select("week").distinct().collect())[:2]
+    # right-size: ~15k gate rows don't need 32 partitions — every unit job
+    # would pay a 32-task scheduling floor (production sizes partitions to
+    # data; the checkpoint machinery itself is partition-count agnostic)
+    ev = ev.filter(F.col("week").isin(weeks)).repartition(4).persist()
     src = lambda w: ev.filter(F.col("week") == w)  # noqa: E731
 
     d_resume = tempfile.mkdtemp(prefix="ckpt_resume_")
@@ -1720,16 +1748,21 @@ def q_checkpoint_resume_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                                unit_col="week")
     control.run(spark, src, weeks)
 
-    est_r = {r["event_type"]: r["estimate"] for r in resumed.result(spark)
-             .select("event_type", estimate_col(HllSpec()).alias("estimate"))
-             .collect()}
-    est_c = {r["event_type"]: r["estimate"] for r in control.result(spark)
-             .select("event_type", estimate_col(HllSpec()).alias("estimate"))
-             .collect()}
+    # one job for both final merges (union with a tag), one for the exact
+    both = (resumed.result(spark).withColumn("__src", F.lit("r"))
+            .unionByName(control.result(spark).withColumn("__src", F.lit("c")))
+            .select("__src", "event_type",
+                    estimate_col(HllSpec()).alias("estimate")).collect())
+    est_r = {r["event_type"]: r["estimate"] for r in both if r["__src"] == "r"}
+    est_c = {r["event_type"]: r["estimate"] for r in both if r["__src"] == "c"}
     est = spark.createDataFrame([(k, int(v)) for k, v in est_r.items()],
                                 "event_type string, estimate long")
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users"))
+    exact_rows = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")).collect()
+    ev.unpersist()
+    exact = spark.createDataFrame(
+        [(r["event_type"], int(r["exact_users"])) for r in exact_rows],
+        "event_type string, exact_users long")
     return (_bound_check(est, exact, ["event_type"], "exact_users")
             .withColumn("resume_equals_uninterrupted", F.lit(est_r == est_c))
             .withColumn("units_run_once", F.lit(bool(units_once))))
@@ -3621,7 +3654,11 @@ def oracle_sql() -> dict[str, str]:
         "checkpoint_resume_users": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
             "TRUE AS within_bound, TRUE AS resume_equals_uninterrupted, "
-            "TRUE AS units_run_once FROM events GROUP BY event_type"
+            "TRUE AS units_run_once FROM events WHERE user_id % 3 = 0 "
+            "AND date_trunc('week', ts) IN (SELECT w FROM ("
+            "SELECT DISTINCT date_trunc('week', ts) AS w FROM events "
+            "WHERE user_id % 3 = 0 ORDER BY w LIMIT 2)) "
+            "GROUP BY event_type"
         ),
         "range_partition_balance": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS total_rows, "

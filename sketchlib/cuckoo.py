@@ -148,6 +148,12 @@ class CuckooFilter:
         buckets, occ = self.buckets.copy(), self.occ.copy()
         kick = self._bulk_insert(buckets, occ, fp, b1, b2, self._kick)
         self.buckets, self.occ, self._kick = buckets, occ, kick
+        # lineage semantics: ROWS OFFERED (including cap-dropped duplicate
+        # copies — those rows were ingested and are represented for
+        # membership) minus stored copies later removed by delete_hashes.
+        # On an add-only build this is exactly the input row count (what
+        # checkpoint lineage wants); after deletes of duplicate-heavy keys
+        # it can exceed size() — use size() for live stored fingerprints.
         self.count_additions += int(h.shape[0])
 
     def _bulk_insert(self, buckets: np.ndarray, occ: np.ndarray,
@@ -315,7 +321,10 @@ class CuckooFilter:
             self.buckets[wb, ws] = self.buckets[wb, last]
             self.buckets[wb, last] = 0
             self.occ[wb] = last
-            self.count_additions -= win.shape[0]
+            # clamped at 0: count_additions is "rows offered minus copies
+            # removed" (see add_hashes) and deserialized/rebuilt filters
+            # may carry a caller-supplied count smaller than stored copies
+            self.count_additions = max(0, self.count_additions - int(win.shape[0]))
             removed[pending[win]] = True
             # rows still unresolved = found contenders that lost the race
             lost = np.setdiff1d(fi, win, assume_unique=True)

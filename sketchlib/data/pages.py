@@ -159,7 +159,22 @@ def write_pages_parquet(out_dir: str, n_rows: int, seed: int = 42,
         # no (matching) marker but the dir exists: a crashed or
         # differently-parameterized previous run — write_to_dataset
         # APPENDS uuid-named files, so regenerating on top would
-        # duplicate rows; start clean instead
+        # duplicate rows; start clean instead.  ONLY if the directory is
+        # recognizably ours, though: every entry must be a _GENERATED_*
+        # marker (any spec format, including pre-r5 ones) or a lang=...
+        # partition dir this function writes.  A mistyped path to real
+        # data must raise, not be silently deleted wholesale.
+        entries = os.listdir(out_dir)
+        foreign = [e for e in entries
+                   if not (e.startswith("_GENERATED_")
+                           or (e.startswith("lang=")
+                               and os.path.isdir(os.path.join(out_dir, e))))]
+        if foreign:
+            raise ValueError(
+                f"refusing to regenerate into {out_dir!r}: it has no marker "
+                f"for this spec and contains entries this writer did not "
+                f"create ({foreign[:5]!r}{'...' if len(foreign) > 5 else ''}); "
+                "delete it explicitly if regeneration is intended")
         import shutil
 
         shutil.rmtree(out_dir)

@@ -116,17 +116,59 @@ def retract_seen(blob: bytes, withdrawn: DataFrame, text_col: str = "text",
     distinct build), so withdrawing A removes it and a later withdrawal
     of B re-deletes an absent fingerprint — which collides with some
     OTHER live entry with probability ~fpr (~1.2e-4) per re-deleted key.
-    When shards overlap and multiple withdrawals are expected, retract
-    the set difference instead (this shard's fingerprints minus all
-    previously-withdrawn ones — exact data the caller holds), or accept
-    the fpr-bounded over-forget, which is re-corrected the next time the
-    affected content is re-ingested."""
+    When shards overlap and multiple withdrawals are expected, use
+    :func:`retract_seen_exact` (the set-difference recipe as a function),
+    or accept the fpr-bounded over-forget, which is re-corrected the next
+    time the affected content is re-ingested."""
     from ..spark.membership import cuckoo_delete_bytes
     from ..spark.specs import CuckooSpec
 
     fp = (withdrawn.filter(F.col(text_col).isNotNull())
           .select(fingerprint_key(F.col(text_col)).alias("__fp")))
     return cuckoo_delete_bytes(blob, fp, "__fp", spec or CuckooSpec())
+
+
+def retract_seen_exact(blob: bytes, withdrawn: DataFrame,
+                       remaining, text_col: str = "text",
+                       spec: "CuckooSpec | None" = None) -> bytes:
+    """Exact withdrawal for content-SHARING shards: remove only the
+    withdrawn shard's fingerprints that no *remaining* shard still
+    carries — the set-difference recipe from :func:`retract_seen`'s
+    docstring, as a function.
+
+    ``remaining`` is the still-ingested corpus — one DataFrame or an
+    iterable of shard DataFrames (unioned by name).  A fingerprint
+    belongs in the seen-set iff SOME remaining shard contains it, so the
+    delete set is ``fp(withdrawn) ANTI-JOIN fp(remaining)``: content
+    shared with a surviving shard is kept (no premature forget), and —
+    used consistently for every withdrawal — no fingerprint is ever
+    deleted twice, eliminating the ~fpr collateral-delete risk of plain
+    :func:`retract_seen` on overlapping shards.
+
+    Cost: one scan of the withdrawn shard plus one scan of the remaining
+    shards' text (fingerprints only — 8 bytes a row into the anti-join;
+    the join output is bounded by the withdrawal size and goes through
+    :func:`~sketchlib.spark.membership.cuckoo_delete_bytes`'s
+    executor-side key guard)."""
+    from ..spark.membership import cuckoo_delete_bytes
+    from ..spark.specs import CuckooSpec
+
+    if isinstance(remaining, DataFrame):
+        remaining_dfs = [remaining]
+    else:
+        remaining_dfs = list(remaining)
+
+    def _fps(df: DataFrame) -> DataFrame:
+        return (df.filter(F.col(text_col).isNotNull())
+                .select(fingerprint_key(F.col(text_col)).alias("__fp")))
+
+    fp_w = _fps(withdrawn)
+    if remaining_dfs:
+        fp_r = _fps(remaining_dfs[0])
+        for d in remaining_dfs[1:]:
+            fp_r = fp_r.unionByName(_fps(d))
+        fp_w = fp_w.join(fp_r, "__fp", "left_anti")
+    return cuckoo_delete_bytes(blob, fp_w, "__fp", spec or CuckooSpec())
 
 
 def drop_seen(new: DataFrame, seen: DataFrame | None = None,

@@ -71,16 +71,27 @@ def cuckoo_build_bytes(df: DataFrame, element_cols,
     return bytes(row["sketch"])
 
 
+# cuckoo_delete_bytes materializes the withdrawal set on the driver; cap it.
+# 4M distinct keys x ~8-64 B/key is tens-of-MB driver memory — generous for
+# the intended shape (recrawled urls, a revoked source) while refusing a
+# corpus-sized retraction before it OOMs the driver.
+MAX_DELETE_KEYS = 4_000_000
+
+
 def cuckoo_delete_bytes(blob: bytes, df: DataFrame, cols,
-                        spec: CuckooSpec | None = None) -> bytes:
+                        spec: CuckooSpec | None = None,
+                        max_keys: int = MAX_DELETE_KEYS) -> bytes:
     """Retract a (bounded) key set from a cuckoo filter blob; returns the
     updated blob.
 
     Deletion is inherently sequential against one filter state, so the
     retract keys are collected to the driver — the intended shape is a
     SMALL withdrawal set (recrawled urls, a revoked source) against a
-    large seen-filter; 8 bytes/key after the distinct.  Retract only keys
-    that were actually inserted (Fan et al. §3.2): a never-inserted key
+    large seen-filter; the distinct key set is size-guarded at
+    ``max_keys`` *executor-side* (collected through a LIMIT, the DSIR
+    guard pattern) so an accidentally corpus-sized ``df`` raises instead
+    of silently materializing on the driver.  Retract only keys that
+    were actually inserted (Fan et al. §3.2): a never-inserted key
     usually deletes nothing, but with probability ~fpr its fingerprint
     collides with a stored element's and removes THAT element's copy —
     a silent false negative.  For corpus-sized retractions rebuild the
@@ -89,7 +100,14 @@ def cuckoo_delete_bytes(blob: bytes, df: DataFrame, cols,
     if isinstance(cols, str):
         cols = [cols]
     cols = list(cols)
-    pdf = df.select(*cols).distinct().toPandas()
+    # LIMIT caps each partition executor-side, so the driver never holds
+    # more than max_keys+1 rows even when the guard is about to fire
+    pdf = df.select(*cols).distinct().limit(max_keys + 1).toPandas()
+    if len(pdf) > max_keys:
+        raise ValueError(
+            f"withdrawal set exceeds max_keys={max_keys} distinct keys — "
+            "driver-side deletion is for small retractions; rebuild the "
+            "filter for corpus-sized withdrawals (a full scan either way)")
     cf = spec.from_bytes(blob)
     if len(pdf):
         cf.delete_hashes(hash_columns(pdf, cols, spec.hash_name))

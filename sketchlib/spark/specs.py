@@ -79,7 +79,13 @@ class CuckooSpec:
     :mod:`sketchlib.cuckoo`), merge = fingerprint re-insertion.  Estimate is
     the stored-fingerprint count (cap-dropped duplicates excluded; a
     distinct count only when the insert side is pre-deduped — use
-    HllSpec/ThetaSpec for cardinality)."""
+    HllSpec/ThetaSpec for cardinality).
+
+    SIZE THE TABLE: with neither ``n_buckets`` nor ``expected_n`` the
+    default tables ~64Ki expected keys (DUP_CAP headroom included) and
+    tops out around ~260k stored fingerprints before ``add_hashes``
+    raises over-capacity; pass ``expected_n`` (>= 1) at your real key
+    cardinality for anything bigger."""
 
     name = "cuckoo"
     hash_dedup = True
@@ -93,6 +99,10 @@ class CuckooSpec:
                 "pass n_buckets OR expected_n, not both — expected_n sizes "
                 "the table itself (with DUP_CAP headroom) and would be "
                 "silently ignored")
+        if expected_n is not None and expected_n < 1:
+            # 0 would silently fall through `expected_n or default` to the
+            # 64Ki default — an easy way to build a filter 1000x too small
+            raise ValueError(f"expected_n must be >= 1, got {expected_n}")
         if n_buckets is None:
             from ..cuckoo import DUP_CAP, optimal_params
 

@@ -34,19 +34,27 @@ def url_domain(col: Column) -> Column:
 def strip_tracking_params(col: Column) -> Column:
     """Remove known tracking query parameters; repair separators.
 
-    The separator repairs run ONLY when a parameter was actually removed:
-    an RFC-legal URL with '&' in its path and no query string
-    ('https://e.com/a&b') must pass through untouched, not get its '&'
-    promoted to '?'."""
-    pat = "[?&](?:" + "|".join(TRACKING_PARAMS) + ")=[^&#]*"
-    out = F.regexp_replace(col, pat, "")
-    changed = out != col
-    # if the '?' was consumed but params remain, promote the first '&'
-    has_amp_no_q = changed & (~out.contains("?")) & out.contains("&")
-    repaired = F.regexp_replace(out, r"^([^&?]*)&", "$1?")
-    out = F.when(has_amp_no_q, repaired).otherwise(out)
-    # drop a dangling '?' left by a full strip
-    return F.when(changed, F.regexp_replace(out, r"\?$", "")).otherwise(out)
+    Operates structurally — split at the first '?' (query start) and
+    first '#' (fragment start), edit only the query, reassemble — so an
+    RFC-legal '&' in the *path* ('https://e.com/a&b?utm_source=x') is
+    never promoted to '?', and a dangling '?' (empty query, whether we
+    emptied it or the input arrived as 'https://e.com/a?') is always
+    dropped: '?' with no parameters never changes the resource, so the
+    strip is safe unconditionally."""
+    frag = F.regexp_extract(col, r"(#.*)$", 1)        # '' when no fragment
+    body = F.regexp_replace(col, r"#.*$", "")
+    base = F.substring_index(body, "?", 1)            # whole body if no '?'
+    query = F.regexp_extract(body, r"^[^?]*\?(.*)$", 1)
+    # blank each tracking param in place (lookbehind keeps the '&'
+    # separators so consecutive tracking params each match), then
+    # collapse the leftover separators
+    pat = "(?:^|(?<=&))(?:" + "|".join(TRACKING_PARAMS) + ")=[^&]*"
+    q = F.regexp_replace(query, pat, "")
+    q = F.regexp_replace(q, "&&+", "&")
+    q = F.regexp_replace(q, "^&+|&+$", "")
+    rebuilt = F.when(q == "", base).otherwise(
+        F.concat(base, F.lit("?"), q))
+    return F.concat(rebuilt, frag)
 
 
 def normalize_url(col: Column) -> Column:

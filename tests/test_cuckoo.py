@@ -227,3 +227,36 @@ class TestCuckooSpark:
         # false-positive sets may differ slot-wise but rates agree
         assert abs(f1.contains_hashes(probes).mean()
                    - f7.contains_hashes(probes).mean()) < 5e-3
+
+
+class TestCuckooCounterAndSpec:
+    def test_count_additions_rows_offered_semantics(self):
+        """count_additions = rows offered minus stored copies removed,
+        clamped at 0 — never negative under duplicate-heavy add/delete."""
+        cf = CuckooFilter(n_buckets=1 << 8)
+        h = _hashes([7])
+        many = np.repeat(h, 10)          # 10 copies offered, DUP_CAP stored
+        cf.add_hashes(many)
+        assert cf.count_additions == 10  # lineage: rows ingested
+        stored = cf.size()
+        assert stored < 10               # cap dropped the rest
+        # delete every stored copy (+ extra absent re-deletes)
+        for _ in range(12):
+            cf.delete_hashes(h)
+        assert cf.count_additions == 10 - stored
+        assert cf.count_additions >= 0
+        # pathological: rebuilt filter with a caller-supplied low count
+        cf2 = CuckooFilter(n_buckets=1 << 8)
+        cf2.add_hashes(h)
+        cf2.count_additions = 0
+        cf2.delete_hashes(h)
+        assert cf2.count_additions == 0  # clamped, not -1
+
+    def test_cuckoo_spec_rejects_degenerate_expected_n(self):
+        from sketchlib.spark.specs import CuckooSpec
+
+        with pytest.raises(ValueError, match="expected_n"):
+            CuckooSpec(expected_n=0)
+        with pytest.raises(ValueError, match="expected_n"):
+            CuckooSpec(expected_n=-5)
+        assert CuckooSpec(expected_n=1).n_buckets >= 8

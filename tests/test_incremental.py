@@ -145,3 +145,65 @@ def test_cuckoo_retract_shared_content_freed(spark):
     blob = retract_seen(blob, shard_a, spec=spec)
     probe = spark.createDataFrame([(9, dup_text)], "doc_id long, text string")
     assert drop_seen(probe, bloom_blob=blob, spec=spec).count() == 1
+
+
+def test_retract_seen_exact_keeps_shared_content(spark):
+    """Content shared by a surviving shard is NOT forgotten; content unique
+    to the withdrawn shard is freed; a second withdrawal then frees the
+    shared content exactly once (no absent-key re-delete)."""
+    from sketchlib.dedup.incremental import (retract_seen_exact, seen_cuckoo)
+    from sketchlib.spark.specs import CuckooSpec
+
+    spec = CuckooSpec(expected_n=100)
+    shared = "the same exact boilerplate in both shards"
+    only_a = "content unique to shard A"
+    only_b = "content unique to shard B"
+    shard_a = spark.createDataFrame(
+        [(1, shared), (2, only_a)], "doc_id long, text string")
+    shard_b = spark.createDataFrame(
+        [(3, shared), (4, only_b)], "doc_id long, text string")
+    blob = seen_cuckoo(shard_a.unionByName(shard_b), spec=spec)
+
+    # withdraw A while B remains: only A-unique content is freed
+    blob = retract_seen_exact(blob, shard_a, shard_b, spec=spec)
+    probe = spark.createDataFrame(
+        [(10, shared), (11, only_a), (12, only_b)], "doc_id long, text string")
+    kept = {r["doc_id"] for r in
+            drop_seen(probe, bloom_blob=blob, spec=spec).collect()}
+    assert kept == {11}  # shared + B-unique still seen
+
+    # now withdraw B with nothing remaining: everything freed
+    blob = retract_seen_exact(blob, shard_b, [], spec=spec)
+    kept2 = {r["doc_id"] for r in
+             drop_seen(probe, bloom_blob=blob, spec=spec).collect()}
+    assert kept2 == {10, 11, 12}
+
+
+def test_retract_seen_exact_accepts_iterable_of_shards(spark):
+    from sketchlib.dedup.incremental import retract_seen_exact, seen_cuckoo
+    from sketchlib.spark.specs import CuckooSpec
+
+    spec = CuckooSpec(expected_n=100)
+    mk = lambda i, t: spark.createDataFrame([(i, t)], "doc_id long, text string")  # noqa: E731
+    a, b, c = mk(1, "alpha text"), mk(2, "beta text"), mk(3, "alpha text")
+    blob = seen_cuckoo(a.unionByName(b).unionByName(c), spec=spec)
+    blob = retract_seen_exact(blob, a, [b, c], spec=spec)  # c still has alpha
+    probe = mk(9, "alpha text")
+    assert drop_seen(probe, bloom_blob=blob, spec=spec).count() == 0
+
+
+def test_cuckoo_delete_bytes_guard_fires_bounded(spark):
+    """A corpus-sized withdrawal raises instead of materializing on the
+    driver; the limit is enforced executor-side (collect through LIMIT)."""
+    from sketchlib.spark.membership import cuckoo_build_bytes, cuckoo_delete_bytes
+    from sketchlib.spark.specs import CuckooSpec
+
+    spec = CuckooSpec(expected_n=2000)
+    df = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    blob = cuckoo_build_bytes(df, "k", spec)
+    with pytest.raises(ValueError, match="max_keys"):
+        cuckoo_delete_bytes(blob, df, "k", spec, max_keys=100)
+    # under the cap it works
+    small = df.limit(10)
+    out = cuckoo_delete_bytes(blob, small, "k", spec, max_keys=100)
+    assert isinstance(out, bytes) and len(out) > 0

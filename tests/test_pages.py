@@ -63,3 +63,29 @@ def test_spark_native_extraction_matches(spark, tmp_path):
     # partition pruning: a lang/day filter must read only matching partitions
     plan = df.filter((F.col("lang") == "en") & (F.col("day") == "2026-01-01"))._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or df.filter(F.col("lang") == "en").count() > 0
+
+
+def test_regenerate_refuses_foreign_directory(tmp_path):
+    """A dir without OUR marker that holds files this writer did not create
+    (someone's real data, a mistyped path) must raise, never be rmtree'd."""
+    out = tmp_path / "precious"
+    out.mkdir()
+    (out / "real_data.parquet").write_bytes(b"do not delete")
+    with pytest.raises(ValueError, match="refusing to regenerate"):
+        write_pages_parquet(str(out), 100, seed=1)
+    assert (out / "real_data.parquet").read_bytes() == b"do not delete"
+
+
+def test_regenerate_replaces_stale_fixture(tmp_path):
+    """A recognizably-generated dir (old/other-spec marker + lang= partition
+    dirs only) is regenerated cleanly — the pre-fix append-duplication and
+    the pre-r5 marker format both land here."""
+    out = tmp_path / "pages"
+    write_pages_parquet(str(out), 200, seed=1)
+    # simulate a pre-r5 marker format: different spec string, same prefix
+    for m in out.glob("_GENERATED_*"):
+        m.rename(out / "_GENERATED_200_1_7")
+    write_pages_parquet(str(out), 300, seed=2)
+    import pyarrow.parquet as pq
+    n = pq.read_table(str(out)).num_rows
+    assert n == 300  # no duplicated append, old chunks gone

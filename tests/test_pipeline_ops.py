@@ -835,13 +835,21 @@ class TestDedupTextHardening:
 
         rows = [(0, "https://e.com/a&b"),        # legal & in path, no query
                 (1, "https://e.com/x?"),          # dangling ? in input
-                (2, "https://e.com/p?utm_source=x&q=1")]
+                (2, "https://e.com/p?utm_source=x&q=1"),
+                (3, "https://e.com/a&b?utm_source=x"),   # path-& + full strip
+                (4, "https://e.com/p?utm_source=a&utm_medium=b&q=1"),
+                (5, "https://e.com/p?utm_source=a#frag"),
+                (6, "https://e.com/p?q=1&utm_source=a&r=2")]
         df = spark.createDataFrame(rows, "i long, url string")
         got = {r["i"]: r["s"] for r in df.select(
             "i", strip_tracking_params(F.col("url")).alias("s")).collect()}
-        assert got[0] == "https://e.com/a&b"      # untouched
-        assert got[1] == "https://e.com/x?"       # untouched
+        assert got[0] == "https://e.com/a&b"      # path & never promoted
+        assert got[1] == "https://e.com/x"        # empty query always dropped
         assert got[2] == "https://e.com/p?q=1"    # stripped + repaired
+        assert got[3] == "https://e.com/a&b"      # path & survives full strip
+        assert got[4] == "https://e.com/p?q=1"    # consecutive tracking params
+        assert got[5] == "https://e.com/p#frag"   # fragment preserved
+        assert got[6] == "https://e.com/p?q=1&r=2"  # mid-query strip
 
     def test_normalize_url_schemeless_passthrough(self, spark):
         from sketchlib.text.urls import normalize_url
