@@ -28,7 +28,56 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def window_audit(window: int = 50, max_stale_rounds: int = 2) -> int:
+    """Rotation-debt audit (no Spark): every registry gate must have a green
+    driver CORRECTNESS row within the last ``max_stale_rounds`` rounds OR sit
+    inside the first ``window`` registry positions (so it gets one this
+    round).  Returns the number of debt violations; prints the ledger."""
+    import glob
+    import json
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            data = json.load(f)
+        for gate, rec in data.items():
+            green = (rec.get("rows_match") and rec.get("schema_match")
+                     and rec.get("hash_match") and not rec.get("err"))
+            if green:
+                rounds[gate] = max(rounds.get(gate, 0), rnd)
+    latest = max(rounds.values(), default=0)
+    names = list(entrymod.queries())
+    in_window = set(names[:window])
+    debt = []
+    for i, name in enumerate(names):
+        last = rounds.get(name)
+        stale = latest - last if last else None
+        covered = name in in_window or (last and stale < max_stale_rounds)
+        mark = "ok" if covered else "DEBT"
+        pos = "win" if name in in_window else f"p{i + 1}"
+        print(f"{mark:4s} {name:40s} {pos:5s} last_green="
+              f"{'r%02d' % last if last else 'never'}")
+        if not covered:
+            debt.append(name)
+    print(f"window_audit: {len(names)} gates, {len(debt)} rotation-debt "
+          f"violations (window={window}, max_stale={max_stale_rounds}, "
+          f"latest_round=r{latest:02d})")
+    if debt:
+        print("rotate these into the window:", debt)
+    return len(debt)
+
+
 def main() -> int:
+    if "--window" in sys.argv:
+        i = sys.argv.index("--window")
+        window = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 50
+        return window_audit(window)
     from pyspark.sql import SparkSession
 
     spark = (SparkSession.builder.master("local[8]")
