@@ -2179,6 +2179,51 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "first_seq", "last_seq")
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE train + encode (sketchlib/text/bpe.py, GPT-2 spec —
+    public).  Trains 48 merges on the documents corpus (one map-side-
+    combined word-count shuffle + driver merge loop), encodes every doc
+    with the per-worker-memoized Arrow UDF, returns per-doc token ids.
+    The oracle REPLAYS THE ENTIRE TRAIN+ENCODE PIPELINE in SQL (unrolled
+    merge steps over a self-delimiting '(id)' string form where one
+    replace() pass == BPE's left-to-right non-overlapping merge), so the
+    hash match certifies byte-level pre-tokenization, pair counting,
+    tie-breaking, merge application, and encoding bit-for-bit."""
+    from sketchlib.text.bpe import token_ids_col, train_bpe
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text") \
+        .filter(F.col("text").isNotNull())
+    model = train_bpe(docs, "text", n_merges=48)
+    ids = token_ids_col(F.col("text"), model)
+    return docs.select(
+        "doc_id",
+        F.array_join(ids.cast("array<string>"), " ").alias("token_ids"),
+        F.size(ids).cast("long").alias("n_tokens"))
+
+
+def q_bpe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over REAL BPE token counts (sketchlib/packing.py ×
+    sketchlib/text/bpe.py): the training-job shape — docs are packed into
+    512-token sequences by their actual tokenizer output, not a whitespace
+    proxy.  Same explicit bucket/order mode as the sequence_packing gate;
+    the oracle re-derives the token counts via the full SQL BPE replay and
+    replays the identical packing window."""
+    from sketchlib.packing import pack_sequences
+    from sketchlib.text.bpe import token_count_col, train_bpe
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text") \
+        .filter(F.col("text").isNotNull())
+    model = train_bpe(docs, "text", n_merges=48)
+    counted = docs.select(
+        "doc_id",
+        token_count_col(F.col("text"), model).alias("n_tokens"),
+        (F.col("doc_id") % 16).cast("int").alias("b"))
+    packed = pack_sequences(counted, "n_tokens", budget=512,
+                            bucket_col="b", order_col="doc_id")
+    return packed.select("doc_id", "n_tokens", "bucket", "start_offset",
+                         "first_seq", "last_seq")
+
+
 def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide duplicated-line removal (sketchlib/text/boilerplate.py).
     Deterministic 3-line docs: a footer shared by every doc, the doc's own
@@ -2355,11 +2400,15 @@ def q_incremental_retract_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints (no rescan of the remaining corpus for the filter), then
     run the split-mode drop_seen of a new increment containing recrawls
     of both shards plus fresh docs.  Shard A's recrawls must be accepted
-    again, shard B's still dropped, fresh kept — exact by construction
-    (the retracted blob only prefilters; probe-true candidates hit the
-    exact anti-join against the remaining corpus), so the oracle is the
-    plain normalized-text anti-join against seen-minus-withdrawn."""
-    from sketchlib.dedup.incremental import (drop_seen, retract_seen,
+    again, shard B's still dropped, fresh kept — exact by construction:
+    the withdrawal is retract_seen_exact (fingerprints of A anti-joined
+    against remaining shard B, so content SHARED between shards is never
+    over-forgotten — plain retract_seen loses shared content, which this
+    gate's corpus contains at sf0.1), and the retracted blob only
+    prefilters: probe-true candidates hit the exact anti-join against the
+    remaining corpus.  The oracle is the plain normalized-text anti-join
+    against seen-minus-withdrawn."""
+    from sketchlib.dedup.incremental import (drop_seen, retract_seen_exact,
                                              seen_cuckoo)
     from sketchlib.spark.specs import CuckooSpec
 
@@ -2377,7 +2426,7 @@ def q_incremental_retract_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.lit(" ")).alias("text")))
     new = docs.filter(F.col("doc_id") % 10 >= 6).unionByName(recrawl)
     blob = seen_cuckoo(seen, spec=spec)
-    blob = retract_seen(blob, shard_a, spec=spec)
+    blob = retract_seen_exact(blob, shard_a, shard_b, spec=spec)
     kept = drop_seen(new, shard_b, bloom_blob=blob, spec=spec)
     return kept.select("doc_id").orderBy("doc_id")
 
@@ -2841,78 +2890,35 @@ def _join_discovery_oracle() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Gate registry.  ORDER MATTERS: the driver's DuckDB oracle checks the
-    FIRST 50 entries, so the window rotates each round — gates with no hard
-    CORRECTNESS row yet (the r3 additions, registry tail last round) come
-    first, then gates whose code changed this round; long-stable gates
-    (green in both r02 and r03, unchanged since) rotate to the tail."""
+    FIRST 50 entries, so the window rotates each round.  Round-5 policy
+    (enforced by ``scripts/check_entry.py --window 50``): (1) the two
+    never-driver-checked cuckoo gates lead, (2) the round-5 additions
+    (BPE) and every gate whose code was touched this round, (3) the
+    longest-stale gates (r02-green), (4) the r03-green cohort fills the
+    window so that after this round EVERY gate has a green row within the
+    last two rounds; the r04-green unchanged gates rotate to the tail."""
     return {
-        # -- never driver-checked (r3 additions at old positions 51-82) ----
-        "pii_redaction": q_pii_redaction,
-        "span_dedup": q_span_dedup,
-        "incremental_dedup": q_incremental_dedup,
-        "vocab_growth": q_vocab_growth,
-        "weighted_sample": q_weighted_sample,
-        "tfidf_keywords": q_tfidf_keywords,
-        "dsir_selection": q_dsir_selection,
-        "blocklist_filter": q_blocklist_filter,
-        "lm_quality_score": q_lm_quality_score,
-        "boilerplate_removal": q_boilerplate_removal,
-        "sequence_packing": q_sequence_packing,
-        "semantic_dedup": q_semantic_dedup,
-        "pq_adc_topk": q_pq_adc_topk,
-        "ivf_pq_topk": q_ivf_pq_topk,
-        "session_stats": q_session_stats,
-        "ams_f2_bound": q_ams_f2_bound,
-        "countsketch_point_estimates": q_countsketch_point_estimates,
-        "c4_filters": q_c4_filters,
-        "paragraph_dedup": q_paragraph_dedup,
-        "skew_diagnosis": q_skew_diagnosis,
-        "join_advice": q_join_advice,
-        "fd_covariance_bound": q_fd_covariance_bound,
-        "cms_join_size_bound": q_cms_join_size_bound,
-        "column_profile": q_column_profile,
-        "join_discovery": q_join_discovery,
-        # -- r02-green but stale (unchecked in r03) ------------------------
-        "media_features": q_media_features,
-        "extract_text_parity": q_extract_text_parity,
-        "accuracy_audit_sampled": q_accuracy_audit_sampled,
-        "hll_rollup_bound": q_hll_rollup_bound,
-        "sql_hll_distinct": q_sql_hll_distinct,
-        "corpus_manifest": q_corpus_manifest,
-        "hll_prehash_distinct_exact": q_hll_prehash_distinct_exact,
-        # -- code touched in round 4 (needs a fresh hard row) --------------
-        "dedup_exact_summary": q_dedup_exact_summary,
-        "cdc_chunk_dedup": q_cdc_chunk_dedup,
-        "cms_top_suppliers_bound": q_cms_top_suppliers_bound,
-        "mg_exact_counts_suppliers": q_mg_exact_counts_suppliers,
-        "mg_top_suppliers_bound": q_mg_top_suppliers_bound,
-        "streaming_mg_counts": q_streaming_mg_counts,
-        "ddsketch_price_quantiles": q_ddsketch_price_quantiles,
-        "streaming_ddsketch_median": q_streaming_ddsketch_median,
-        "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
-        "minhash_oph_near_dup_pairs": q_minhash_oph_near_dup_pairs,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "repetition_stats": q_repetition_stats,
-        # -- remaining window slots: round-4 additions ---------------------
-        "bucketed_colocated_join": q_bucketed_colocated_join,
-        "checkpoint_resume_users": q_checkpoint_resume_users,
-        "streaming_windowed_eviction": q_streaming_windowed_eviction,
-        "video_frame_sample": q_video_frame_sample,
-        "range_partition_balance": q_range_partition_balance,
-        "dedup_clusters": q_dedup_clusters,
-        # (per_source_cap rotated to the tail for the round-4-late
-        # range_partition_balance gate: r03-green, code unchanged)
-        # ---- position 51+: stable two-rounds-green gates, unchanged code -
-        # (url_normalize_keys / ann_cosine_topk / ivf_ann_topk rotated out
-        # of the window for the round-4 additions: r02-green, code
-        # unchanged, machinery still window-covered by blocklist_filter /
-        # embedding_near_dup / pq_adc_topk / ivf_pq_topk)
-        "per_source_cap": q_per_source_cap,
+        # -- never driver-checked (registry tail in r4) --------------------
+        "cuckoo_membership_retract": q_cuckoo_membership_retract,
+        "incremental_retract_dedup": q_incremental_retract_dedup,
+        # -- round-5 additions ---------------------------------------------
+        "bpe_tokenize": q_bpe_tokenize,
+        "bpe_sequence_packing": q_bpe_sequence_packing,
+        # -- longest-stale (r02-green, unchecked since) --------------------
         "url_normalize_keys": q_url_normalize_keys,
         "embedding_near_dup": q_embedding_near_dup,
         "hll_rolling_distinct_bound": q_hll_rolling_distinct_bound,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
+        # -- code touched in round 5 (urls/membership/incremental/pages +
+        #    the trimmed checkpoint gate) -----------------------------------
+        "incremental_dedup": q_incremental_dedup,
+        "blocklist_filter": q_blocklist_filter,
+        "bloom_membership": q_bloom_membership,
+        "checkpoint_resume_users": q_checkpoint_resume_users,
+        "extract_text_parity": q_extract_text_parity,
+        # -- r03-green cohort (becomes stale=2 after this round) -----------
+        "per_source_cap": q_per_source_cap,
         "decontamination": q_decontamination,
         "gopher_quality": q_gopher_quality,
         "hash_split_stable": q_hash_split_stable,
@@ -2933,7 +2939,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_binary_distinct_exact": q_hll_binary_distinct_exact,
         "hll_multicolumn_distinct_exact": q_hll_multicolumn_distinct_exact,
         "hll_checkpointed_users": q_hll_checkpointed_users,
-        "bloom_membership": q_bloom_membership,
         "bloom_distinct_custkeys_bound": q_bloom_distinct_custkeys_bound,
         "cms_heavy_hitters_suppliers": q_cms_heavy_hitters_suppliers,
         "cms_weighted_top_suppliers": q_cms_weighted_top_suppliers,
@@ -2949,9 +2954,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kll_median": q_streaming_kll_median,
         "streaming_cms_point_counts": q_streaming_cms_point_counts,
         "streaming_dedup_events": q_streaming_dedup_events,
-        "cuckoo_membership_retract": q_cuckoo_membership_retract,
-        "incremental_retract_dedup": q_incremental_retract_dedup,
+        # ---- position 51+: r04-green gates, code unchanged this round ----
+        "pii_redaction": q_pii_redaction,
+        "span_dedup": q_span_dedup,
+        "vocab_growth": q_vocab_growth,
+        "weighted_sample": q_weighted_sample,
+        "tfidf_keywords": q_tfidf_keywords,
+        "dsir_selection": q_dsir_selection,
+        "lm_quality_score": q_lm_quality_score,
+        "boilerplate_removal": q_boilerplate_removal,
+        "sequence_packing": q_sequence_packing,
+        "semantic_dedup": q_semantic_dedup,
+        "pq_adc_topk": q_pq_adc_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
+        "session_stats": q_session_stats,
+        "ams_f2_bound": q_ams_f2_bound,
+        "countsketch_point_estimates": q_countsketch_point_estimates,
+        "c4_filters": q_c4_filters,
+        "paragraph_dedup": q_paragraph_dedup,
+        "skew_diagnosis": q_skew_diagnosis,
+        "join_advice": q_join_advice,
+        "fd_covariance_bound": q_fd_covariance_bound,
+        "cms_join_size_bound": q_cms_join_size_bound,
+        "column_profile": q_column_profile,
+        "join_discovery": q_join_discovery,
+        "media_features": q_media_features,
+        "accuracy_audit_sampled": q_accuracy_audit_sampled,
+        "hll_rollup_bound": q_hll_rollup_bound,
+        "sql_hll_distinct": q_sql_hll_distinct,
+        "corpus_manifest": q_corpus_manifest,
+        "hll_prehash_distinct_exact": q_hll_prehash_distinct_exact,
+        "dedup_exact_summary": q_dedup_exact_summary,
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
+        "cms_top_suppliers_bound": q_cms_top_suppliers_bound,
+        "mg_exact_counts_suppliers": q_mg_exact_counts_suppliers,
+        "mg_top_suppliers_bound": q_mg_top_suppliers_bound,
+        "streaming_mg_counts": q_streaming_mg_counts,
+        "ddsketch_price_quantiles": q_ddsketch_price_quantiles,
+        "streaming_ddsketch_median": q_streaming_ddsketch_median,
+        "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+        "minhash_oph_near_dup_pairs": q_minhash_oph_near_dup_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "repetition_stats": q_repetition_stats,
+        "bucketed_colocated_join": q_bucketed_colocated_join,
+        "streaming_windowed_eviction": q_streaming_windowed_eviction,
+        "video_frame_sample": q_video_frame_sample,
+        "range_partition_balance": q_range_partition_balance,
+        "dedup_clusters": q_dedup_clusters,
     }
+
+
+def _bpe_replay_sql(n_merges: int, packing_budget: int | None = None) -> str:
+    """Full train+encode SQL replay (sketchlib/text/bpe.py
+    sql_bpe_replay); with ``packing_budget`` set, extends the chain with
+    the packing-window replay over the replayed per-doc token counts."""
+    from sketchlib.text.bpe import sql_bpe_replay
+
+    if packing_budget is None:
+        return sql_bpe_replay(n_merges)
+    final = (
+        ",nt AS (SELECT d.doc_id, CAST(coalesce(length(a.s) - "
+        "length(replace(a.s, ')', '')), 0) AS BIGINT) AS n_tokens "
+        "FROM docs d LEFT JOIN agg a USING (doc_id)) "
+        "SELECT doc_id, n_tokens, CAST(doc_id % 16 AS INT) AS bucket, "
+        "CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS start_offset, "
+        f"CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / {packing_budget}) "
+        "AS BIGINT) AS first_seq, "
+        "CAST(CASE WHEN n_tokens > 0 "
+        f"THEN FLOOR((SUM(n_tokens) OVER w - 1) / {packing_budget}) "
+        f"ELSE FLOOR((SUM(n_tokens) OVER w - n_tokens) / {packing_budget}) "
+        "END AS BIGINT) AS last_seq "
+        "FROM nt WINDOW w AS (PARTITION BY doc_id % 16 ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    return sql_bpe_replay(n_merges, final_select=final)
 
 
 def _pipeline_oracles() -> dict[str, str]:
@@ -3342,6 +3417,8 @@ def _pipeline_oracles() -> dict[str, str]:
             "'h' || (doc_id % 50) || '.example.com' AS host, "
             "'example.com' AS domain FROM documents"
         ),
+        "bpe_tokenize": _bpe_replay_sql(48),
+        "bpe_sequence_packing": _bpe_replay_sql(48, packing_budget=512),
         "sequence_packing": (
             # identical window replay: bucket = doc_id % 16, order doc_id,
             # running cumsum -> offset -> seq indices at budget 4096
