@@ -1731,35 +1731,43 @@ def _checkpoint_resume_users_body(spark, sf_dir, tempfile, HllSpec,
     # would pay a 32-task scheduling floor (production sizes partitions to
     # data; the checkpoint machinery itself is partition-count agnostic)
     ev = ev.filter(F.col("week").isin(weeks)).repartition(4).persist()
-    src = lambda w: ev.filter(F.col("week") == w)  # noqa: E731
+    try:
+        src = lambda w: ev.filter(F.col("week") == w)  # noqa: E731
 
-    d_resume = tempfile.mkdtemp(prefix="ckpt_resume_")
-    half = SketchCheckpoint(d_resume, HllSpec(), ["user_id"], ["event_type"],
-                            unit_col="week")
-    half.run(spark, src, weeks[: max(1, len(weeks) // 2)])
-    # 'kill': drop the object; a fresh one on the same dir must resume
-    resumed = SketchCheckpoint(d_resume, HllSpec(), ["user_id"],
-                               ["event_type"], unit_col="week")
-    resumed.run(spark, src, weeks)
-    units_once = sorted(rec["unit"] for rec in resumed.lineage()) == weeks
+        d_resume = tempfile.mkdtemp(prefix="ckpt_resume_")
+        half = SketchCheckpoint(d_resume, HllSpec(), ["user_id"],
+                                ["event_type"], unit_col="week")
+        half.run(spark, src, weeks[: max(1, len(weeks) // 2)])
+        # 'kill': drop the object; a fresh one on the same dir must resume
+        resumed = SketchCheckpoint(d_resume, HllSpec(), ["user_id"],
+                                   ["event_type"], unit_col="week")
+        resumed.run(spark, src, weeks)
+        units_once = sorted(rec["unit"]
+                            for rec in resumed.lineage()) == weeks
 
-    control = SketchCheckpoint(tempfile.mkdtemp(prefix="ckpt_ctl_"),
-                               HllSpec(), ["user_id"], ["event_type"],
-                               unit_col="week")
-    control.run(spark, src, weeks)
+        control = SketchCheckpoint(tempfile.mkdtemp(prefix="ckpt_ctl_"),
+                                   HllSpec(), ["user_id"], ["event_type"],
+                                   unit_col="week")
+        control.run(spark, src, weeks)
 
-    # one job for both final merges (union with a tag), one for the exact
-    both = (resumed.result(spark).withColumn("__src", F.lit("r"))
-            .unionByName(control.result(spark).withColumn("__src", F.lit("c")))
-            .select("__src", "event_type",
-                    estimate_col(HllSpec()).alias("estimate")).collect())
-    est_r = {r["event_type"]: r["estimate"] for r in both if r["__src"] == "r"}
-    est_c = {r["event_type"]: r["estimate"] for r in both if r["__src"] == "c"}
-    est = spark.createDataFrame([(k, int(v)) for k, v in est_r.items()],
-                                "event_type string, estimate long")
-    exact_rows = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users")).collect()
-    ev.unpersist()
+        # one job for both final merges (union with a tag), one for exact
+        both = (resumed.result(spark).withColumn("__src", F.lit("r"))
+                .unionByName(control.result(spark)
+                             .withColumn("__src", F.lit("c")))
+                .select("__src", "event_type",
+                        estimate_col(HllSpec()).alias("estimate")).collect())
+        est_r = {r["event_type"]: r["estimate"]
+                 for r in both if r["__src"] == "r"}
+        est_c = {r["event_type"]: r["estimate"]
+                 for r in both if r["__src"] == "c"}
+        est = spark.createDataFrame([(k, int(v)) for k, v in est_r.items()],
+                                    "event_type string, estimate long")
+        exact_rows = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_users")).collect()
+    finally:
+        # without this, a mid-gate failure pins the cached partitions in
+        # the shared driver session for the rest of the 96-gate run
+        ev.unpersist()
     exact = spark.createDataFrame(
         [(r["event_type"], int(r["exact_users"])) for r in exact_rows],
         "event_type string, exact_users long")

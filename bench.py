@@ -102,6 +102,26 @@ def main() -> None:
         # not a property of the query — drop them eagerly between queries
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
+
+    # drift alarm (BENCH/REGRESSIONS.md §3): budgets are pinned at 3x a
+    # measured same-code run — outside the machine's p90 noise band (1.72x),
+    # far inside a real plan regression.  --write-budgets re-pins them
+    # from this run after an intentional perf change.
+    budget_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "budgets.json")
+    if "--write-budgets" in sys.argv:
+        with open(budget_path, "w") as fh:
+            json.dump({k: round(v * 3, 2) for k, v in timings.items()},
+                      fh, indent=1, sort_keys=True)
+    try:
+        with open(budget_path) as fh:
+            budgets = json.load(fh)
+    except OSError:
+        budgets = {}
+    over = sorted(k for k, v in timings.items()
+                  if k in budgets and v > budgets[k])
+    unbudgeted = sorted(k for k in timings if k not in budgets)
+
     print(json.dumps({
         "metric": "sketch_query_suite_wall",
         "value": total,
@@ -112,6 +132,8 @@ def main() -> None:
         "sec_per_query": round(total / max(len(timings), 1), 3),  # per-query,
         "sf": _sf_from_dir(SF_DIR),  # not total wall, across rounds
         "cpus": int(CPUS),
+        "over_budget": over,  # gates past 3x their pinned same-code wall
+        "unbudgeted": unbudgeted,  # new gates awaiting a budget pin
     }))
     spark.stop()
 

@@ -158,26 +158,35 @@ def main() -> int:
                  "--barrier", barrier, "--rounds", str(args.rounds)],
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
                 env=dict(os.environ, PYTHONPATH=REPO), cwd=REPO))
-        # release each round only when every worker reports ready
-        for r in range(args.rounds):
-            want = [os.path.join(barrier, f"ready_{i}_{r}")
-                    for i in range(k)]
-            while not all(os.path.exists(p) for p in want):
-                if any(p.poll() is not None for p in procs):
-                    dead = [p for p in procs if p.poll() is not None]
-                    print(dead[0].communicate()[1][-3000:], file=sys.stderr)
-                    return 1
-                time.sleep(0.1)
-            with open(os.path.join(barrier, f"go_{r}"), "w") as fh:
-                fh.write("1")
+        # release each round only when every worker reports ready; on any
+        # failure, kill the survivors (they would otherwise poll for a
+        # go-file that never comes, leaking multi-GB JVMs)
         workers = []
-        for p in procs:
-            out, err = p.communicate(timeout=1800)
-            if p.returncode != 0:
-                print(err[-3000:], file=sys.stderr)
-                return 1
-            line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
-            workers.append(json.loads(line[0][7:]))
+        try:
+            for r in range(args.rounds):
+                want = [os.path.join(barrier, f"ready_{i}_{r}")
+                        for i in range(k)]
+                while not all(os.path.exists(p) for p in want):
+                    if any(p.poll() is not None for p in procs):
+                        dead = [p for p in procs if p.poll() is not None]
+                        print(dead[0].communicate()[1][-3000:],
+                              file=sys.stderr)
+                        return 1
+                    time.sleep(0.1)
+                with open(os.path.join(barrier, f"go_{r}"), "w") as fh:
+                    fh.write("1")
+            for p in procs:
+                out, err = p.communicate(timeout=1800)
+                if p.returncode != 0:
+                    print(err[-3000:], file=sys.stderr)
+                    return 1
+                line = [ln for ln in out.splitlines()
+                        if ln.startswith("RESULT ")]
+                workers.append(json.loads(line[0][7:]))
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
         # concurrent rounds: aggregate wall = max across workers per round
         round_walls = [max(w["walls"][r] for w in workers)
                        for r in range(args.rounds)]

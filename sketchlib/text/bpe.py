@@ -61,8 +61,14 @@ from pyspark.sql import types as T
 
 # GPT-2 pre-tokenizer minus the RE2-incompatible trailing-space lookahead
 # (module docstring).  Works identically under Java regex (Spark) and RE2
-# (DuckDB); both support \p{L} / \p{N}.
-PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# (DuckDB); both support \p{L} / \p{N}.  Whitespace is an EXPLICIT class:
+# Java's \s includes vertical tab U+000B but RE2's does not, so \s would
+# silently split pre-tokens differently between Spark and the DuckDB
+# oracle on VT-bearing web text (confirmed divergence) — the explicit
+# class is the 6-char Java-\s set, matched identically by both engines.
+_WS = r" \t\n\x0B\f\r"
+PRETOKEN_RE = (r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+               r"| ?[^" + _WS + r"\p{L}\p{N}]+|[" + _WS + r"]+")
 
 # collect guard for train_bpe: distinct pre-token TYPES (not tokens) —
 # ~60 MB of driver strings at the cap, far past any web corpus's type
@@ -106,13 +112,19 @@ def train_merges_from_counts(word_counts: Iterable[tuple[str, int]],
         if not valid.any():
             break
         keys = a[valid] * K + b[valid]
-        counts = np.zeros(K * K, dtype=np.int64)
-        np.add.at(counts, keys, wt[:-1][valid])
-        mx = counts.max()
+        # sparse pair counting: memory/time O(distinct adjacent pairs),
+        # never O(K^2) — a dense K*K array is ~20 GB per step at GPT-2's
+        # 50k-merge vocab.  np.unique returns sorted keys, so the first
+        # maximal slot is the smallest (a, b) — the documented tie-break.
+        uniq, inv = np.unique(keys, return_inverse=True)
+        # float64 bincount is exact below 2^53; pair weight sums are
+        # bounded by total corpus occurrences (~5e14 at 10^12 docs),
+        # three orders of magnitude under that.
+        sums = np.bincount(inv, weights=wt[:-1][valid].astype(np.float64))
+        mx = int(sums.max())
         if mx <= 0:
             break
-        # smallest key among maxima == smallest (a, b) lexicographically
-        key = int(np.flatnonzero(counts == mx)[0])
+        key = int(uniq[int(np.argmax(sums))])
         a0, b0 = divmod(key, K)
         nid = 256 + step
         merges.append((a0, b0))

@@ -40,20 +40,27 @@ def strip_tracking_params(col: Column) -> Column:
     never promoted to '?', and a dangling '?' (empty query, whether we
     emptied it or the input arrived as 'https://e.com/a?') is always
     dropped: '?' with no parameters never changes the resource, so the
-    strip is safe unconditionally."""
+    strip is safe unconditionally.  Separator repair (collapsing the
+    '&&' / leading / trailing '&' left by a blanked param) applies ONLY
+    when a tracking param was actually stripped — a query containing no
+    tracking params passes through byte-identical (repairing pre-existing
+    odd-but-legal separators would silently alter clean URLs)."""
     frag = F.regexp_extract(col, r"(#.*)$", 1)        # '' when no fragment
     body = F.regexp_replace(col, r"#.*$", "")
     base = F.substring_index(body, "?", 1)            # whole body if no '?'
     query = F.regexp_extract(body, r"^[^?]*\?(.*)$", 1)
     # blank each tracking param in place (lookbehind keeps the '&'
     # separators so consecutive tracking params each match), then
-    # collapse the leftover separators
+    # collapse the separators the blanking left behind
     pat = "(?:^|(?<=&))(?:" + "|".join(TRACKING_PARAMS) + ")=[^&]*"
-    q = F.regexp_replace(query, pat, "")
-    q = F.regexp_replace(q, "&&+", "&")
+    q0 = F.regexp_replace(query, pat, "")
+    q = F.regexp_replace(q0, "&&+", "&")
     q = F.regexp_replace(q, "^&+|&+$", "")
-    rebuilt = F.when(q == "", base).otherwise(
+    cleaned = F.when(q == "", base).otherwise(
         F.concat(base, F.lit("?"), q))
+    untouched = F.when(query == "", base).otherwise(
+        F.concat(base, F.lit("?"), query))
+    rebuilt = F.when(q0 != query, cleaned).otherwise(untouched)
     return F.concat(rebuilt, frag)
 
 

@@ -199,7 +199,11 @@ def test_pretoken_pattern_java_re2_parity(spark):
     texts = ["It's  a 42-year test, isn't it?  héllo 日本語 world",
              "tabs\tand\nnewlines  trailing   ",
              "a'd b'll c're d've e'm f's g't",
-             "¡puntuación! —em–dash… 3.14159 x_y-z"]
+             "¡puntuación! —em–dash… 3.14159 x_y-z",
+             # vertical tab: Java \s matches it, RE2 \s does not — the
+             # explicit _WS class must keep both engines identical here
+             ".\x0b. a\x0bb \x0b\x0b tail\x0b",
+             "mixed \t\x0b\f\r\n ws runs"]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
                                "i long, t string")
     spark_split = {r["i"]: list(r["ws"]) for r in df.select(

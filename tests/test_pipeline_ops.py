@@ -839,7 +839,12 @@ class TestDedupTextHardening:
                 (3, "https://e.com/a&b?utm_source=x"),   # path-& + full strip
                 (4, "https://e.com/p?utm_source=a&utm_medium=b&q=1"),
                 (5, "https://e.com/p?utm_source=a#frag"),
-                (6, "https://e.com/p?q=1&utm_source=a&r=2")]
+                (6, "https://e.com/p?q=1&utm_source=a&r=2"),
+                # odd-but-legal separators with NO tracking params must
+                # pass through byte-identical (no separator "repair")
+                (7, "https://e.com/p?a=1&&b=2"),
+                (8, "https://e.com/p?a=1&"),
+                (9, "https://e.com/p?&a=1")]
         df = spark.createDataFrame(rows, "i long, url string")
         got = {r["i"]: r["s"] for r in df.select(
             "i", strip_tracking_params(F.col("url")).alias("s")).collect()}
@@ -850,6 +855,9 @@ class TestDedupTextHardening:
         assert got[4] == "https://e.com/p?q=1"    # consecutive tracking params
         assert got[5] == "https://e.com/p#frag"   # fragment preserved
         assert got[6] == "https://e.com/p?q=1&r=2"  # mid-query strip
+        assert got[7] == "https://e.com/p?a=1&&b=2"  # clean: && preserved
+        assert got[8] == "https://e.com/p?a=1&"      # clean: trailing &
+        assert got[9] == "https://e.com/p?&a=1"      # clean: leading &
 
     def test_normalize_url_schemeless_passthrough(self, spark):
         from sketchlib.text.urls import normalize_url

@@ -95,7 +95,7 @@ t.write(spark.createDataFrame(pdf), mode="overwrite")
 # read back through the same interface
 df = t.read(spark)
 assert df.count() == 2000, df.count()
-assert set(t.days(spark)) == {"2026-01-01", "2026-01-02", "2026-01-03"}
+assert set(t.days(spark)) == {{"2026-01-01", "2026-01-02", "2026-01-03"}}
 
 # partition pruning must reach the Iceberg scan (file-level pruning shows
 # as a filtered scan in the plan; row counts prove the partition filter)
@@ -129,7 +129,8 @@ def test_iceberg_catalog_write_read_roundtrip(tmp_path):
     writeTo/createOrReplace, append, pruned read, and the flagship
     distinct_count over the catalog table.  Runs in a subprocess so the
     jar-bearing session cannot leak into the shared test session."""
-    code = _ICEBERG_CHILD.format(repo="/root/repo", jar=_ICEBERG_JAR,
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = _ICEBERG_CHILD.format(repo=repo, jar=_ICEBERG_JAR,
                                  warehouse=str(tmp_path / "warehouse"))
     import sys
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
