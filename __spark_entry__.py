@@ -2187,6 +2187,22 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "first_seq", "last_seq")
 
 
+_BPE_MODEL_CACHE: dict = {}  # (sf_dir, n_merges) -> BpeModel; the trainer
+# is deterministic over a fixed corpus, so both BPE gates share one
+# trained model instead of paying the word-count shuffle + merge loop twice
+
+
+def _trained_bpe(spark: SparkSession, sf_dir: str, n_merges: int):
+    from sketchlib.text.bpe import train_bpe
+
+    key = (sf_dir, n_merges)
+    if key not in _BPE_MODEL_CACHE:
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "text") \
+            .filter(F.col("text").isNotNull())
+        _BPE_MODEL_CACHE[key] = train_bpe(docs, "text", n_merges=n_merges)
+    return _BPE_MODEL_CACHE[key]
+
+
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level BPE train + encode (sketchlib/text/bpe.py, GPT-2 spec —
     public).  Trains 48 merges on the documents corpus (one map-side-
@@ -2197,11 +2213,11 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     replace() pass == BPE's left-to-right non-overlapping merge), so the
     hash match certifies byte-level pre-tokenization, pair counting,
     tie-breaking, merge application, and encoding bit-for-bit."""
-    from sketchlib.text.bpe import token_ids_col, train_bpe
+    from sketchlib.text.bpe import token_ids_col
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text") \
         .filter(F.col("text").isNotNull())
-    model = train_bpe(docs, "text", n_merges=48)
+    model = _trained_bpe(spark, sf_dir, 48)
     ids = token_ids_col(F.col("text"), model)
     return docs.select(
         "doc_id",
@@ -2217,11 +2233,11 @@ def q_bpe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle re-derives the token counts via the full SQL BPE replay and
     replays the identical packing window."""
     from sketchlib.packing import pack_sequences
-    from sketchlib.text.bpe import token_count_col, train_bpe
+    from sketchlib.text.bpe import token_count_col
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text") \
         .filter(F.col("text").isNotNull())
-    model = train_bpe(docs, "text", n_merges=48)
+    model = _trained_bpe(spark, sf_dir, 48)
     counted = docs.select(
         "doc_id",
         token_count_col(F.col("text"), model).alias("n_tokens"),

@@ -29,54 +29,10 @@ def _sf_from_dir(d: str) -> float:
 
 
 def main() -> None:
-    from pyspark.sql import SparkSession
+    from scripts.bench_common import build_session, warm_up
 
-    spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .appName("sketchlib-bench")
-        .config("spark.sql.shuffle.partitions", CPUS)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
-        .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "16g")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    # warm up the JVM...
-    spark.range(1000).selectExpr("sum(id)").collect()
-    # ...and the Arrow Python workers (one per core), so worker fork +
-    # numpy import cost isn't billed to whichever query runs first
-    from pyspark.sql import functions as F
-
-    _identity = F.pandas_udf(lambda s: s, "long")
-    (spark.range(int(CPUS) * 4).repartition(int(CPUS))
-     .select(_identity("id").alias("x")).selectExpr("sum(x)").collect())
-    # mapInArrow/applyInPandas are separate eval modes with their own
-    # worker/codegen warm-up cost — touch each once
-    (spark.range(int(CPUS) * 4).repartition(int(CPUS))
-     .mapInArrow(lambda it: it, "id long").count())
-    (spark.range(64).withColumn("g", F.col("id") % 4).groupBy("g")
-     .applyInPandas(lambda pdf: pdf, "id long, g long").count())
-    # ...and the Structured Streaming machinery (query planner + state
-    # store classes), ~10 s of one-time JVM classloading otherwise billed
-    # to the first streaming query
-    import shutil
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix="bench_warm_")
-    try:
-        spark.range(10).write.parquet(f"{d}/src")
-        q = (spark.readStream.schema("id long").parquet(f"{d}/src")
-             .groupBy().count().writeStream
-             .foreachBatch(lambda bdf, _b: bdf.collect())
-             .outputMode("complete")
-             .option("checkpointLocation", f"{d}/ck")
-             .trigger(availableNow=True).start())
-        q.awaitTermination(60)
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    spark = build_session(CPUS)
+    warm_up(spark, CPUS, streaming=True)
 
     import __spark_entry__ as entrymod
 
@@ -116,7 +72,9 @@ def main() -> None:
     try:
         with open(budget_path) as fh:
             budgets = json.load(fh)
-    except OSError:
+    except (OSError, ValueError):
+        # ValueError covers JSONDecodeError: a corrupt budgets file must
+        # not discard a completed multi-minute suite run
         budgets = {}
     over = sorted(k for k, v in timings.items()
                   if k in budgets and v > budgets[k])

@@ -63,23 +63,15 @@ def shard_files(data_dir: str, k: int) -> list[list[str]]:
 
 
 def child(args) -> None:
-    from pyspark.sql import SparkSession
+    from bench_common import build_session
 
     from sketchlib.spark.aggregate import HllSpec, sketch_agg
 
     with open(args.files) as fh:
         files = [ln.strip() for ln in fh if ln.strip()]
-    spark = (SparkSession.builder.master(f"local[{args.cpus}]")
-             .appName(f"multijvm-w{args.worker}")
-             .config("spark.sql.shuffle.partitions", str(args.cpus))
-             .config("spark.sql.adaptive.enabled", "true")
-             .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
-             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
-             .config("spark.ui.showConsoleProgress", "false")
-             .config("spark.ui.enabled", "false")
-             .config("spark.driver.memory", "12g")
-             .getOrCreate())
-    spark.sparkContext.setLogLevel("ERROR")
+    # 12g heap: up to 4 of these JVMs run concurrently on one box
+    spark = build_session(args.cpus, app=f"multijvm-w{args.worker}",
+                          driver_mem="12g")
     df = (spark.read.option("basePath", args.base)
           .parquet(*files).select(ELEMENT, *GROUPS))
     rows = df.count()  # warm scan / page cache
@@ -151,34 +143,49 @@ def main() -> int:
             flist = os.path.join(work, f"files_{i}.txt")
             with open(flist, "w") as fh:
                 fh.write("\n".join(shard))
+            # child output goes to FILES, not pipes: an undrained PIPE
+            # caps at ~64KB, and a child blocked writing Spark warnings
+            # to a full pipe never reaches the barrier (deadlock)
+            logf = open(os.path.join(work, f"log_{i}.txt"), "w+")
             procs.append(subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), "--child",
                  "--files", flist, "--base", data, "--cpus", str(cpus),
                  "--worker", str(i), "--out", os.path.join(work, f"w{i}"),
                  "--barrier", barrier, "--rounds", str(args.rounds)],
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                stdout=logf, stderr=subprocess.STDOUT, text=True,
                 env=dict(os.environ, PYTHONPATH=REPO), cwd=REPO))
+            procs[-1]._logf = logf  # noqa: SLF001 — closed in finally
         # release each round only when every worker reports ready; on any
         # failure, kill the survivors (they would otherwise poll for a
         # go-file that never comes, leaking multi-GB JVMs)
         workers = []
+
+        def tail(p):
+            p._logf.seek(0)
+            return p._logf.read()
+
         try:
-            for r in range(args.rounds):
-                want = [os.path.join(barrier, f"ready_{i}_{r}")
-                        for i in range(k)]
+            deadline = time.time() + 1800  # whole-config cap: a child
+            for r in range(args.rounds):   # wedged mid-round (stuck Spark
+                want = [os.path.join(barrier, f"ready_{i}_{r}")  # job) must
+                        for i in range(k)]  # fail the bench, not hang it
                 while not all(os.path.exists(p) for p in want):
                     if any(p.poll() is not None for p in procs):
                         dead = [p for p in procs if p.poll() is not None]
-                        print(dead[0].communicate()[1][-3000:],
-                              file=sys.stderr)
+                        print(tail(dead[0])[-3000:], file=sys.stderr)
+                        return 1
+                    if time.time() > deadline:
+                        print(f"barrier timeout (round {r}); worker logs "
+                              f"under {work}", file=sys.stderr)
                         return 1
                     time.sleep(0.1)
                 with open(os.path.join(barrier, f"go_{r}"), "w") as fh:
                     fh.write("1")
             for p in procs:
-                out, err = p.communicate(timeout=1800)
+                p.communicate(timeout=max(60, deadline - time.time()))
+                out = tail(p)
                 if p.returncode != 0:
-                    print(err[-3000:], file=sys.stderr)
+                    print(out[-3000:], file=sys.stderr)
                     return 1
                 line = [ln for ln in out.splitlines()
                         if ln.startswith("RESULT ")]
@@ -187,6 +194,7 @@ def main() -> int:
             for p in procs:
                 if p.poll() is None:
                     p.kill()
+                p._logf.close()
         # concurrent rounds: aggregate wall = max across workers per round
         round_walls = [max(w["walls"][r] for w in workers)
                        for r in range(args.rounds)]
@@ -234,7 +242,8 @@ def main() -> int:
         "results_identical": True,
     }
     print(json.dumps(summary))
-    write_report(summary)
+    if args.rows >= 8_000_000:  # harness-validation runs at toy scale
+        write_report(summary)   # must not append junk sections to the doc
     return 0
 
 

@@ -31,24 +31,10 @@ DEFAULT_GATES = [
 CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
-from pyspark.sql import SparkSession, functions as F
+from scripts.bench_common import build_session, warm_up
 
-spark = (SparkSession.builder.master("local[32]")
-         .appName("bench-regressions")
-         .config("spark.sql.shuffle.partitions", "32")
-         .config("spark.sql.adaptive.enabled", "true")
-         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
-         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
-         .config("spark.ui.showConsoleProgress", "false")
-         .config("spark.ui.enabled", "false")
-         .config("spark.driver.memory", "16g")
-         .getOrCreate())
-spark.sparkContext.setLogLevel("ERROR")
-spark.range(1000).selectExpr("sum(id)").collect()
-_identity = F.pandas_udf(lambda s: s, "long")
-(spark.range(128).repartition(32)
- .select(_identity("id").alias("x")).selectExpr("sum(x)").collect())
-(spark.range(128).repartition(32).mapInArrow(lambda it: it, "id long").count())
+spark = build_session(32, app="bench-regressions")
+warm_up(spark, 32)
 
 import __spark_entry__ as entrymod
 fn = entrymod.queries()[{gate!r}]

@@ -254,14 +254,16 @@ def token_ids_col(col: Column, model: BpeModel) -> Column:
     Pre-tokenization stays in the JVM; the pandas UDF sees arrays of
     pre-tokens and encodes each DISTINCT pre-token once per worker (memo),
     so the Python cost on Zipf text is ~O(types), not O(tokens)."""
-    merges = model.merges  # plain list in the closure — a few KB
+    # model + memo live in the UDF closure: each Python worker unpickles
+    # them ONCE and reuses them across every Arrow batch it serves, so a
+    # distinct pre-token is encoded once per worker lifetime — not once
+    # per batch (which would make Python cost O(types x batches))
+    m = BpeModel(model.merges)  # a few KB pickled into the closure
+    memo: dict[str, list[int]] = {}
+    enc = m.encode_word
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _encode(words: pd.Series) -> pd.Series:
-        m = BpeModel(merges)
-        memo: dict[str, list[int]] = {}
-        enc = m.encode_word
-
         def doc(ws):
             if ws is None:  # NULL text: conditional wrappers (F.when) still
                 return None  # feed every row through the batch
