@@ -151,6 +151,16 @@ def main() -> int:
         spark.catalog.clearCache()
         return n
 
+    def q_bpe_tokenize():
+        # tokenizer throughput at scale: train 256 merges (one map-side-
+        # combined word-count shuffle + driver merge loop), then encode
+        # the full corpus and count tokens (per-worker memoized Arrow UDF)
+        from sketchlib.text.bpe import token_count_col, train_bpe
+        model = train_bpe(df.select("text"), "text", n_merges=256,
+                          min_count=2)
+        return (df.select(token_count_col(F.col("text"), model).alias("n"))
+                .agg(F.sum("n")).collect()[0][0])
+
     queries = {
         "distinct_urls_per_lang_day": q_distinct_urls,
         "distinct_urls_per_lang_day_prehash64": q_distinct_urls_prehash,
@@ -167,6 +177,7 @@ def main() -> int:
         "blocklist_filter_1k": q_blocklist,
         "lm_train50k_and_score": q_lm_score,
         "boilerplate_removal_1k": q_boilerplate,
+        "bpe_train256_encode_all": q_bpe_tokenize,
         "corpus_clean_e2e_scrub": q_corpus_clean_e2e,
     }
     if args.only:
