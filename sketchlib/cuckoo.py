@@ -111,9 +111,16 @@ class CuckooFilter:
         self.n_buckets = n_buckets
         if buckets is None:
             buckets = np.zeros((n_buckets, SLOTS), dtype=np.uint16)
-        self.buckets = buckets
         # prefix-packed invariant: occupied slots of a bucket are exactly
-        # [0, occ) — established at construction, preserved by compaction
+        # [0, occ) — ESTABLISHED here for any caller-supplied array (a
+        # non-packed table would desync occ from slot positions: inserts
+        # would overwrite live fingerprints and compaction would swap the
+        # wrong slot), preserved thereafter by insert/delete compaction
+        if (buckets[:, :-1][(buckets[:, :-1] == 0)
+                            & (buckets[:, 1:] != 0)].shape[0]):
+            order = np.argsort(buckets == 0, axis=1, kind="stable")
+            buckets = np.take_along_axis(buckets, order, axis=1)
+        self.buckets = buckets
         self.occ = (buckets != 0).sum(axis=1).astype(np.int64)
         self.count_additions = count_additions
         self._kick = 0
@@ -396,12 +403,8 @@ class CuckooFilter:
         raw = read_array(blob, "<u2", nb * SLOTS, off, "Cuckoo")
         buckets = np.ascontiguousarray(raw).astype(np.uint16).reshape(
             nb, SLOTS)
-        # re-establish the prefix-packed invariant for blobs produced by
-        # foreign writers: stable-sort each bucket's slots empty-last
-        if (buckets[:, :-1][(buckets[:, :-1] == 0)
-                            & (buckets[:, 1:] != 0)].shape[0]):
-            order = np.argsort(buckets == 0, axis=1, kind="stable")
-            buckets = np.take_along_axis(buckets, order, axis=1)
+        # the constructor re-establishes the prefix-packed invariant for
+        # blobs produced by foreign writers (empty-last stable sort)
         return cls(n_buckets=nb, buckets=buckets, count_additions=count_additions)
 
     def __eq__(self, other: object) -> bool:

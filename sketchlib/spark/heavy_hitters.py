@@ -268,21 +268,29 @@ def estimate_counts(df: DataFrame, value_col: str, cms_blob: bytes,
     The blob ships via ``sc.broadcast`` (torrent distribution, one copy per
     executor) rather than the UDF closure — a right-sized 100 TB CMS/Bloom
     can be GBs, and closures re-ship per task."""
+    from .blobcache import get_or_load, new_token
+    from .membership import _broadcast_blob, _zero_lit
+
     spec = spec or CmsSpec()
     sc = df.sparkSession.sparkContext
-    blob_bc = sc.broadcast(cms_blob)
-    cache: dict[str, object] = {}  # per-python-worker deserialized sketch
+    blob_bc = _broadcast_blob(sc, cms_blob)  # reused across calls per blob
+    token = new_token()
 
     @F.pandas_udf(T.LongType())
     def _est(values: pd.Series) -> pd.Series:
-        # deserialize ONCE per worker, not per Arrow batch: the UDF runs
-        # per ~10k-row batch, and re-parsing a right-sized (GBs at 100 TB)
-        # blob thousands of times per partition would dominate the query.
-        # The closure carries exactly one broadcast, so a constant key is
-        # the identity.
-        cms = cache.get("cms")
-        if cms is None:
-            cms = cache["cms"] = spec.from_bytes(blob_bc.value)
+        # deserialize ONCE per worker PROCESS, not per task or Arrow
+        # batch: a closure-level cache dict is re-pickled into every task,
+        # so only the module-level blobcache survives task boundaries —
+        # and re-parsing a right-sized (GBs at 100 TB) blob once per short
+        # task would dominate a large probe stage.
+        cms = get_or_load(token, lambda: spec.from_bytes(blob_bc.value))
         return pd.Series(cms.estimate_hashes(hash_series(values, spec.hash_name)).astype(np.int64))
 
-    return df.withColumn(est_name, _est(F.col(value_col)))
+    # nulls never reach pandas: one null in an Arrow batch degrades an
+    # int64 key column to float64 (mis-hashing every key in the batch);
+    # coalesce JVM-side — where the type is known — and mask to 0 (a null
+    # key was never counted by the build side)
+    col = F.col(value_col)
+    safe = F.coalesce(col, _zero_lit(df.schema[value_col].dataType))
+    return df.withColumn(
+        est_name, F.when(col.isNotNull(), _est(safe)).otherwise(F.lit(0)))

@@ -100,9 +100,16 @@ def cuckoo_delete_bytes(blob: bytes, df: DataFrame, cols,
     if isinstance(cols, str):
         cols = [cols]
     cols = list(cols)
+    # NULL key rows are dropped BEFORE toPandas, for two reasons: a null
+    # key was never inserted (build drops nulls), so retracting it is at
+    # best a no-op and at ~fpr evicts an unrelated live entry; and one
+    # null surviving to pandas degrades an int64 key column to float64,
+    # making EVERY key in the frame hash differently from the build-side
+    # encoding — the whole delete would silently no-op.
     # LIMIT caps each partition executor-side, so the driver never holds
     # more than max_keys+1 rows even when the guard is about to fire
-    pdf = df.select(*cols).distinct().limit(max_keys + 1).toPandas()
+    pdf = (df.select(*cols).na.drop().distinct()
+           .limit(max_keys + 1).toPandas())
     if len(pdf) > max_keys:
         raise ValueError(
             f"withdrawal set exceeds max_keys={max_keys} distinct keys — "
@@ -114,22 +121,73 @@ def cuckoo_delete_bytes(blob: bytes, df: DataFrame, cols,
     return cf.to_bytes()
 
 
+# driver-side broadcast reuse: one sc.broadcast per distinct blob, not one
+# per might_contain_udf/estimate-style call — a long-lived session probing
+# one filter against many shards would otherwise accumulate executor-side
+# blob copies for its whole lifetime.  Evicted entries are unpersist()ed
+# (executors drop their copies; an old plan that still references the
+# handle re-fetches from the driver on use, so eviction is safe).
+_BC_MAX = 8
+_BC_CACHE: dict = {}  # (sc id, blob digest) -> Broadcast, insertion-ordered
+
+
+def _broadcast_blob(sc, blob: bytes):
+    import hashlib
+
+    # applicationId, not id(sc): CPython reuses object ids, so a restarted
+    # context could otherwise be served a dead broadcast from its
+    # predecessor (bit us in cross-test isolation)
+    key = (sc.applicationId,
+           hashlib.blake2b(blob, digest_size=16).digest())
+    bc = _BC_CACHE.get(key)
+    if bc is None:
+        bc = _BC_CACHE[key] = sc.broadcast(blob)
+        while len(_BC_CACHE) > _BC_MAX:
+            old = _BC_CACHE.pop(next(iter(_BC_CACHE)))
+            try:
+                old.unpersist()
+            except Exception:  # sc already stopped — nothing to free
+                pass
+    return bc
+
+
 def might_contain_udf(blob: bytes, cols: Sequence[str] | str,
                       spec: BloomSpec | None = None) -> Column:
     """Boolean column: True = possibly in the filter, False = definitely not.
+    Rows with a NULL in any key column are definitely not members (the
+    build side drops nulls) and return False.
 
     The blob ships via ``sc.broadcast`` (one torrent-distributed copy per
     executor) instead of the UDF closure — a right-sized 100 TB filter is
-    GBs, and closures re-serialize per task."""
-    from pyspark.sql import SparkSession
+    GBs, and closures re-serialize per task.
 
-    spec = spec or BloomSpec()
+    Dtype caveat for this raw-column form: Arrow→pandas conversion of a
+    null-BEARING integer batch degrades the whole batch to float64, which
+    is exact only to 2^53 — full-range int64 keys (e.g. xxhash64
+    fingerprints) that share a batch with a null would mis-hash.  The
+    frame-level :func:`filter_might_contain` / :func:`probe_might_contain`
+    coalesce nulls JVM-side (where column types are known), so no null
+    ever reaches pandas and every dtype stays exact — prefer them for
+    null-bearing key columns."""
     if isinstance(cols, str):
         cols = [cols]
-    cols = list(cols)
+    return _might_contain_expr(blob, list(cols), spec or BloomSpec(),
+                               [F.col(c) for c in cols],
+                               valid=None)
+
+
+def _might_contain_expr(blob: bytes, cols: list, spec, col_exprs: list,
+                        valid: Column | None) -> Column:
+    """Shared core: ``valid`` non-None means the caller guarantees
+    ``col_exprs`` are null-free (JVM-side coalesce) and supplies the
+    membership verdict for the masked rows (False)."""
+    from pyspark.sql import SparkSession
+
+    from .blobcache import get_or_load, new_token
+
     session = SparkSession.getActiveSession()
     if session is not None:
-        blob_ref = session.sparkContext.broadcast(blob)
+        blob_ref = _broadcast_blob(session.sparkContext, blob)
 
         def load():  # captures only the broadcast handle, not the blob
             return blob_ref.value
@@ -137,26 +195,74 @@ def might_contain_udf(blob: bytes, cols: Sequence[str] | str,
         def load():
             return blob
 
-    cache: dict[str, object] = {}  # per-python-worker deserialized filter
+    token = new_token()  # per-worker cache key (module dict, not closure)
+    guard_nulls = valid is None
 
     @F.pandas_udf(T.BooleanType())
     def _contains(*series: pd.Series) -> pd.Series:
-        # deserialize once per worker, not per Arrow batch — a
-        # right-sized 100 TB filter blob is GBs (see estimate_counts)
-        bf = cache.get("f")
-        if bf is None:
-            bf = cache["f"] = spec.from_bytes(load())
+        bf = get_or_load(token, lambda: spec.from_bytes(load()))
         pdf = pd.concat(series, axis=1)
         pdf.columns = cols
-        return pd.Series(bf.contains_hashes(hash_columns(pdf, cols, spec.hash_name)))
+        if guard_nulls:
+            ok = pdf.notna().all(axis=1).to_numpy()
+            if not ok.all():
+                import numpy as np
+                out = np.zeros(len(pdf), dtype=bool)
+                sub = pdf.loc[ok]
+                if len(sub):
+                    out[ok] = bf.contains_hashes(
+                        hash_columns(sub, cols, spec.hash_name))
+                return pd.Series(out)
+        return pd.Series(bf.contains_hashes(
+            hash_columns(pdf, cols, spec.hash_name)))
 
-    return _contains(*[F.col(c) for c in cols])
+    probe = _contains(*col_exprs)
+    return probe if valid is None else (valid & probe)
+
+
+def _zero_lit(dt) -> Column:
+    """A non-null literal of the column's exact type (coalesce filler for
+    rows whose result is masked out anyway)."""
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                       T.FloatType, T.DoubleType, T.DecimalType)):
+        return F.lit(0).cast(dt)
+    if isinstance(dt, T.StringType):
+        return F.lit("")
+    if isinstance(dt, T.BinaryType):
+        return F.lit(b"")
+    if isinstance(dt, T.BooleanType):
+        return F.lit(False)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.timestamp_seconds(F.lit(0)).cast(dt)
+    if isinstance(dt, T.DateType):
+        return F.date_from_unix_date(F.lit(0))
+    raise TypeError(f"unsupported membership key type {dt}; drop nulls or "
+                    "cast the column first")
+
+
+def probe_might_contain(df: DataFrame, cols, blob: bytes,
+                        spec: BloomSpec | None = None) -> Column:
+    """Null-exact membership column for ``df``'s key columns: nulls are
+    coalesced JVM-side to a typed filler (so integer batches never degrade
+    to float64 in pandas — exact for full-range int64) and masked to
+    False (a null key was never inserted)."""
+    if isinstance(cols, str):
+        cols = [cols]
+    cols = list(cols)
+    valid = F.lit(True)
+    safe = []
+    for c in cols:
+        valid = valid & F.col(c).isNotNull()
+        safe.append(F.coalesce(F.col(c), _zero_lit(df.schema[c].dataType)))
+    return _might_contain_expr(blob, cols, spec or BloomSpec(), safe, valid)
 
 
 def filter_might_contain(df: DataFrame, cols, blob: bytes,
                          spec: BloomSpec | None = None,
                          negate: bool = False) -> DataFrame:
     """Keep rows possibly present in (or, with ``negate``, definitely absent
-    from) the filter — the semi-/anti-join pre-filter."""
-    c = might_contain_udf(blob, cols, spec)
+    from) the filter — the semi-/anti-join pre-filter.  Null-key rows are
+    definitely absent (kept only under ``negate``); null handling is exact
+    for every key type via :func:`probe_might_contain`."""
+    c = probe_might_contain(df, cols, blob, spec)
     return df.filter(~c if negate else c)

@@ -262,3 +262,49 @@ class TestBoundedCandidates:
         assert set(hh) == {-10, -9, -8, -7}
         for v, r in hh.items():
             assert r["lower_bound"] <= 10_000 <= r["est_count"]
+
+
+class TestNullKeyProbes:
+    """Nulls in probe frames must not poison their Arrow batch: one null
+    degrades an int64 pandas column to float64, mis-hashing every key in
+    the batch (verified pre-fix: 500/1000 true members dropped).  The
+    frame-level probes coalesce JVM-side so dtypes stay exact."""
+
+    def test_filter_might_contain_with_null_rows(self, spark):
+        from sketchlib.spark.membership import (bloom_build_bytes,
+                                                filter_might_contain)
+
+        base = spark.range(1000).withColumnRenamed("id", "k")
+        blob = bloom_build_bytes(base, "k")
+        probe = base.unionByName(spark.sql("select cast(null as long) k"))
+        assert filter_might_contain(probe, "k", blob).count() == 1000
+        # negate: the null-key row is definitely absent -> kept
+        anti = filter_might_contain(probe, "k", blob, negate=True)
+        assert [r["k"] for r in anti.collect()] == [None]
+
+    def test_might_contain_udf_null_string_rows(self, spark):
+        from sketchlib.spark.membership import (bloom_build_bytes,
+                                                might_contain_udf)
+
+        s = spark.createDataFrame([("a",), ("b",), (None,)], "k string")
+        blob = bloom_build_bytes(s.na.drop(), "k")
+        got = {(r["k"], r["h"]) for r in
+               s.withColumn("h", might_contain_udf(blob, "k")).collect()}
+        assert got == {("a", True), ("b", True), (None, False)}
+
+    def test_estimate_counts_null_rows_zero(self, spark):
+        from sketchlib.spark.aggregate import sketch_agg
+        from sketchlib.spark.heavy_hitters import estimate_counts
+        from sketchlib.spark.specs import CmsSpec
+
+        spec = CmsSpec()
+        base = spark.range(500).withColumnRenamed("id", "k")
+        [row] = sketch_agg(base, "k", (), spec).collect()
+        blob = bytes(row["sketch"])
+        probe = base.unionByName(spark.sql("select cast(null as long) k"))
+        rows = estimate_counts(probe, "k", blob, spec).collect()
+        nulls = [r for r in rows if r["k"] is None]
+        assert len(nulls) == 1 and nulls[0]["est_count"] == 0
+        # CMS never undercounts: every real key >= 1 even sharing a
+        # batch with the null row
+        assert all(r["est_count"] >= 1 for r in rows if r["k"] is not None)

@@ -260,3 +260,54 @@ class TestCuckooCounterAndSpec:
         with pytest.raises(ValueError, match="expected_n"):
             CuckooSpec(expected_n=-5)
         assert CuckooSpec(expected_n=1).n_buckets >= 8
+
+
+class TestPackingAndNullRetraction:
+    def test_constructor_repacks_foreign_buckets(self):
+        """A caller-supplied non-prefix-packed table must be repacked at
+        construction — otherwise occ desyncs from slot positions and a
+        later insert overwrites a live fingerprint (silent false
+        negative).  sketchlib/cuckoo.py CuckooFilter.__init__."""
+        import numpy as np
+
+        from sketchlib.cuckoo import CuckooFilter
+
+        b = np.zeros((8, 4), dtype=np.uint16)
+        b[0, 3] = 77  # occupied slot beyond the packed prefix
+        b[1, 1] = 5
+        b[1, 3] = 9  # gap at slot 2
+        cf = CuckooFilter(n_buckets=8, buckets=b)
+        assert cf.buckets[0, 0] == 77 and cf.occ[0] == 1
+        assert list(cf.buckets[1, :3]) == [5, 9, 0] or \
+            list(cf.buckets[1, :2]) == [5, 9]
+        assert cf.occ[1] == 2
+        # packed prefix everywhere: no zero before a non-zero
+        packed = cf.buckets
+        assert not ((packed[:, :-1] == 0) & (packed[:, 1:] != 0)).any()
+
+    def test_cuckoo_delete_bytes_ignores_null_keys(self, spark):
+        """One NULL row in the withdrawal frame must not corrupt the
+        delete: pre-fix it degraded the pandas key column to float64 so
+        every key mis-hashed and the whole retraction silently no-oped
+        (sketchlib/spark/membership.py cuckoo_delete_bytes)."""
+        import pandas as pd
+
+        from sketchlib.spark.aggregate import hash_columns
+        from sketchlib.spark.membership import (cuckoo_build_bytes,
+                                                cuckoo_delete_bytes)
+        from sketchlib.spark.specs import CuckooSpec
+
+        spec = CuckooSpec(expected_n=2000)
+        base = spark.range(1000).withColumnRenamed("id", "k")
+        blob = cuckoo_build_bytes(base, "k", spec=spec)
+        wd = spark.range(10).withColumnRenamed("id", "k").unionByName(
+            spark.sql("select cast(null as long) k"))
+        out = cuckoo_delete_bytes(blob, wd, "k", spec=spec)
+        cf = spec.from_bytes(out)
+        h = hash_columns(
+            pd.DataFrame({"k": pd.array(range(10), dtype="int64")}), ["k"])
+        assert int(cf.contains_hashes(h).sum()) == 0
+        rest = hash_columns(
+            pd.DataFrame({"k": pd.array(range(10, 1000), dtype="int64")}),
+            ["k"])
+        assert bool(cf.contains_hashes(rest).all())
