@@ -57,7 +57,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..spark.membership import bloom_build_bytes, might_contain_udf
+from ..spark.membership import bloom_build_bytes, probe_might_contain
 from ..spark.specs import BloomSpec
 from ..text.analysis import fingerprint_key
 
@@ -199,7 +199,11 @@ def drop_seen(new: DataFrame, seen: DataFrame | None = None,
                 .drop(fpc))
 
     keyed = new.withColumn(fpc, fingerprint_key(F.col(text_col)))
-    probe = might_contain_udf(bloom_blob, fpc, spec)
+    # frame-level probe: null-exact for full-range int64 fingerprints
+    # (xxhash64 never yields NULL today, but a null fp sharing an Arrow
+    # batch would otherwise degrade the whole batch to float64 and leak
+    # dups past the bypass branch)
+    probe = probe_might_contain(keyed, fpc, bloom_blob, spec)
     probed = keyed.withColumn(
         probed_name, F.col(text_col).isNotNull() & probe)
     if seen is None:
