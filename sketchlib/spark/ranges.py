@@ -99,10 +99,7 @@ def str_common_prefix_len(df: DataFrame, value_col: str) -> int:
     if r["lo"] is None:
         return 0
     a, b = r["lo"].encode("utf-8"), r["hi"].encode("utf-8")
-    i = 0
-    while i < min(len(a), len(b)) and a[i] == b[i]:
-        i += 1
-    return i
+    return len(os.path.commonprefix([a, b]))
 
 
 def _is_string(df: DataFrame, value_col: str) -> bool:
@@ -158,6 +155,12 @@ def bucket_expr(value_col: str | Column, boundaries: Sequence[float]) -> Column:
     b = np.asarray(boundaries, dtype=np.float64)
     if b.shape[0] == 0:
         raise ValueError("need at least one boundary")
+    if b.shape[0] + 1 > MAX_BUCKETS:
+        # the WHEN tree and relabel array are PLAN literals: an unbounded
+        # boundary list blows up driver analysis/codegen, so enforce the
+        # module cap on every entry point, not just boundaries_from_blob
+        raise ValueError(f"too many boundaries: {b.shape[0] + 1} buckets "
+                         f"> MAX_BUCKETS={MAX_BUCKETS}")
     if np.any(np.isnan(b)):
         raise ValueError("boundaries must not contain NaN")
     if np.any(b[1:] < b[:-1]):  # NaN-free, so plain compare == ascending
@@ -176,11 +179,22 @@ def bucket_expr(value_col: str | Column, boundaries: Sequence[float]) -> Column:
     return F.when(col.isNull(), F.lit(0)).otherwise(tree(0, int(b.shape[0])))
 
 
+# relabel tables are a pure function of the bucket count (Spark's hash()
+# is pinned Murmur3, seed 42), so a pipeline writing many datasets at the
+# same B pays the coupon-collector probe job once, not per call
+_RELABEL_CACHE: dict[int, np.ndarray] = {}
+_RELABEL_CACHE_MAX = 8  # 64Ki-bucket table = 512 KB
+
+
 def hash_preimage_relabel(spark: SparkSession, num_buckets: int) -> np.ndarray:
     """relabel[j] = smallest int v with pmod(hash(v), B) == j, probed
     through Spark's own ``hash()`` expression so it matches
     ``HashPartitioning`` bit-for-bit.  Coupon-collector: ~B ln B probes;
-    runs as one single-partition job over a driver-sized range."""
+    runs as one single-partition job over a driver-sized range, memoized
+    per bucket count."""
+    cached = _RELABEL_CACHE.get(num_buckets)
+    if cached is not None:
+        return cached
     relabel = np.full(num_buckets, -1, dtype=np.int64)
     lo, found = 0, 0
     while found < num_buckets:
@@ -198,6 +212,9 @@ def hash_preimage_relabel(spark: SparkSession, num_buckets: int) -> np.ndarray:
         lo += chunk
         if lo > 1_000_000 * max(1, num_buckets // 256):  # pragma: no cover
             raise RuntimeError("hash preimage probe failed to converge")
+    if len(_RELABEL_CACHE) >= _RELABEL_CACHE_MAX:
+        _RELABEL_CACHE.pop(next(iter(_RELABEL_CACHE)))
+    _RELABEL_CACHE[num_buckets] = relabel
     return relabel
 
 
@@ -215,6 +232,8 @@ def repartition_by_boundaries(df: DataFrame, value_col: str,
     built with (auto-recomputed from the same min/max if omitted)."""
     b = np.asarray(boundaries, dtype=np.float64)
     num_buckets = int(b.shape[0]) + 1
+    if not 2 <= num_buckets <= MAX_BUCKETS:  # fail before the probe job
+        raise ValueError(f"num_buckets must be in [2, {MAX_BUCKETS}]")
     relabel = hash_preimage_relabel(df.sparkSession, num_buckets)
     if _is_string(df, value_col):
         skip = (str_common_prefix_len(df, value_col) if str_skip is None
@@ -274,17 +293,40 @@ def balanced_sort(df: DataFrame, value_col: str, num_partitions: int,
 # truncated max to be incremented past the true max and a truncated min to
 # be a prefix (<= true min), so overlap tests stay conservative.
 
+def _part_files(path: str):
+    """(filesystem, [part files]) for a local dir or a remote URI (hdfs://,
+    s3a://, ...) via pyarrow.fs — raises up front for schemes pyarrow
+    cannot reach, so callers can fail BEFORE an expensive write."""
+    if "://" not in path or path.startswith("file://"):
+        import glob as _glob
+        local = path[7:] if path.startswith("file://") else path
+        return None, sorted(_glob.glob(os.path.join(local,
+                                                    "part-*.parquet")))
+    from pyarrow import fs as pafs
+
+    fs, base = pafs.FileSystem.from_uri(path)  # raises for unknown schemes
+    infos = fs.get_file_info(pafs.FileSelector(base, recursive=False))
+    names = sorted(i.path for i in infos if i.is_file
+                   and os.path.basename(i.path).startswith("part-")
+                   and i.path.endswith(".parquet"))
+    return fs, names
+
+
 def scan_footers(path: str, value_col: str) -> list[dict]:
     """Per-file [lo, hi] bounds + row counts for ``value_col`` from parquet
     footers only.  Files whose footer lacks stats get null bounds and are
-    never pruned."""
-    import glob as _glob
-
+    never pruned.  Works on local dirs and any pyarrow-reachable URI."""
     import pyarrow.parquet as pq
 
+    fs, files = _part_files(path)
     out = []
-    for f in sorted(_glob.glob(os.path.join(path, "part-*.parquet"))):
-        md = pq.ParquetFile(f).metadata
+    is_float = False
+    for f in files:
+        if fs is None:
+            md = pq.ParquetFile(f).metadata
+        else:
+            with fs.open_input_file(f) as fh:
+                md = pq.ParquetFile(fh).metadata
         # LEAF index, not the Arrow top-level field index: parquet flattens
         # nested columns into one leaf each, so any struct column BEFORE
         # value_col would shift the positions and silently read another
@@ -294,6 +336,7 @@ def scan_footers(path: str, value_col: str) -> list[dict]:
                    if md.schema.column(i).path == value_col), -1)
         if ci < 0:
             raise ValueError(f"column {value_col!r} not a leaf column of {f}")
+        is_float = md.schema.column(ci).physical_type in ("FLOAT", "DOUBLE")
         lo = hi = None
         for g in range(md.num_row_groups):
             st = md.row_group(g).column(ci).statistics
@@ -301,12 +344,21 @@ def scan_footers(path: str, value_col: str) -> list[dict]:
                 lo = hi = None
                 break
             mn, mx = st.min, st.max
+            if any(isinstance(x, float) and x != x for x in (mn, mx)):
+                # a NaN min/max (Spark's writer embeds NaN; the parquet
+                # spec leaves NaN stats undefined) does not order against
+                # anything — Python's `nan >= lo` is False, so a stats
+                # comparison would wrongly prune the file for EVERY
+                # bound.  Treat the file as unbounded: never pruned.
+                lo = hi = None
+                break
             if isinstance(mn, bytes):
                 mn, mx = mn.decode("utf-8", "surrogateescape"), \
                     mx.decode("utf-8", "surrogateescape")
             lo = mn if lo is None else min(lo, mn)
             hi = mx if hi is None else max(hi, mx)
-        out.append({"file": f, "lo": lo, "hi": hi, "rows": md.num_rows})
+        out.append({"file": f, "lo": lo, "hi": hi, "rows": md.num_rows,
+                    "float": is_float})
     if not out:
         raise ValueError(f"no parquet part files under {path}")
     return out
@@ -320,6 +372,10 @@ def write_range_partitioned(df: DataFrame, value_col: str, path: str,
     """balanced_sort + write: ``num_files`` parquet files, file i sorted
     and covering a disjoint range below file i+1's.  Returns the footer
     manifest (pass it to ``read_range_pruned`` to skip the footer scan)."""
+    if "://" in path and not path.startswith("file://"):
+        from pyarrow import fs as pafs
+        pafs.FileSystem.from_uri(path)  # unreachable scheme? raise BEFORE
+        # the expensive sort+write, not at the footer scan after it
     out = balanced_sort(df, value_col, num_files, spec=spec, blob=blob,
                         sample_fraction=sample_fraction)
     out.write.mode(mode).parquet(path)
@@ -332,12 +388,42 @@ def read_range_pruned(spark: SparkSession, path: str, value_col: str,
     """Rows with ``lo <= value_col <= hi`` (either bound may be None),
     reading only the files whose footer range overlaps.  The residual
     filter still applies per row (file bounds are coarse), and NULL values
-    never match — WHERE semantics."""
+    never match — WHERE semantics.
+
+    NaN (float columns): Spark compares NaN GREATER than every double, so
+    NaN rows match whenever the upper bound is open — but parquet footer
+    stats exclude NaN, so stats alone cannot prove a file NaN-free.  The
+    writer in this module sorts NaN into the LAST file (``bucket_expr``
+    sends NaN to bucket B-1); pruning therefore always keeps the top file
+    of a float column when NaN rows could match.  For foreign layouts
+    that scatter NaN across files, pass every file's bounds as
+    ``lo=None`` (or filter unpruned) — footers cannot localize NaN."""
     manifest = manifest if manifest is not None else \
         scan_footers(path, value_col)
+
+    def _nan(x) -> bool:
+        return isinstance(x, float) and x != x
+
+    # pruning bounds may differ from the residual-filter bounds: NaN
+    # bounds don't order against footer stats (Spark: NaN > everything)
+    prune_lo, prune_hi = lo, hi
+    if _nan(hi):  # v <= NaN is true for every non-null v in Spark
+        prune_hi = None
+    nan_rows_match = prune_hi is None  # NaN >= lo always; NaN <= hi never
+    if _nan(lo):  # v >= NaN matches ONLY NaN rows
+        prune_lo = float("inf")  # just top-of-range + NaN-candidate files
     keep = [m["file"] for m in manifest
-            if (m["lo"] is None or hi is None or m["lo"] <= hi)
-            and (m["hi"] is None or lo is None or m["hi"] >= lo)]
+            if (m["lo"] is None or prune_hi is None or m["lo"] <= prune_hi)
+            and (m["hi"] is None or prune_lo is None
+                 or m["hi"] >= prune_lo)]
+    if nan_rows_match and any(m.get("float") for m in manifest):
+        # the file holding the greatest hi is where this module's writer
+        # places NaN rows; stats can't prove it NaN-free, so keep it
+        bounded = [m for m in manifest if m["hi"] is not None]
+        if bounded:
+            top = max(bounded, key=lambda m: m["hi"])["file"]
+            if top not in keep:
+                keep.append(top)
     if not keep:
         return (spark.read.parquet(manifest[0]["file"])
                 .filter(F.lit(False)))

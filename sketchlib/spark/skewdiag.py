@@ -130,8 +130,8 @@ class JoinAdvice:
         can be skewed without tripping this bound — run
         :func:`diagnose_skew` on it for the hot values and exact salt
         sizing when it matters)."""
-        small, big = sorted([("right", self.n_right), ("left", self.n_left)],
-                            key=lambda t: t[1])
+        small = min(("right", self.n_right), ("left", self.n_left),
+                    key=lambda t: t[1])
         if small[1] <= broadcast_rows:
             return f"broadcast_{small[0]}"
         out = "shuffle"

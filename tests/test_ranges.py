@@ -381,3 +381,56 @@ def test_scan_footers_with_nested_column_before_value(spark, tmp_path):
     assert all(a["hi"] < b["lo"] for a, b in zip(ms, ms[1:]))
     with pytest.raises(ValueError, match="not a leaf column"):
         scan_footers(path, "nope")
+
+
+def test_read_range_pruned_keeps_nan_rows(spark, tmp_path):
+    """Spark orders NaN greater than every double, so `v >= lo` matches
+    NaN rows — but parquet footer stats exclude NaN, so pure-stats pruning
+    would drop the file holding them (verified pre-fix: a lo above the
+    largest real value pruned every file and returned 0 rows while the
+    unpruned filter returned the NaN rows).  The writer sorts NaN into the
+    top file; pruning must keep it whenever the upper bound is open."""
+    from sketchlib.spark.ranges import read_range_pruned, write_range_partitioned
+
+    df = spark.range(4000).selectExpr(
+        "cast(id as double) as v").unionAll(
+        spark.sql("select cast('NaN' as double) v union all "
+                  "select cast('NaN' as double) v"))
+    path = str(tmp_path / "nan_rp")
+    manifest = write_range_partitioned(df, "v", path, 8)
+
+    # open upper bound above every real value: only the NaN rows match
+    got = read_range_pruned(spark, path, "v", lo=5000.0)
+    assert got.count() == 2
+    unpruned = spark.read.parquet(path).filter(F.col("v") >= 5000.0)
+    assert unpruned.count() == 2
+    # closed upper bound: NaN rows must NOT match, pruning still exact
+    mid = read_range_pruned(spark, path, "v", lo=100.0, hi=200.0,
+                            manifest=manifest)
+    assert mid.count() == 101
+
+
+def test_repartition_by_boundaries_enforces_bucket_cap(spark):
+    """A caller-supplied boundary list past MAX_BUCKETS must fail fast —
+    the WHEN tree and relabel array are plan literals."""
+    import pytest as _pytest
+
+    from sketchlib.spark.ranges import (MAX_BUCKETS, bucket_expr,
+                                        repartition_by_boundaries)
+
+    too_many = list(range(MAX_BUCKETS + 5))
+    with _pytest.raises(ValueError, match="MAX_BUCKETS|num_buckets"):
+        repartition_by_boundaries(spark.range(10), "id", too_many)
+    with _pytest.raises(ValueError, match="MAX_BUCKETS"):
+        bucket_expr("id", too_many)
+
+
+def test_hash_preimage_relabel_memoized(spark):
+    """The probe is a pure function of the bucket count; repeated calls
+    must reuse the table instead of re-running the probe job."""
+    from sketchlib.spark import ranges as R
+
+    R._RELABEL_CACHE.clear()
+    a = R.hash_preimage_relabel(spark, 64)
+    b = R.hash_preimage_relabel(spark, 64)
+    assert a is b  # same object -> served from the memo
