@@ -3665,15 +3665,18 @@ def _pipeline_oracles() -> dict[str, str]:
             "JOIN ct USING (doc_id) ORDER BY c.doc_id"
         ),
         "quality_classifier": (
-            # full RE-TRAIN: same tokenizer, unigram+bigram grams, md5
-            # 8-hex-prefix bucket fold mod 512 (engine-identical md5),
-            # Laplace-0.5 Naive Bayes log-odds over a range(512) bucket
-            # universe (unseen buckets carry the smoothed default),
-            # glibc-ln milli-nat quantization, prior over doc counts
+            # full RE-TRAIN: same tokenizer (explicit ASCII class ==
+            # Java \s — RE2's \s lacks \x0B, the c4.py pitfall),
+            # unigram+bigram grams, md5 8-hex-prefix bucket fold mod 512
+            # (engine-identical md5), Laplace-0.5 Naive Bayes log-odds
+            # over a range(512) bucket universe (unseen buckets carry
+            # the smoothed default), half-away round = SQL round,
+            # prior over doc counts
             "WITH d AS (SELECT doc_id, text, (lang = 'en') AS pos "
             "FROM documents), "
             "toks AS (SELECT doc_id, pos, "
-            "regexp_split_to_array(lower(trim(text)), '\\s+') AS t "
+            "regexp_split_to_array(lower(trim(text)), "
+            "'[ \\t\\n\\x0B\\f\\r]+') AS t "
             "FROM d WHERE text IS NOT NULL), "
             "grams AS ("
             "SELECT doc_id, pos, unnest(t) AS g FROM toks "

@@ -25,25 +25,41 @@ Spark-first shape
     10)`` — ~2x the hash cost but **engine-reproducible**: any ANSI-SQL
     engine with ``md5`` can replay the exact bucket ids, which is how
     the driver gate's DuckDB oracle re-trains and re-scores the whole
-    model from scratch.
+    model from scratch.  (A replaying engine must split tokens on the
+    explicit ASCII class ``[ \\t\\n\\x0B\\f\\r]+`` — Java's ``\\s``
+    includes U+000B, RE2's does not; same pitfall note as
+    :mod:`sketchlib.text.c4`.)
 
-* **Fit** — ONE ``explode -> groupBy(bucket)`` shuffle producing at
-  most B rows (two int64 class-counts each, map-side combined), plus a
-  single-row prior aggregate; the collected counts quantize to integer
-  **milli-nats** with glibc ``ln`` on the driver (bit-reproducible
-  across engines, same contract as ``lmscore``/``dsir``).
-* **Score** — zero-shuffle ``mapInPandas``: only int64 bucket arrays
-  cross the Arrow boundary (``keep_text=False`` drops the text column
-  before the exchange); the kernel is ``np.take`` + a cumsum-diff
-  segmented sum.  The weight table broadcasts once per executor.
-* **Filter** — a plain JVM ``filter`` on the integer score, so
-  Catalyst can push it into downstream plans.
+* **Fit** — ONE job, ONE ``explode -> groupBy(bucket)`` shuffle: a
+  sentinel bucket ``-1`` prepended per document carries the doc-class
+  counts (the prior) through the same aggregation as the gram counts,
+  so the model's weights and prior always come from the same pass over
+  the input — consistent even when the input DataFrame is
+  non-deterministic (a ``.sample()``, a changing view).  Output is at
+  most B+1 rows (two int64 class-counts each, map-side combined); the
+  collected counts quantize to integer **milli-nats** on the driver
+  with half-away-from-zero rounding — the same tie rule as SQL
+  ``round`` — so a replaying engine reproduces the table exactly up to
+  sub-ulp ``log`` differences (the identical caveat
+  ``lmscore``/``dsir`` carry).
+* **Score** — zero-shuffle ``mapInPandas`` over the JVM-derived bucket
+  array: with ``keep_text=False`` the text column is dropped before
+  the Arrow exchange (``dsir_scores`` contract).  The kernel is
+  ``np.take`` + a cumsum-diff segmented sum; the weight table
+  broadcasts once per executor.  (Why not a scalar ``pandas_udf`` that
+  would keep even the passthrough columns JVM-side: see the
+  implementation note on :func:`quality_scores` — PySpark 4.1.2 has an
+  extraction bug for that shape.)
+* **Filter** — ``quality_filter`` filters on the scored column; the
+  score comes from a Python kernel so the filter cannot be pushed into
+  the scan, but the whole path is map-only (no shuffle at any corpus
+  size) and the result schema equals the input schema, so it composes
+  with the other corpus filters.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Iterator
 
 import numpy as np
 from pyspark.sql import Column, DataFrame
@@ -55,6 +71,14 @@ from .decontaminate import tokens_col
 MAX_BUCKETS = 5_000_000  # driver weight-table sanity bound (40 MB int64)
 
 _HASHES = ("xxh64", "md5")
+
+
+def _round_half_away(x) -> np.ndarray:
+    """Round half away from zero — the SQL ``round`` tie rule, unlike
+    ``np.round``'s half-to-even — so the quantized milli-nat tables an
+    oracle engine re-derives agree on exact .5 boundaries too."""
+    x = np.asarray(x, dtype=np.float64)
+    return np.trunc(x + np.copysign(0.5, x)).astype(np.int64)
 
 
 def _check(buckets: int, bucket_hash: str) -> None:
@@ -162,8 +186,12 @@ def fit_quality_classifier(df: DataFrame, label_col: str,
     denominators cancel).  Rows with a null label are ignored; rows
     with null text count toward the prior but contribute no grams.
 
-    Cost: one B-row-bounded shuffle + one scalar aggregate, then a
-    <= B-row collect — corpus-size-independent driver memory.
+    Cost: ONE job — a sentinel bucket ``-1`` per document rides the
+    same explode/groupBy as the grams, so the doc-class counts (prior)
+    and the gram counts come from the same pass over the input (a
+    second action over a non-deterministic input would sample a
+    different population) — one B+1-row-bounded shuffle, then a
+    <= B+1-row collect: corpus-size-independent driver memory.
     """
     _check(buckets, bucket_hash)
     if not 0 < alpha:
@@ -171,7 +199,9 @@ def fit_quality_classifier(df: DataFrame, label_col: str,
     lbl = F.col(label_col).cast("boolean")
     labeled = df.filter(lbl.isNotNull()).select(
         lbl.alias("__pos"),
-        quality_features(F.col(text_col), buckets, bucket_hash)
+        F.concat(
+            F.array(F.lit(-1).cast("long")),
+            quality_features(F.col(text_col), buckets, bucket_hash))
         .alias("__f"))
 
     counts = (labeled
@@ -182,28 +212,26 @@ def fit_quality_classifier(df: DataFrame, label_col: str,
                    F.sum(F.when(F.col("__pos"), 0).otherwise(1))
                    .alias("cn"))
               .collect())
-    prior_row = labeled.agg(
-        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("dp"),
-        F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("dn")
-    ).collect()[0]
-    dp = int(prior_row["dp"] or 0)
-    dn = int(prior_row["dn"] or 0)
+    dp = dn = 0
+    cp = np.zeros(buckets, dtype=np.float64)
+    cn = np.zeros(buckets, dtype=np.float64)
+    for r in counts:
+        if r["b"] == -1:
+            dp, dn = int(r["cp"]), int(r["cn"])
+        else:
+            cp[r["b"]] = r["cp"]
+            cn[r["b"]] = r["cn"]
     if dp == 0 or dn == 0:
         raise ValueError(
             f"need both classes to fit: got {dp} positive / {dn} "
             "negative labeled docs")
 
-    cp = np.zeros(buckets, dtype=np.float64)
-    cn = np.zeros(buckets, dtype=np.float64)
-    for r in counts:
-        cp[r["b"]] = r["cp"]
-        cn[r["b"]] = r["cn"]
     tp, tn, v = cp.sum(), cn.sum(), float(buckets)
-    w = np.round(1000.0 * (np.log((cp + alpha) / (tp + alpha * v))
-                           - np.log((cn + alpha) / (tn + alpha * v)))
-                 ).astype(np.int64)
-    prior = int(np.round(1000.0 * (np.log(dp + alpha)
-                                   - np.log(dn + alpha))))
+    w = _round_half_away(1000.0 * (
+        np.log((cp + alpha) / (tp + alpha * v))
+        - np.log((cn + alpha) / (tn + alpha * v))))
+    prior = int(_round_half_away(1000.0 * (np.log(dp + alpha)
+                                           - np.log(dn + alpha))))
     return QualityModel(buckets, bucket_hash, w, prior, alpha)
 
 
@@ -211,11 +239,24 @@ def quality_scores(df: DataFrame, model: QualityModel,
                    text_col: str = "text",
                    keep_text: bool = True) -> DataFrame:
     """Append ``n_feats`` and ``score_milli`` per document.  Map-only:
-    bucket ids are derived JVM-side and with ``keep_text=False`` the
-    text never crosses the Arrow boundary; the weight table broadcasts
-    once and the kernel is a vectorized gather + segmented sum."""
-    import pandas as pd
+    bucket ids are derived JVM-side, and with ``keep_text=False`` the
+    text column is dropped BEFORE the Arrow exchange so only the
+    feature arrays (plus the narrow passthrough columns) cross into
+    Python — the same contract as :func:`sketchlib.text.dsir.
+    dsir_scores`.  The weight table broadcasts once per executor; the
+    kernel is a vectorized gather + segmented sum.
 
+    Implementation note: a scalar struct-returning ``pandas_udf`` over
+    the feature expression would be even narrower (no passthrough
+    columns through Arrow at all), but PySpark 4.1.2 fails to extract
+    that UDF into an ``ArrowEvalPython`` node for any DataFrame other
+    than the session's first local relation when the input is this
+    module's feature expression (``[INTERNAL_ERROR] Cannot evaluate
+    expression: score_of(...)`` at task time — reproduced across UDF
+    objects, closures, and both hash kernels), so this uses the
+    repo-proven ``mapInPandas`` shape instead;
+    ``tests/test_classifier.py::test_scores_across_fresh_dataframes``
+    pins the multi-DataFrame session shape that exposed it."""
     added = ("n_feats", "score_milli")
     clash = [c for c in added if c in df.columns]
     if clash:
@@ -231,7 +272,7 @@ def quality_scores(df: DataFrame, model: QualityModel,
     spark = df.sparkSession
     table_bc = spark.sparkContext.broadcast((model.w, model.prior_milli))
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kernel(batches):
         w, prior = table_bc.value
         for pdf in batches:
             feats = pdf[fcol]
@@ -247,10 +288,9 @@ def quality_scores(df: DataFrame, model: QualityModel,
             flat = (np.concatenate(
                 [np.asarray(f, dtype=np.int64) for f in feats])
                 if lens.sum() else np.array([], dtype=np.int64))
-            wv = w[flat]
             ends = np.cumsum(lens)
             starts = ends - lens
-            cs = np.concatenate([[0], np.cumsum(wv)])
+            cs = np.concatenate([[0], np.cumsum(w[flat])])
             yield out.assign(
                 n_feats=lens,
                 score_milli=prior + (cs[ends] - cs[starts]))
@@ -267,8 +307,14 @@ def quality_filter(df: DataFrame, model: QualityModel,
                    text_col: str = "text",
                    threshold_milli: int = 0) -> DataFrame:
     """Keep documents scoring above ``threshold_milli``.  The score
-    column is dropped on the way out, so the result schema equals the
-    input schema (composable with the other corpus filters)."""
+    columns are dropped on the way out, so the result schema equals
+    the input schema (composable with the other corpus filters).
+    Map-only at any corpus size; the rows do round-trip the Arrow
+    boundary once (the :func:`quality_scores` mapInPandas pass — see
+    its implementation note for why), which is still the right 100 TB
+    shape: the alternative of scoring a narrow (id, text) projection
+    and semi-joining back would trade the Arrow round-trip for a
+    full-corpus shuffle."""
     scored = quality_scores(df, model, text_col=text_col)
     return (scored.filter(F.col("score_milli") > threshold_milli)
             .drop("n_feats", "score_milli"))

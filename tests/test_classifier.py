@@ -2,7 +2,7 @@
 Python-reference parity, md5-mode DuckDB SQL replay (the gate's oracle
 mechanism), and the scale/API contracts."""
 
-import math
+import re
 
 import numpy as np
 import pytest
@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from sketchlib.text.classifier import (
     QualityModel,
+    _round_half_away,
     fit_quality_classifier,
     quality_features,
     quality_filter,
@@ -25,6 +26,11 @@ DOCS = [
     (5, "market prices fell", False),
     (6, None, True),                       # null text -> prior only
     (7, "the cat likes the mat", None),    # null label -> not trained
+    (8, "quick\x0bbrown fox", False),      # \x0B: Java \s splits, RE2 \s
+                                           # does not -> explicit class
+    (9, "", True),                         # empty text -> one '' unigram
+    (10, "\tindented text", False),        # trim strips SPACES only ->
+                                           # leading '' token survives
 ]
 B = 64
 
@@ -36,12 +42,14 @@ def docs_df(spark):
 
 
 def _py_buckets(text, buckets):
-    """md5-mode reference: same tokenizer, same md5-prefix bucket."""
+    """md5-mode reference: same tokenizer (Spark trim strips SPACES
+    only; Java \\s == the explicit ASCII class; split keeps empty
+    tokens), same md5-prefix bucket."""
     import hashlib
 
     if text is None:
         return []
-    t = text.strip().lower().split()
+    t = re.split(r"[ \t\n\x0b\f\r]+", text.strip(" ").lower())
     grams = list(t)
     grams += [" ".join(t[i:i + 2]) for i in range(len(t) - 1)]
     return [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % buckets
@@ -65,11 +73,10 @@ def _py_model(buckets, alpha=0.5):
             else:
                 cn[b] += 1
     tp, tn, v = cp.sum(), cn.sum(), float(buckets)
-    w = np.round(1000.0 * (np.log((cp + alpha) / (tp + alpha * v))
-                           - np.log((cn + alpha) / (tn + alpha * v)))
-                 ).astype(np.int64)
-    prior = int(np.round(1000.0 * (math.log(dp + alpha)
-                                   - math.log(dn + alpha))))
+    w = _round_half_away(1000.0 * (np.log((cp + alpha) / (tp + alpha * v))
+                                   - np.log((cn + alpha) / (tn + alpha * v))))
+    prior = int(_round_half_away(1000.0 * (np.log(dp + alpha)
+                                           - np.log(dn + alpha))))
     return w, prior
 
 
@@ -105,7 +112,7 @@ def test_duckdb_sql_replay_md5_mode(spark, docs_df):
         WITH d AS (SELECT doc_id, text, label AS pos FROM documents
                    WHERE label IS NOT NULL),
         toks AS (SELECT doc_id, pos,
-                        regexp_split_to_array(lower(trim(text)), '\\s+')
+                        regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')
                         AS t FROM d WHERE text IS NOT NULL),
         grams AS (
           SELECT doc_id, pos, unnest(t) AS g FROM toks
@@ -141,7 +148,8 @@ def test_duckdb_sql_replay_md5_mode(spark, docs_df):
                      FROM (SELECT doc_id, t FROM (
                            SELECT doc_id,
                                   regexp_split_to_array(
-                                      lower(trim(text)), '\\s+') AS t
+                                      lower(trim(text)),
+                                      '[ \\t\\n\\x0B\\f\\r]+') AS t
                            FROM documents WHERE text IS NOT NULL)),
                           LATERAL (
                             SELECT unnest(t) AS g
@@ -205,6 +213,30 @@ def test_keep_text_false_drops_text(spark, docs_df):
     out = quality_scores(docs_df, model, keep_text=False)
     assert "text" not in out.columns
     assert out.count() == len(DOCS)
+
+
+def test_scores_across_fresh_dataframes(spark):
+    """Regression pin: scoring MULTIPLE independently-created
+    DataFrames in one session.  A scalar struct pandas_udf formulation
+    of quality_scores hits a PySpark 4.1.2 ExtractPythonUDFs bug here
+    (every DataFrame after the session's first local relation fails
+    with [INTERNAL_ERROR] Cannot evaluate expression) — the shipped
+    mapInPandas shape must keep working for all of them."""
+    rows = [(0, "the cat sat", True), (1, None, True), (2, "b", False)]
+    schema = "doc_id long, text string, label boolean"
+    df1 = spark.createDataFrame(rows, schema)
+    model = fit_quality_classifier(df1, "label", buckets=B,
+                                   bucket_hash="md5")
+    first = {r.doc_id: r.score_milli
+             for r in quality_scores(df1, model).collect()}
+    for _ in range(2):
+        dfn = spark.createDataFrame(rows, schema)
+        refit = fit_quality_classifier(dfn, "label", buckets=B,
+                                       bucket_hash="md5")
+        assert np.array_equal(refit.w, model.w)
+        got = {r.doc_id: r.score_milli
+               for r in quality_scores(dfn, refit).collect()}
+        assert got == first
 
 
 def test_validation_errors(spark, docs_df):
