@@ -151,6 +151,20 @@ def main() -> int:
         spark.catalog.clearCache()
         return n
 
+    def q_quality_classifier():
+        # fastText-style hashed-ngram quality filter at scale: fit the
+        # 4096-bucket Naive Bayes table over the whole corpus (ONE
+        # B-bounded shuffle; lang=='en' as the deterministic label),
+        # then score + threshold-filter every document (zero-shuffle
+        # mapInPandas, text dropped before the Arrow exchange)
+        from sketchlib.text.classifier import (fit_quality_classifier,
+                                               quality_scores)
+        labeled = df.select("text", (F.col("lang") == "en").alias("label"))
+        model = fit_quality_classifier(labeled, "label", buckets=4096)
+        return (quality_scores(df.select("url", "text"), model,
+                               keep_text=False)
+                .filter("score_milli > 0").count())
+
     def q_bpe_tokenize():
         # tokenizer throughput at scale: train 256 merges (one map-side-
         # combined word-count shuffle + driver merge loop), then encode
@@ -178,6 +192,7 @@ def main() -> int:
         "lm_train50k_and_score": q_lm_score,
         "boilerplate_removal_1k": q_boilerplate,
         "bpe_train256_encode_all": q_bpe_tokenize,
+        "quality_classifier_fit_and_filter": q_quality_classifier,
         "corpus_clean_e2e_scrub": q_corpus_clean_e2e,
     }
     if args.only:

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .aggregate import _group_field, hash_series
+from .blobcache import col_type as _col_type
 from .specs import CmsSpec
 
 
@@ -108,7 +109,7 @@ def heavy_hitters_partials(df: DataFrame, value_col: str,
 
     part_schema = T.StructType(
         [_group_field(df, g) for g in group_cols]
-        + [T.StructField("value", df.schema[value_col].dataType, True),
+        + [T.StructField("value", _col_type(df, value_col), True),
            T.StructField("local_count", T.LongType(), True),
            T.StructField("cms", T.BinaryType(), True)]
     )
@@ -268,13 +269,15 @@ def estimate_counts(df: DataFrame, value_col: str, cms_blob: bytes,
     The blob ships via ``sc.broadcast`` (torrent distribution, one copy per
     executor) rather than the UDF closure — a right-sized 100 TB CMS/Bloom
     can be GBs, and closures re-ship per task."""
-    from .blobcache import get_or_load, new_token
-    from .membership import _broadcast_blob, _zero_lit
+    from .blobcache import (blob_digest, blob_token, broadcast_blob,
+                            col_type, get_or_load, zero_lit)
 
     spec = spec or CmsSpec()
     sc = df.sparkSession.sparkContext
-    blob_bc = _broadcast_blob(sc, cms_blob)  # reused across calls per blob
-    token = new_token()
+    blob_bc = broadcast_blob(sc, cms_blob)  # reused across calls per blob
+    # content-derived: repeated estimate_counts calls over the same
+    # (blob, spec) share one per-worker deserialization
+    token = blob_token(blob_digest(cms_blob), spec)
 
     @F.pandas_udf(T.LongType())
     def _est(values: pd.Series) -> pd.Series:
@@ -291,6 +294,6 @@ def estimate_counts(df: DataFrame, value_col: str, cms_blob: bytes,
     # coalesce JVM-side — where the type is known — and mask to 0 (a null
     # key was never counted by the build side)
     col = F.col(value_col)
-    safe = F.coalesce(col, _zero_lit(df.schema[value_col].dataType))
+    safe = F.coalesce(col, zero_lit(col_type(df, value_col)))
     return df.withColumn(
         est_name, F.when(col.isNotNull(), _est(safe)).otherwise(F.lit(0)))

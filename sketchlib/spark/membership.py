@@ -18,7 +18,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .aggregate import hash_columns, sketch_agg
+# broadcast reuse, worker dedup cache, and typed null fillers are shared
+# probe infrastructure (heavy_hitters uses them too) — see blobcache
+from .blobcache import blob_digest, blob_token, broadcast_blob, col_type
+from .blobcache import get_or_load, zero_lit
 from .specs import BloomSpec, CuckooSpec
+
+# compatibility aliases for the old private names
+_broadcast_blob = broadcast_blob
+_zero_lit = zero_lit
 
 
 def bloom_build(df: DataFrame, element_cols, group_cols: Sequence[str] = (),
@@ -121,36 +129,6 @@ def cuckoo_delete_bytes(blob: bytes, df: DataFrame, cols,
     return cf.to_bytes()
 
 
-# driver-side broadcast reuse: one sc.broadcast per distinct blob, not one
-# per might_contain_udf/estimate-style call — a long-lived session probing
-# one filter against many shards would otherwise accumulate executor-side
-# blob copies for its whole lifetime.  Evicted entries are unpersist()ed
-# (executors drop their copies; an old plan that still references the
-# handle re-fetches from the driver on use, so eviction is safe).
-_BC_MAX = 8
-_BC_CACHE: dict = {}  # (sc id, blob digest) -> Broadcast, insertion-ordered
-
-
-def _broadcast_blob(sc, blob: bytes):
-    import hashlib
-
-    # applicationId, not id(sc): CPython reuses object ids, so a restarted
-    # context could otherwise be served a dead broadcast from its
-    # predecessor (bit us in cross-test isolation)
-    key = (sc.applicationId,
-           hashlib.blake2b(blob, digest_size=16).digest())
-    bc = _BC_CACHE.get(key)
-    if bc is None:
-        bc = _BC_CACHE[key] = sc.broadcast(blob)
-        while len(_BC_CACHE) > _BC_MAX:
-            old = _BC_CACHE.pop(next(iter(_BC_CACHE)))
-            try:
-                old.unpersist()
-            except Exception:  # sc already stopped — nothing to free
-                pass
-    return bc
-
-
 def might_contain_udf(blob: bytes, cols: Sequence[str] | str,
                       spec: BloomSpec | None = None) -> Column:
     """Boolean column: True = possibly in the filter, False = definitely not.
@@ -162,13 +140,18 @@ def might_contain_udf(blob: bytes, cols: Sequence[str] | str,
     GBs, and closures re-serialize per task.
 
     Dtype caveat for this raw-column form: Arrow→pandas conversion of a
-    null-BEARING integer batch degrades the whole batch to float64, which
-    is exact only to 2^53 — full-range int64 keys (e.g. xxhash64
-    fingerprints) that share a batch with a null would mis-hash.  The
-    frame-level :func:`filter_might_contain` / :func:`probe_might_contain`
-    coalesce nulls JVM-side (where column types are known), so no null
-    ever reaches pandas and every dtype stays exact — prefer them for
-    null-bearing key columns."""
+    null-BEARING integer batch degrades the WHOLE batch to float64, and
+    the hash encoding follows the pandas dtype — so every non-null
+    integer key sharing a batch with a null mis-hashes (IEEE-bits
+    encoding vs the build side's integer-bytes encoding) and probes as a
+    false negative, small values included.  The in-UDF guard below masks
+    the null ROWS correctly but cannot restore the batch's dtype (a
+    float64 batch is indistinguishable from a genuine double column
+    here).  The frame-level :func:`filter_might_contain` /
+    :func:`probe_might_contain` coalesce nulls JVM-side (where column
+    types are known), so no null ever reaches pandas and every dtype
+    stays exact — ALWAYS prefer them for possibly-null integer keys;
+    this raw form is only null-safe for string/binary/float keys."""
     if isinstance(cols, str):
         cols = [cols]
     return _might_contain_expr(blob, list(cols), spec or BloomSpec(),
@@ -183,11 +166,9 @@ def _might_contain_expr(blob: bytes, cols: list, spec, col_exprs: list,
     membership verdict for the masked rows (False)."""
     from pyspark.sql import SparkSession
 
-    from .blobcache import get_or_load, new_token
-
     session = SparkSession.getActiveSession()
     if session is not None:
-        blob_ref = _broadcast_blob(session.sparkContext, blob)
+        blob_ref = broadcast_blob(session.sparkContext, blob)
 
         def load():  # captures only the broadcast handle, not the blob
             return blob_ref.value
@@ -195,7 +176,11 @@ def _might_contain_expr(blob: bytes, cols: list, spec, col_exprs: list,
         def load():
             return blob
 
-    token = new_token()  # per-worker cache key (module dict, not closure)
+    # content-derived worker-cache key: repeated probe calls over the same
+    # (blob, spec) share ONE per-worker deserialization — a per-call UUID
+    # token would re-parse the (GBs at 100 TB) blob once per call and
+    # thrash the capped worker LRU when several probe UDFs are live
+    token = blob_token(blob_digest(blob), spec)
     guard_nulls = valid is None
 
     @F.pandas_udf(T.BooleanType())
@@ -220,26 +205,6 @@ def _might_contain_expr(blob: bytes, cols: list, spec, col_exprs: list,
     return probe if valid is None else (valid & probe)
 
 
-def _zero_lit(dt) -> Column:
-    """A non-null literal of the column's exact type (coalesce filler for
-    rows whose result is masked out anyway)."""
-    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-                       T.FloatType, T.DoubleType, T.DecimalType)):
-        return F.lit(0).cast(dt)
-    if isinstance(dt, T.StringType):
-        return F.lit("")
-    if isinstance(dt, T.BinaryType):
-        return F.lit(b"")
-    if isinstance(dt, T.BooleanType):
-        return F.lit(False)
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-        return F.timestamp_seconds(F.lit(0)).cast(dt)
-    if isinstance(dt, T.DateType):
-        return F.date_from_unix_date(F.lit(0))
-    raise TypeError(f"unsupported membership key type {dt}; drop nulls or "
-                    "cast the column first")
-
-
 def probe_might_contain(df: DataFrame, cols, blob: bytes,
                         spec: BloomSpec | None = None) -> Column:
     """Null-exact membership column for ``df``'s key columns: nulls are
@@ -253,7 +218,7 @@ def probe_might_contain(df: DataFrame, cols, blob: bytes,
     safe = []
     for c in cols:
         valid = valid & F.col(c).isNotNull()
-        safe.append(F.coalesce(F.col(c), _zero_lit(df.schema[c].dataType)))
+        safe.append(F.coalesce(F.col(c), zero_lit(col_type(df, c))))
     return _might_contain_expr(blob, cols, spec or BloomSpec(), safe, valid)
 
 

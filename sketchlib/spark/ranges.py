@@ -214,6 +214,10 @@ def hash_preimage_relabel(spark: SparkSession, num_buckets: int) -> np.ndarray:
             raise RuntimeError("hash preimage probe failed to converge")
     if len(_RELABEL_CACHE) >= _RELABEL_CACHE_MAX:
         _RELABEL_CACHE.pop(next(iter(_RELABEL_CACHE)))
+    # freeze: the memo hands out the SAME array object on every call, so a
+    # caller mutating it (sorting, reusing as scratch) would silently
+    # poison every later repartition at this bucket count
+    relabel.flags.writeable = False
     _RELABEL_CACHE[num_buckets] = relabel
     return relabel
 
@@ -293,23 +297,59 @@ def balanced_sort(df: DataFrame, value_col: str, num_partitions: int,
 # truncated max to be incremented past the true max and a truncated min to
 # be a prefix (<= true min), so overlap tests stay conservative.
 
+def _pyarrow_uri(path: str) -> str:
+    """Translate Hadoop-connector scheme spellings pyarrow does not know
+    (s3a://, s3n://) to the pyarrow-native s3:// before FileSystem.from_uri
+    — Spark writes s3a:// fine, and the guard/scan must not reject it."""
+    for alias in ("s3a://", "s3n://"):
+        if path.startswith(alias):
+            return "s3://" + path[len(alias):]
+    return path
+
+
 def _part_files(path: str):
-    """(filesystem, [part files]) for a local dir or a remote URI (hdfs://,
-    s3a://, ...) via pyarrow.fs — raises up front for schemes pyarrow
-    cannot reach, so callers can fail BEFORE an expensive write."""
-    if "://" not in path or path.startswith("file://"):
+    """(filesystem, [(arrow_path, spark_uri)]) for a local dir or a remote
+    URI (hdfs://, s3a://, ...) via pyarrow.fs — raises up front for schemes
+    pyarrow cannot reach, so callers can fail BEFORE an expensive write.
+
+    ``arrow_path`` is the filesystem-native path pyarrow opens;
+    ``spark_uri`` is the full URI ``spark.read.parquet`` resolves (pyarrow
+    FileInfo.path is scheme-stripped — 's3://b/d/f' lists as 'b/d/f' — so
+    handing it to Spark would resolve against the DEFAULT filesystem and
+    read the wrong place or nothing)."""
+    if "://" not in path or path.startswith("file:"):
         import glob as _glob
-        local = path[7:] if path.startswith("file://") else path
-        return None, sorted(_glob.glob(os.path.join(local,
-                                                    "part-*.parquet")))
+        local = path
+        if local.startswith("file:"):
+            # Hadoop emits both file:///x and the single-slash file:/x
+            local = local[5:]
+            if local.startswith("//"):
+                local = local[2:]
+            if not local.startswith("/"):  # pragma: no cover
+                local = "/" + local
+        files = sorted(_glob.glob(os.path.join(local, "part-*.parquet")))
+        return None, [(f, f) for f in files]
     from pyarrow import fs as pafs
 
-    fs, base = pafs.FileSystem.from_uri(path)  # raises for unknown schemes
+    # raises for schemes pyarrow cannot reach
+    fs, base = pafs.FileSystem.from_uri(_pyarrow_uri(path))
     infos = fs.get_file_info(pafs.FileSelector(base, recursive=False))
-    names = sorted(i.path for i in infos if i.is_file
-                   and os.path.basename(i.path).startswith("part-")
-                   and i.path.endswith(".parquet"))
-    return fs, names
+    arrow_paths = sorted(i.path for i in infos if i.is_file
+                         and os.path.basename(i.path).startswith("part-")
+                         and i.path.endswith(".parquet"))
+    # rebuild Spark-readable URIs in the CALLER's scheme spelling: for
+    # path-based filesystems (hdfs://host:port/dir) the listed path keeps
+    # the leading '/' and drops the authority; for bucket-based ones
+    # (s3://bucket/dir) the bucket is the first path segment
+    scheme, rest = path.split("://", 1)
+    authority = rest.split("/", 1)[0]
+    pairs = []
+    for p in arrow_paths:
+        if p.startswith("/"):
+            pairs.append((p, f"{scheme}://{authority}{p}"))
+        else:
+            pairs.append((p, f"{scheme}://{p}"))
+    return fs, pairs
 
 
 def scan_footers(path: str, value_col: str) -> list[dict]:
@@ -321,11 +361,11 @@ def scan_footers(path: str, value_col: str) -> list[dict]:
     fs, files = _part_files(path)
     out = []
     is_float = False
-    for f in files:
+    for arrow_path, f in files:
         if fs is None:
-            md = pq.ParquetFile(f).metadata
+            md = pq.ParquetFile(arrow_path).metadata
         else:
-            with fs.open_input_file(f) as fh:
+            with fs.open_input_file(arrow_path) as fh:
                 md = pq.ParquetFile(fh).metadata
         # LEAF index, not the Arrow top-level field index: parquet flattens
         # nested columns into one leaf each, so any struct column BEFORE
@@ -372,10 +412,12 @@ def write_range_partitioned(df: DataFrame, value_col: str, path: str,
     """balanced_sort + write: ``num_files`` parquet files, file i sorted
     and covering a disjoint range below file i+1's.  Returns the footer
     manifest (pass it to ``read_range_pruned`` to skip the footer scan)."""
-    if "://" in path and not path.startswith("file://"):
+    if "://" in path and not path.startswith("file:"):
         from pyarrow import fs as pafs
-        pafs.FileSystem.from_uri(path)  # unreachable scheme? raise BEFORE
-        # the expensive sort+write, not at the footer scan after it
+        # unreachable scheme? raise BEFORE the expensive sort+write, not
+        # at the footer scan after it (s3a/s3n spellings translated —
+        # Spark accepts them even though pyarrow does not)
+        pafs.FileSystem.from_uri(_pyarrow_uri(path))
     out = balanced_sort(df, value_col, num_files, spec=spec, blob=blob,
                         sample_fraction=sample_fraction)
     out.write.mode(mode).parquet(path)

@@ -308,3 +308,65 @@ class TestNullKeyProbes:
         # CMS never undercounts: every real key >= 1 even sharing a
         # batch with the null row
         assert all(r["est_count"] >= 1 for r in rows if r["k"] is not None)
+
+
+class TestBlobcacheSharedInfra:
+    def test_blob_token_content_derived(self):
+        """Repeated probe-UDF constructions over the same (blob, spec)
+        must share one worker-cache token (a per-call UUID would re-parse
+        a GB blob per call and thrash the capped worker LRU)."""
+        from sketchlib.spark.blobcache import blob_digest, blob_token
+        from sketchlib.spark.specs import BloomSpec, CmsSpec
+
+        b = b"\x01" * 64
+        t1 = blob_token(blob_digest(b), BloomSpec())
+        t2 = blob_token(blob_digest(b"\x01" * 64), BloomSpec())
+        assert t1 == t2
+        assert blob_token(blob_digest(b"\x02" * 64), BloomSpec()) != t1
+        assert blob_token(blob_digest(b), CmsSpec()) != t1
+
+    def test_worker_cache_loads_once_per_token(self):
+        from sketchlib.spark import blobcache as BC
+
+        BC._CACHE.clear()
+        loads = []
+        for _ in range(3):
+            BC.get_or_load("tok-x", lambda: loads.append(1) or object())
+        assert len(loads) == 1
+
+    def test_broadcast_cache_lru_keeps_hot_entry(self, spark):
+        """A hit must refresh recency: one hot blob probed between many
+        one-off blobs stays broadcast while the cold ones rotate out."""
+        from sketchlib.spark import blobcache as BC
+
+        BC._BC_CACHE.clear()
+        sc = spark.sparkContext
+        hot = b"hot" * 40
+        hot_bc = BC.broadcast_blob(sc, hot)
+        for i in range(BC._BC_MAX + 3):
+            BC.broadcast_blob(sc, b"cold%d" % i * 20)
+            assert BC.broadcast_blob(sc, hot) is hot_bc
+
+    def test_probe_and_estimate_accept_nested_columns(self, spark):
+        """filter/probe_might_contain and estimate_counts must resolve
+        nested field references the way F.col does (df.schema[c] only
+        accepts top-level names)."""
+        from pyspark.sql import functions as F
+
+        from sketchlib.spark.aggregate import sketch_agg
+        from sketchlib.spark.heavy_hitters import estimate_counts
+        from sketchlib.spark.membership import bloom_build_bytes, filter_might_contain
+        from sketchlib.spark.specs import CmsSpec
+
+        df = spark.createDataFrame(
+            [((i % 5, f"k{i % 5}"),) for i in range(50)],
+            "meta struct<id:long, key:string>")
+        blob = bloom_build_bytes(df.select(F.col("meta.key").alias("k")),
+                                 "k")
+        kept = filter_might_contain(df, "meta.key", blob)
+        assert kept.count() == 50
+        spec = CmsSpec()
+        [row] = sketch_agg(df.select(F.col("meta.id").alias("v")), "v",
+                           (), spec).collect()
+        est = estimate_counts(df, "meta.id", bytes(row["sketch"]), spec)
+        assert est.filter("est_count >= 10").count() == 50

@@ -434,3 +434,64 @@ def test_hash_preimage_relabel_memoized(spark):
     a = R.hash_preimage_relabel(spark, 64)
     b = R.hash_preimage_relabel(spark, 64)
     assert a is b  # same object -> served from the memo
+
+
+def test_hash_preimage_relabel_cache_is_frozen(spark):
+    """The memo hands out the same array object; a caller mutating it
+    would poison every later repartition at that bucket count — the
+    cached array must be read-only."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sketchlib.spark import ranges as R
+
+    R._RELABEL_CACHE.clear()
+    a = R.hash_preimage_relabel(spark, 32)
+    with _pytest.raises(ValueError):
+        a[0] = 999
+    b = R.hash_preimage_relabel(spark, 32)
+    assert np.array_equal(a, b)
+
+
+def test_part_files_single_slash_file_uri(spark, tmp_path):
+    """Hadoop emits both file:///x and the single-slash file:/x; the
+    footer scan must resolve both to the local directory instead of
+    globbing a literal 'file:/x' relative path (which finds nothing and
+    fails AFTER the expensive write)."""
+    from sketchlib.spark.ranges import scan_footers, write_range_partitioned
+
+    df = spark.range(1000).selectExpr("cast(id as double) as v")
+    path = str(tmp_path / "uri_rp")
+    write_range_partitioned(df, "v", path, 4)
+
+    for spelling in (f"file://{path}", f"file:/{path.lstrip('/')}"):
+        manifest = scan_footers(spelling, "v")
+        assert sum(m["rows"] for m in manifest) == 1000
+
+
+def test_pyarrow_uri_translates_hadoop_s3_spellings():
+    """Spark writes s3a:// / s3n:// fine; pyarrow's from_uri does not
+    know those spellings — the guard must translate, not reject."""
+    from sketchlib.spark.ranges import _pyarrow_uri
+
+    assert _pyarrow_uri("s3a://bucket/dir") == "s3://bucket/dir"
+    assert _pyarrow_uri("s3n://bucket/dir") == "s3://bucket/dir"
+    assert _pyarrow_uri("s3://bucket/dir") == "s3://bucket/dir"
+    assert _pyarrow_uri("hdfs://nn:8020/d") == "hdfs://nn:8020/d"
+    assert _pyarrow_uri("/local/dir") == "/local/dir"
+
+
+def test_manifest_spark_uris_readable(spark, tmp_path):
+    """Manifest 'file' entries must be paths spark.read.parquet resolves
+    — for a file:// input the scheme-stripped pyarrow listing and the
+    Spark path coincide; the read-back must work end-to-end."""
+    from sketchlib.spark.ranges import read_range_pruned, scan_footers, \
+        write_range_partitioned
+
+    df = spark.range(2000).selectExpr("cast(id as double) as v")
+    path = str(tmp_path / "mani_rp")
+    write_range_partitioned(df, "v", path, 4)
+    manifest = scan_footers(f"file://{path}", "v")
+    got = read_range_pruned(spark, path, "v", lo=100.0, hi=200.0,
+                            manifest=manifest)
+    assert got.count() == 101
