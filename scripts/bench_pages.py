@@ -155,8 +155,12 @@ def main() -> int:
         # fastText-style hashed-ngram quality filter at scale: fit the
         # 4096-bucket Naive Bayes table over the whole corpus (ONE
         # B-bounded shuffle; lang=='en' as the deterministic label),
-        # then score + threshold-filter every document (zero-shuffle
-        # mapInPandas, text dropped before the Arrow exchange)
+        # then score + threshold-filter every document (pure whole-
+        # stage-codegen gather at this B — nothing enters Python).
+        # The synthetic pages text is generated independent of lang, so
+        # the fitted model correctly predicts the majority class for
+        # nearly every doc (out_rows ~ a handful of noise outliers);
+        # the row measures train+score THROUGHPUT, not separability
         from sketchlib.text.classifier import (fit_quality_classifier,
                                                quality_scores)
         labeled = df.select("text", (F.col("lang") == "en").alias("label"))

@@ -217,11 +217,12 @@ def test_keep_text_false_drops_text(spark, docs_df):
 
 def test_scores_across_fresh_dataframes(spark):
     """Regression pin: scoring MULTIPLE independently-created
-    DataFrames in one session.  A scalar struct pandas_udf formulation
-    of quality_scores hits a PySpark 4.1.2 ExtractPythonUDFs bug here
-    (every DataFrame after the session's first local relation fails
-    with [INTERNAL_ERROR] Cannot evaluate expression) — the shipped
-    mapInPandas shape must keep working for all of them."""
+    DataFrames in one session, BOTH engines.  A scalar struct
+    pandas_udf formulation of quality_scores hits a PySpark 4.1.2
+    ExtractPythonUDFs bug here (every DataFrame after the session's
+    first local relation fails with [INTERNAL_ERROR] Cannot evaluate
+    expression) — the shipped engines must keep working for all of
+    them."""
     rows = [(0, "the cat sat", True), (1, None, True), (2, "b", False)]
     schema = "doc_id long, text string, label boolean"
     df1 = spark.createDataFrame(rows, schema)
@@ -229,14 +230,39 @@ def test_scores_across_fresh_dataframes(spark):
                                    bucket_hash="md5")
     first = {r.doc_id: r.score_milli
              for r in quality_scores(df1, model).collect()}
-    for _ in range(2):
-        dfn = spark.createDataFrame(rows, schema)
-        refit = fit_quality_classifier(dfn, "label", buckets=B,
-                                       bucket_hash="md5")
-        assert np.array_equal(refit.w, model.w)
-        got = {r.doc_id: r.score_milli
-               for r in quality_scores(dfn, refit).collect()}
-        assert got == first
+    for engine in ("jvm", "pandas"):
+        for _ in range(2):
+            dfn = spark.createDataFrame(rows, schema)
+            refit = fit_quality_classifier(dfn, "label", buckets=B,
+                                           bucket_hash="md5")
+            assert np.array_equal(refit.w, model.w)
+            got = {r.doc_id: r.score_milli
+                   for r in quality_scores(dfn, refit,
+                                           engine=engine).collect()}
+            assert got == first
+
+
+def test_engine_parity_and_schema(spark, docs_df):
+    """The codegen engine and the pandas kernel must agree value-for-
+    value and column-for-column on every doc (nulls, empties, \\x0B)."""
+    model = fit_quality_classifier(docs_df, "label", buckets=B,
+                                   bucket_hash="md5")
+    for keep_text in (True, False):
+        jvm = quality_scores(docs_df, model, keep_text=keep_text,
+                             engine="jvm")
+        pdk = quality_scores(docs_df, model, keep_text=keep_text,
+                             engine="pandas")
+        assert jvm.columns == pdk.columns
+        assert sorted(map(tuple, jvm.collect())) == \
+            sorted(map(tuple, pdk.collect()))
+    with pytest.raises(ValueError, match="engine"):
+        quality_scores(docs_df, model, engine="rust")
+    big = QualityModel(1 << 17, "xxh64",
+                       np.zeros(1 << 17, dtype=np.int64), 0, 0.5)
+    with pytest.raises(ValueError, match="buckets"):
+        quality_scores(docs_df, big, engine="jvm")
+    # auto beyond the literal bound must route to pandas, not raise
+    assert quality_scores(docs_df, big).count() == len(DOCS)
 
 
 def test_validation_errors(spark, docs_df):
