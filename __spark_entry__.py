@@ -2188,15 +2188,23 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_MODEL_CACHE: dict = {}  # (sf_dir, n_merges) -> BpeModel; the trainer
-# is deterministic over a fixed corpus, so both BPE gates share one
-# trained model instead of paying the word-count shuffle + merge loop twice
+# is deterministic over a fixed corpus, so the PACKING gate reuses the
+# model the tokenize gate trained instead of paying the word-count
+# shuffle + merge loop twice
 
 
-def _trained_bpe(spark: SparkSession, sf_dir: str, n_merges: int):
+def _trained_bpe(spark: SparkSession, sf_dir: str, n_merges: int,
+                 retrain: bool = False):
+    """``retrain=True`` (the tokenize gate) always runs the trainer, so a
+    bench harness timing that gate min-of-N measures TRAIN+encode on
+    every rep — a memo hit on rep 2 would otherwise record encode-only
+    wall and hide train_bpe regressions from the drift alarm.  The
+    packing gate passes ``retrain=False`` and reuses the shared model
+    (its budget is pinned as encode+pack)."""
     from sketchlib.text.bpe import train_bpe
 
     key = (sf_dir, n_merges)
-    if key not in _BPE_MODEL_CACHE:
+    if retrain or key not in _BPE_MODEL_CACHE:
         docs = _read(spark, sf_dir, "documents").select("doc_id", "text") \
             .filter(F.col("text").isNotNull())
         _BPE_MODEL_CACHE[key] = train_bpe(docs, "text", n_merges=n_merges)
@@ -2217,7 +2225,7 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text") \
         .filter(F.col("text").isNotNull())
-    model = _trained_bpe(spark, sf_dir, 48)
+    model = _trained_bpe(spark, sf_dir, 48, retrain=True)
     ids = token_ids_col(F.col("text"), model)
     return docs.select(
         "doc_id",

@@ -153,7 +153,10 @@ def main() -> int:
                  "--worker", str(i), "--out", os.path.join(work, f"w{i}"),
                  "--barrier", barrier, "--rounds", str(args.rounds)],
                 stdout=logf, stderr=subprocess.STDOUT, text=True,
-                env=dict(os.environ, PYTHONPATH=REPO), cwd=REPO))
+                env=dict(os.environ, PYTHONPATH=(
+                    REPO + os.pathsep + os.environ["PYTHONPATH"]
+                    if os.environ.get("PYTHONPATH") else REPO)),
+                cwd=REPO))
             procs[-1]._logf = logf  # noqa: SLF001 — closed in finally
         # release each round only when every worker reports ready; on any
         # failure, kill the survivors (they would otherwise poll for a
@@ -182,7 +185,16 @@ def main() -> int:
                 with open(os.path.join(barrier, f"go_{r}"), "w") as fh:
                     fh.write("1")
             for p in procs:
-                p.communicate(timeout=max(60, deadline - time.time()))
+                try:
+                    p.communicate(timeout=max(60, deadline - time.time()))
+                except subprocess.TimeoutExpired:
+                    # a child wedged in its final timed round is past the
+                    # barrier loop; fail with the same diagnostics instead
+                    # of a raw traceback (finally still kills survivors)
+                    print(f"worker wedged after last round; log tail:\n"
+                          f"{tail(p)[-3000:]}\nworker logs under {work}",
+                          file=sys.stderr)
+                    return 1
                 out = tail(p)
                 if p.returncode != 0:
                     print(out[-3000:], file=sys.stderr)
@@ -207,15 +219,12 @@ def main() -> int:
         }
 
     # driver-side merge of the sharded partial-sketch parquet + equality check
-    from pyspark.sql import SparkSession
+    from scripts.bench_common import build_session, warm_up
 
-    spark = (SparkSession.builder.master("local[8]")
-             .appName("multijvm-merge")
-             .config("spark.sql.shuffle.partitions", "8")
-             .config("spark.ui.showConsoleProgress", "false")
-             .config("spark.ui.enabled", "false")
-             .getOrCreate())
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = build_session(8, app="multijvm-merge")
+    # one-time JVM classloading/codegen must not be billed to the merge
+    # wall (same discipline as bench.py) — the 1x32 shape never pays it
+    warm_up(spark, 8)
     t0 = time.time()
     est4 = merge_and_estimate(spark, results["4x8"]["blob_dirs"])
     rows4 = {tuple(r[:2]): r[2] for r in est4.collect()}

@@ -76,7 +76,15 @@ def window_audit(window: int = 50, max_stale_rounds: int = 2) -> int:
 def main() -> int:
     if "--window" in sys.argv:
         i = sys.argv.index("--window")
-        window = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 50
+        window = 50
+        if len(sys.argv) > i + 1:
+            try:
+                window = int(sys.argv[i + 1])
+            except ValueError:
+                print(f"--window expects an integer width, got "
+                      f"{sys.argv[i + 1]!r} (gate-name filters are "
+                      "positional args WITHOUT --window)", file=sys.stderr)
+                return 2
         return window_audit(window)
     from pyspark.sql import SparkSession
 
