@@ -51,7 +51,7 @@ def main() -> int:
     df = spark.read.parquet(args.data)
     n_rows = df.count()
 
-    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    host = F.try_parse_url(F.col("url"), F.lit("HOST"))
 
     def q_distinct_urls():
         return distinct_count(df, "url", ["lang", "day"]).count()

@@ -20,8 +20,12 @@ _SCHEME = r"[a-zA-Z][a-zA-Z0-9+.-]*"
 
 
 def url_host(col: Column) -> Column:
-    """Lowercased host, `www.` stripped."""
-    host = F.lower(F.parse_url(col, F.lit("HOST")))
+    """Lowercased host, `www.` stripped.  NULL for malformed input:
+    ``try_parse_url``, NOT ``parse_url`` — under ANSI mode (the Spark 4
+    default) ``parse_url`` THROWS on an invalid URL, so one malformed row
+    in a web corpus would kill the whole job instead of yielding a null
+    key."""
+    host = F.lower(F.try_parse_url(col, F.lit("HOST")))
     return F.regexp_replace(host, r"^www\.", "")
 
 
@@ -79,11 +83,18 @@ def normalize_url(col: Column) -> Column:
     u = F.when(is_url, F.concat(scheme, F.lit("://"), host, rest)) \
         .otherwise(u)
     u = F.regexp_replace(u, r"^(\w+://)www\.", "$1")
+    # fragment BEFORE ports: 'https://h:443#f' must still drop the default
+    # port (with the fragment in place, '#' follows ':443' and the port
+    # pattern's (/|?|$) terminator would miss it — the port would then be
+    # stripped on a SECOND normalization pass, a non-idempotent dedup key)
+    u = F.regexp_replace(u, r"#.*$", "")
     u = F.regexp_replace(u, r"^(\w+://[^/:?#]*):80(/|\?|$)", "$1$2")
     u = F.regexp_replace(u, r"^(\w+://[^/:?#]*):443(/|\?|$)", "$1$2")
-    u = F.regexp_replace(u, r"#.*$", "")
     u = strip_tracking_params(u)
-    u = F.regexp_replace(u, r"/$", "")
+    # trailing slash: only when preceded by a path/host character — a bare
+    # 'scheme://' must keep its slashes (stripping one yields 'scheme:/',
+    # which no longer parses as a URL and re-normalizes differently)
+    u = F.regexp_replace(u, r"([^:/])/$", "$1")
     return u
 
 
