@@ -690,7 +690,14 @@ def sketch_agg(df: DataFrame, element_cols, group_cols: Sequence[str] = (),
     ``tree_fanout``: insert a salted pre-merge round (treeAggregate shape) —
     use when #input partitions is large enough that a single group's
     collect_list would gather thousands of blobs into one task (e.g. >1k
-    partitions with few groups)."""
+    partitions with few groups).
+
+    NULL-semantics caveat: NULL elements carry no sketch mass (matching
+    SQL's COUNT(DISTINCT)), so a group whose elements are ALL NULL
+    produces NO output row — where SQL's GROUP BY would return that group
+    with count 0.  The global (ungrouped) aggregate always yields exactly
+    one row (estimate 0 on an empty or all-null input).  Left-join the
+    group universe afterwards if zero-rows for null-only groups matter."""
     spec = spec or HllSpec()
     partials = build_partials(df, element_cols, group_cols, spec, sketch_col)
     if tree_fanout:

@@ -120,3 +120,72 @@ class TestNormalizeUrlProperties:
                          .alias("out")).collect()
         bad = [(r["url"], r["out"]) for r in rows if r["url"] != r["out"]]
         assert not bad, f"clean urls modified: {bad[:5]}"
+
+
+class TestDegenerateInputs:
+    """Pin the degenerate-input contracts the round-5 probe batch verified:
+    empty frames, all-null element columns, null-only groups, NaN/inf
+    elements, and whitespace-only corpora must not throw (ANSI mode) and
+    must follow the documented semantics."""
+
+    def test_distinct_count_null_semantics(self, spark):
+        from sketchlib.spark.aggregate import distinct_count
+
+        # global agg over all-null and over empty input: one row, estimate 0
+        nulls = spark.createDataFrame([(None,), (None,)], "x string")
+        assert [r["estimate"] for r in distinct_count(nulls, "x").collect()] \
+            == [0]
+        empty = spark.createDataFrame([], "x string")
+        assert [r["estimate"] for r in distinct_count(empty, "x").collect()] \
+            == [0]
+        # grouped: a null-only group yields NO row (documented sketch_agg
+        # caveat — SQL would return ('a', 0)); non-null groups unaffected
+        gdf = spark.createDataFrame([("a", None), ("a", None), ("b", "v")],
+                                    "g string, x string")
+        got = {r["g"]: r["estimate"]
+               for r in distinct_count(gdf, "x", ["g"]).collect()}
+        assert got == {"b": 1}
+
+    def test_distinct_count_nan_inf_distinct(self, spark):
+        from sketchlib.spark.aggregate import distinct_count
+
+        ddf = spark.createDataFrame(
+            [(float("nan"),), (float("inf"),), (1.0,)], "v double")
+        assert distinct_count(ddf, "v").collect()[0]["estimate"] == 3
+
+    def test_quantiles_all_null_and_empty(self, spark):
+        from sketchlib.spark.quantiles import approx_quantiles
+
+        for df in (spark.createDataFrame([], "v double"),
+                   spark.createDataFrame([(None,), (None,)], "v double")):
+            [row] = approx_quantiles(df, "v", [0.5]).collect()
+            assert row["quantiles"] == [None]
+
+    def test_whitespace_only_corpus_no_throw(self, spark):
+        """VT/FF-bearing and whitespace-only docs through the text stack:
+        nothing throws under ANSI mode, filters drop them cleanly."""
+        from sketchlib.text.gopher import gopher_filter, with_gopher_stats
+        from sketchlib.text.repetition import repetition_stats
+        from sketchlib.text.boilerplate import remove_boilerplate
+        from sketchlib.dedup.paragraphs import dedup_paragraphs
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "   "), (4, "\x0b\x0c")],
+            "doc_id long, text string")
+        assert gopher_filter(docs).count() == 0
+        assert with_gopher_stats(docs).count() == 4
+        # "per non-null-text document" (repetition.py docstring): null drops
+        assert repetition_stats(docs).count() == 3
+        assert remove_boilerplate(docs).count() == 4
+        assert dedup_paragraphs(docs).count() == 0
+
+    def test_packing_zero_null_token_hardening(self, spark):
+        from sketchlib.packing import pack_sequences
+
+        tok = spark.createDataFrame([(1, 0), (2, None), (3, 7), (4, -5)],
+                                    "doc_id long, n_tokens long")
+        with pytest.raises(Exception, match="negative n_tokens"):
+            pack_sequences(tok, "n_tokens", 16).collect()
+        ok = pack_sequences(tok.filter("n_tokens is null or n_tokens >= 0"),
+                            "n_tokens", 16)
+        assert ok.count() == 3
