@@ -2318,6 +2318,50 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned fact-dim join (sketchlib/spark/joinprune.py
+    pruned_join): dim = part rows with p_size < 10 (~17% of part), fact
+    = lineitem.  The fact side is probed map-only against the dim-key
+    Bloom blob BELOW the join, so only matching-key rows (+ ~fpp false
+    positives) ever reach it; the exact join then removes the false
+    positives, making the result identical to the plain join — which is
+    the oracle.  broadcast_dim=True makes the surviving join itself
+    exchange-free (the 100 TB fact-dim shape)."""
+    from sketchlib.spark.joinprune import pruned_join
+
+    li = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    part = (_read(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+            .select(F.col("p_partkey").alias("l_partkey"), "p_brand"))
+    j = pruned_join(li, part, "l_partkey", "inner", broadcast_dim=True)
+    return (j.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("l_quantity").cast("long").alias("sum_qty"))
+            .orderBy("p_brand"))
+
+
+def q_bloom_pruned_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom split-union anti-join (sketchlib/spark/joinprune.py
+    pruned_join how='left_anti'): lineitem rows whose part is NOT in the
+    p_size < 10 dim subset.  Probe-false rows are definitely absent
+    (Bloom has no false negatives) and bypass the join entirely; only
+    probe-true rows reach the exact anti-join — so the anti-join's
+    shuffle input shrinks from |fact| to ~|matches| + fpp*|fact|.
+    Exactness vs the plain NOT EXISTS is the oracle; key_checksum pins
+    the exact surviving row set, not just counts."""
+    from sketchlib.spark.joinprune import pruned_join
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag", "l_quantity")
+    part = (_read(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+            .select(F.col("p_partkey").alias("l_partkey")))
+    kept = pruned_join(li, part, "l_partkey", "left_anti")
+    return (kept.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("l_quantity").cast("long").alias("sum_qty"),
+                 F.sum("l_partkey").alias("key_checksum"))
+            .orderBy("l_returnflag"))
+
+
 def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance-resampling selection (sketchlib/text/dsir.py) in
     exact-gram mode: target = docs with doc_id % 37 == 0, raw = the whole
@@ -2965,6 +3009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "bpe_sequence_packing": q_bpe_sequence_packing,
         "quality_classifier": q_quality_classifier,
+        "bloom_pruned_join": q_bloom_pruned_join,
+        "bloom_pruned_anti": q_bloom_pruned_anti,
         # -- longest-stale (r02-green, unchecked since) --------------------
         "url_normalize_keys": q_url_normalize_keys,
         "embedding_near_dup": q_embedding_near_dup,
@@ -3719,6 +3765,24 @@ def _pipeline_oracles() -> dict[str, str]:
             "AS score_milli, "
             "((SELECT p FROM pr) + COALESCE(sc.s, 0) > 0) AS predicted "
             "FROM d a LEFT JOIN sc USING (doc_id) ORDER BY a.doc_id"
+        ),
+        "bloom_pruned_join": (
+            # Bloom pruning is semantics-preserving (no false negatives,
+            # exact join removes false positives) -> the oracle is the
+            # PLAIN join
+            "SELECT p.p_brand AS p_brand, COUNT(*) AS n_rows, "
+            "CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE p.p_size < 10 GROUP BY p.p_brand ORDER BY p_brand"
+        ),
+        "bloom_pruned_anti": (
+            # split-union anti-join == plain NOT EXISTS
+            "SELECT l_returnflag, COUNT(*) AS n_rows, "
+            "CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, "
+            "CAST(SUM(l_partkey) AS BIGINT) AS key_checksum "
+            "FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p "
+            "WHERE p.p_partkey = l.l_partkey AND p.p_size < 10) "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         "dsir_selection": (
             # full re-derivation: same tokenizer + bigram construction
