@@ -146,7 +146,20 @@ def hash_columns(pdf: pd.DataFrame, cols: Sequence[str], hash_name: str = "murmu
     return flat_fn(flat, offsets)
 
 
-class HllSpec:
+class SpecRepr:
+    """Stable parameter-based repr shared by every sketch spec: two specs
+    constructed with equal parameters repr identically (the default
+    object repr embeds the instance address — under which
+    ``blobcache.blob_token`` would mint a fresh worker-cache token per
+    spec INSTANCE, defeating cross-call deserialization reuse for the
+    common ``spec or BloomSpec()`` pattern)."""
+
+    def __repr__(self) -> str:
+        args = ", ".join(f"{k}={v!r}" for k, v in sorted(vars(self).items()))
+        return f"{type(self).__name__}({args})"
+
+
+class HllSpec(SpecRepr):
     """Sketch-spec protocol binding :class:`HllSketch` into the two-stage
     aggregation.  Sibling sketches (bloom/cms/kll/tdigest) implement the same
     four methods plus ``estimate_fields``."""

@@ -24,10 +24,10 @@ from ..ddsketch import DDSketch
 from ..kll import KllSketch
 from ..tdigest import TDigest
 from ..theta import ThetaSketch
-from .aggregate import hash_arrow_columns, hash_columns
+from .aggregate import SpecRepr, hash_arrow_columns, hash_columns
 
 
-class BloomSpec:
+class BloomSpec(SpecRepr):
     """Bloom membership sketch: set semantics -> dedup-able stage 1."""
 
     name = "bloom"
@@ -73,7 +73,7 @@ class BloomSpec:
         return sketch.estimate_cardinality()
 
 
-class CuckooSpec:
+class CuckooSpec(SpecRepr):
     """Cuckoo membership sketch: set semantics like Bloom (stage-1 dedup is
     per-partition, see the duplicate-copies caveat in
     :mod:`sketchlib.cuckoo`), merge = fingerprint re-insertion.  Estimate is
@@ -147,7 +147,7 @@ class CuckooSpec:
         return sketch.size()
 
 
-class CmsSpec:
+class CmsSpec(SpecRepr):
     """Count-min frequency sketch: multiplicities matter -> streaming stage 1
     (``hash_dedup = False``); merge = cell-wise sum."""
 
@@ -189,7 +189,7 @@ class CmsSpec:
         return sketch.count_additions
 
 
-class AmsSpec:
+class AmsSpec(SpecRepr):
     """AMS/Count-Sketch F2 sketch: linear sketch -> streaming stage 1
     (``hash_dedup = False``, multiplicities are the whole point); merge =
     cell-wise sum; estimate = median-of-rows F2 (self-join size)."""
@@ -230,7 +230,7 @@ class AmsSpec:
         return sketch.estimate_f2()
 
 
-class MgSpec:
+class MgSpec(SpecRepr):
     """Misra–Gries frequent-items summary: deterministic per-key sandwich
     (estimate <= true <= estimate + total_decrement, total_decrement <=
     n/(k+1) under any merge tree — Agarwal et al. 2012).  Multiplicities are
@@ -272,7 +272,7 @@ class MgSpec:
         return int(sketch.counts.max()) if sketch.counts.shape[0] else 0
 
 
-class _QuantileSpecBase:
+class _QuantileSpecBase(SpecRepr):
     """Shared binding for value-based (not hash-based) quantile sketches:
     ``prepare`` extracts the float64 value column; stage 1 streams values into
     one live sketch per group (``hash_dedup = False`` — multiplicity and
@@ -360,7 +360,7 @@ class DdSpec(_QuantileSpecBase):
         return DDSketch.from_bytes(blob)
 
 
-class ComboSpec:
+class ComboSpec(SpecRepr):
     """Several sketch families over ONE prepared element stream — one scan
     and one blob shuffle build them all (the alternative is one
     ``sketch_agg`` scan per family; at 100 TB each extra family would cost
@@ -475,7 +475,7 @@ class ComboSpec:
         return self.specs[0].estimate(sketches[0])
 
 
-class ThetaSpec:
+class ThetaSpec(SpecRepr):
     """Theta/KMV distinct sketch: set semantics -> dedup-able stage 1, with
     first-class intersection/difference (:mod:`sketchlib.theta`)."""
 

@@ -324,6 +324,15 @@ class TestBlobcacheSharedInfra:
         assert t1 == t2
         assert blob_token(blob_digest(b"\x02" * 64), BloomSpec()) != t1
         assert blob_token(blob_digest(b), CmsSpec()) != t1
+        # two instances alive AT ONCE: the original test's temporaries
+        # could be served the SAME reused address, so an address-based
+        # default repr passed it by luck while defeating sharing for any
+        # caller that held specs alive (SpecRepr is the fix)
+        s1, s2 = BloomSpec(), BloomSpec()
+        assert blob_token(blob_digest(b), s1) == blob_token(blob_digest(b), s2)
+        assert "object at 0x" not in repr(s1)
+        # parameter changes must change the token
+        assert blob_token(blob_digest(b), BloomSpec(m_bits=1 << 10)) != t1
 
     def test_worker_cache_loads_once_per_token(self):
         from sketchlib.spark import blobcache as BC
