@@ -2362,6 +2362,57 @@ def q_bloom_pruned_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag"))
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source/sink round trip (sketchlib/data/warc.py): documents
+    are wrapped as HTML payloads into per-record-gzipped WARC response
+    buffers Spark-side (8 archive buckets via applyInPandas — the
+    deterministic writer: content-derived record ids, mtime=0), then
+    parsed back through records_frame (the same kernel read_warc uses:
+    multi-member gunzip, WARC header parse, HTTP response split).  The
+    gate hash-checks url-derived doc_id, the parsed WARC-Date epoch,
+    HTTP status, payload length, and the payload md5 — byte-identity of
+    the html through the full write->compress->decompress->parse path —
+    against the documents table re-derived in SQL."""
+    import pandas as pd
+
+    from sketchlib.data.warc import build_warc, records_frame
+
+    docs = (_read(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull() & (F.col("doc_id") % 7 == 0))
+            .select("doc_id", "text"))
+
+    def make_warc(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            (f"https://warc.example.com/doc/{int(d)}",
+             pd.Timestamp(1767225600 + int(d), unit="s")
+             .strftime("%Y-%m-%dT%H:%M:%SZ"),
+             ("<html><body>" + t + "</body></html>").encode("utf-8"))
+            for d, t in zip(pdf["doc_id"], pdf["text"])]
+        return pd.DataFrame({"data": [build_warc(recs, gzip_records=True)]})
+
+    files = (docs.withColumn("bucket", F.pmod("doc_id", F.lit(8)))
+             .groupBy("bucket")
+             .applyInPandas(lambda pdf: make_warc(pdf), "data binary"))
+
+    def parse(batches):
+        for pdf in batches:
+            for blob in pdf["data"]:
+                f = records_frame(bytes(blob), on_error="raise")
+                yield f[["url", "warc_ts", "http_status", "html"]]
+
+    parsed = files.mapInPandas(
+        parse, "url string, warc_ts timestamp, http_status int, html binary")
+    return (parsed.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        F.col("warc_ts").cast("long").alias("ts_sec"),
+        "http_status",
+        F.length("html").cast("long").alias("n_bytes"),
+        F.md5("html").alias("payload_md5"))
+        .orderBy("doc_id"))
+
+
 def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance-resampling selection (sketchlib/text/dsir.py) in
     exact-gram mode: target = docs with doc_id % 37 == 0, raw = the whole
@@ -3011,6 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "bloom_pruned_join": q_bloom_pruned_join,
         "bloom_pruned_anti": q_bloom_pruned_anti,
+        "warc_roundtrip": q_warc_roundtrip,
         # -- longest-stale (r02-green, unchecked since) --------------------
         "url_normalize_keys": q_url_normalize_keys,
         "embedding_near_dup": q_embedding_near_dup,
@@ -3783,6 +3835,19 @@ def _pipeline_oracles() -> dict[str, str]:
             "FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p "
             "WHERE p.p_partkey = l.l_partkey AND p.p_size < 10) "
             "GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "warc_roundtrip": (
+            # the parsed WARC fields re-derived from the source table:
+            # ts = fixed 2026-01-01 epoch + doc_id; html payload =
+            # '<html><body>' + utf8(text) + '</body></html>' (12+14
+            # wrapper bytes); md5 over the same UTF-8 bytes both engines
+            "SELECT doc_id, 1767225600 + doc_id AS ts_sec, "
+            "CAST(200 AS INTEGER) AS http_status, "
+            "CAST(26 + octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "md5('<html><body>' || text || '</body></html>') "
+            "AS payload_md5 "
+            "FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0 "
+            "ORDER BY doc_id"
         ),
         "dsir_selection": (
             # full re-derivation: same tokenizer + bigram construction

@@ -1,0 +1,316 @@
+"""WARC source/sink: ingest Common-Crawl-style web archives into the
+``pages`` schema (ISO 28500 / WARC 1.0 — the public format CC publishes;
+no reference analogue, SURVEY.md §2.1 "scans & sources").
+
+The 100 TB shape
+----------------
+A Common-Crawl snapshot is ~90k WARC files of ~1 GB gzip each.
+:func:`read_warc` loads them with Spark's ``binaryFile`` source — one row
+(one whole file) per task, so parallelism = number of files, which is
+exactly the granularity a 1000-executor cluster wants.  Each task then
+decompresses and parses ITS file in a vectorized pandas kernel and emits
+typed rows ``(warc_file, url, warc_ts, http_status, content_type,
+html)`` — the ``BASELINE.json.input_hint`` pages schema (join
+:func:`sketchlib.data.pages.extract_text_expr` downstream for ``text``).
+Memory bound: one decompressed file per task (~4-5 GB for a CC segment)
+— size executors accordingly (docs/RUNBOOK.md) or pre-split oversized
+archives; the parser itself is streaming (no per-record copies of the
+whole buffer).
+
+Robustness contract (the ``try_parse_url`` lesson — one malformed file
+must not kill a 100k-file job): ``on_error="null"`` (default) gives
+malformed FILES a single all-null row carrying ``warc_file`` + the error
+text in ``parse_error`` so they are countable and retrievable;
+``"raise"`` propagates (debugging).  Within a well-formed prefix,
+records after structural corruption are unreachable (record boundaries
+are length-delimited), so the parser keeps every record before the
+corruption point and reports the tail through the same channel.
+
+The writer (:func:`build_warc` / :func:`warc_response_bytes`) exists for
+fixtures, tests, and the round-trip driver gate; it is deterministic
+byte-for-byte (gzip ``mtime=0``, record ids derived from content, no
+wall clock) so golden files stay stable.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import uuid
+import zlib
+from typing import Iterator
+
+_CRLF2 = b"\r\n\r\n"
+_GZ_MAGIC = b"\x1f\x8b"
+
+
+# --------------------------------------------------------------------------
+# decompression
+
+
+def gunzip_members(data: bytes) -> bytes:
+    """Decompress multi-member gzip (CC WARCs are one gzip member per
+    record, concatenated).  Plain bytes pass through untouched."""
+    if not data.startswith(_GZ_MAGIC):
+        return data
+    out = []
+    while data:
+        d = zlib.decompressobj(wbits=47)  # gzip wrapper
+        out.append(d.decompress(data))  # no max_length: consumes all input
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        data = d.unused_data
+        if data and not data.startswith(_GZ_MAGIC):
+            raise ValueError("trailing garbage after gzip member")
+    return b"".join(out)
+
+
+# --------------------------------------------------------------------------
+# record-level parsing
+
+
+def _parse_header_block(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n")[1:]:  # [0] is the version line
+        k, sep, v = line.partition(b":")
+        if sep:
+            headers[k.strip().decode("latin-1").lower()] = (
+                v.strip().decode("latin-1"))
+    return headers
+
+
+def iter_warc_records(data: bytes,
+                      on_error: str = "stop"
+                      ) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Yield ``(warc_headers, block)`` per record.  ``warc_headers`` keys
+    are lower-cased; ``block`` is the raw record body (for ``response``
+    records, an HTTP response).  Gzip input is decompressed first.
+
+    ``on_error="stop"`` stops at the first structural corruption (later
+    records are unreachable anyway — boundaries are length-delimited);
+    ``"raise"`` raises ``ValueError`` instead."""
+    if on_error not in ("stop", "raise"):
+        raise ValueError("on_error must be 'stop' or 'raise'")
+    data = gunzip_members(data)
+    pos, n = 0, len(data)
+    while pos < n:
+        # tolerate inter-record blank lines
+        while data.startswith(b"\r\n", pos):
+            pos += 2
+        if pos >= n:
+            return
+        bad = None
+        if not data.startswith(b"WARC/", pos):
+            bad = f"expected WARC/ magic at byte {pos}"
+        else:
+            hdr_end = data.find(_CRLF2, pos)
+            if hdr_end < 0:
+                bad = f"unterminated record header at byte {pos}"
+        if bad is None:
+            headers = _parse_header_block(data[pos:hdr_end])
+            try:
+                clen = int(headers["content-length"])
+                if clen < 0:
+                    raise ValueError
+            except (KeyError, ValueError):
+                bad = f"missing/invalid Content-Length at byte {pos}"
+        if bad is None:
+            body_start = hdr_end + 4
+            if body_start + clen > n:
+                bad = (f"record at byte {pos} overruns buffer "
+                       f"(Content-Length {clen})")
+        if bad is not None:
+            if on_error == "raise":
+                raise ValueError(bad)
+            return
+        yield headers, data[body_start:body_start + clen]
+        pos = body_start + clen
+
+
+def _dechunk(body: bytes) -> bytes:
+    out, pos = [], 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("truncated chunked encoding")
+        size = int(body[pos:eol].split(b";")[0], 16)
+        if size == 0:
+            return b"".join(out)
+        start = eol + 2
+        out.append(body[start:start + size])
+        pos = start + size + 2  # skip chunk-data CRLF
+
+
+def parse_http_response(block: bytes) -> tuple[int | None, dict[str, str],
+                                               bytes]:
+    """Split an HTTP response block into (status, headers, payload).
+    Transfer-Encoding: chunked payloads are de-chunked.  A block that is
+    not an HTTP response (no header terminator / status line) comes back
+    as ``(None, {}, block)`` — the raw bytes are never lost."""
+    sep = block.find(_CRLF2)
+    if sep < 0:
+        return None, {}, block
+    head, payload = block[:sep], block[sep + 4:]
+    lines = head.split(b"\r\n")
+    parts = lines[0].split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        return None, {}, block
+    try:
+        status = int(parts[1])
+    except ValueError:
+        return None, {}, block
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, s, v = line.partition(b":")
+        if s:
+            headers[k.strip().decode("latin-1").lower()] = (
+                v.strip().decode("latin-1"))
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        try:
+            payload = _dechunk(payload)
+        except ValueError:
+            pass  # keep raw payload; malformed chunking must not drop data
+    return status, headers, payload
+
+
+# --------------------------------------------------------------------------
+# writer (fixtures / golden files / round-trip gate)
+
+
+def warc_response_bytes(url: str, date_iso: str, payload: bytes,
+                        status: int = 200,
+                        content_type: str = "text/html; charset=utf-8",
+                        gzip_record: bool = False) -> bytes:
+    """One deterministic WARC ``response`` record (record id derived from
+    (url, date) — no wall clock, no RNG; ``gzip_record`` wraps it as its
+    own gzip member with ``mtime=0``, the CC layout)."""
+    http = (f"HTTP/1.1 {status} OK\r\n"
+            f"Content-Type: {content_type}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode("ascii") + payload
+    rid = uuid.UUID(bytes=hashlib.md5(
+        f"{url}|{date_iso}".encode()).digest())
+    rec = (f"WARC/1.0\r\n"
+           f"WARC-Type: response\r\n"
+           f"WARC-Target-URI: {url}\r\n"
+           f"WARC-Date: {date_iso}\r\n"
+           f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+           f"Content-Type: application/http; msgtype=response\r\n"
+           f"Content-Length: {len(http)}\r\n\r\n"
+           ).encode("ascii") + http + b"\r\n\r\n"
+    return gzip.compress(rec, mtime=0) if gzip_record else rec
+
+
+def build_warc(records, gzip_records: bool = False) -> bytes:
+    """Concatenate ``(url, date_iso, payload)`` triples (or dicts with
+    those keys plus optional ``status`` / ``content_type``) into one WARC
+    buffer."""
+    out = []
+    for r in records:
+        if isinstance(r, dict):
+            out.append(warc_response_bytes(
+                r["url"], r["date_iso"], r["payload"],
+                status=r.get("status", 200),
+                content_type=r.get("content_type",
+                                   "text/html; charset=utf-8"),
+                gzip_record=gzip_records))
+        else:
+            url, date_iso, payload = r
+            out.append(warc_response_bytes(url, date_iso, payload,
+                                           gzip_record=gzip_records))
+    return b"".join(out)
+
+
+# --------------------------------------------------------------------------
+# Spark source
+
+
+PAGES_FIELDS = ("url", "warc_ts", "http_status", "content_type", "html")
+
+
+def records_frame(data: bytes, on_error: str = "stop"):
+    """Parse one WARC buffer into a pandas DataFrame with
+    :data:`PAGES_FIELDS` columns — the shared kernel of
+    :func:`read_warc` and the round-trip gate.  Only ``response``
+    records become rows (request/metadata/warcinfo are skipped, per the
+    pages-table contract); ``warc_ts`` is a tz-naive UTC datetime64
+    (the repo-wide pages-table convention)."""
+    import pandas as pd
+
+    urls, tss, statuses, ctypes, payloads = [], [], [], [], []
+    for headers, block in iter_warc_records(data, on_error=on_error):
+        if headers.get("warc-type") != "response":
+            continue
+        status, http_headers, payload = parse_http_response(block)
+        urls.append(headers.get("warc-target-uri"))
+        tss.append(headers.get("warc-date"))
+        statuses.append(status)
+        ctypes.append(http_headers.get("content-type"))
+        payloads.append(payload)
+    return pd.DataFrame({
+        "url": pd.Series(urls, dtype="object"),
+        "warc_ts": pd.to_datetime(
+            pd.Series(tss, dtype="object"), utc=True,
+            format="ISO8601", errors="coerce").dt.tz_localize(None),
+        "http_status": pd.Series(statuses, dtype="Int32"),
+        "content_type": pd.Series(ctypes, dtype="object"),
+        "html": pd.Series(payloads, dtype="object"),
+    })
+
+
+def read_warc(spark, paths, on_error: str = "null"):
+    """WARC files -> pages-shaped DataFrame ``(warc_file, url, warc_ts,
+    http_status, content_type, html, parse_error)``.
+
+    ``binaryFile`` source: one file per task (parallelism = file count —
+    the CC-snapshot granularity), whole file decompressed + parsed in one
+    pandas kernel call, rows emitted through a single Arrow exchange.
+    ``on_error="null"`` (default) turns a malformed FILE into one row
+    with null page fields and the error in ``parse_error`` (count them,
+    re-crawl them — never kill the job); ``"raise"`` fails the task.
+    Project/filter downstream as usual — the parse cost is per-file
+    either way, but column pruning keeps the Arrow exchange narrow."""
+    from pyspark.sql import types as T
+
+    if on_error not in ("null", "raise"):
+        raise ValueError("on_error must be 'null' or 'raise'")
+
+    schema = T.StructType([
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("parse_error", T.StringType()),
+    ])
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    frame = records_frame(bytes(content), on_error="raise")
+                except ValueError as exc:
+                    if on_error == "raise":
+                        raise
+                    yield pd.DataFrame({
+                        "warc_file": pd.Series([path], dtype="object"),
+                        "url": pd.Series([None], dtype="object"),
+                        "warc_ts": pd.Series(
+                            [pd.NaT], dtype="datetime64[us]"),
+                        "http_status": pd.Series([None], dtype="Int32"),
+                        "content_type": pd.Series([None], dtype="object"),
+                        "html": pd.Series([None], dtype="object"),
+                        "parse_error": pd.Series([str(exc)],
+                                                 dtype="object"),
+                    })
+                    continue
+                frame.insert(0, "warc_file", path)
+                frame["parse_error"] = pd.Series(
+                    [None] * len(frame), dtype="object")
+                yield frame
+
+    src = spark.read.format("binaryFile").load(paths)
+    return src.select("path", "content").mapInPandas(kernel, schema=schema)

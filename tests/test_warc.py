@@ -1,0 +1,112 @@
+"""WARC source/sink (sketchlib/data/warc.py): writer->parser round trip
+(plain + per-record gzip), HTTP parsing incl. chunked transfer encoding,
+corruption tolerance, and the Spark binaryFile read path."""
+
+import gzip
+
+import pytest
+
+from sketchlib.data.warc import (build_warc, gunzip_members,
+                                 iter_warc_records, parse_http_response,
+                                 read_warc, records_frame,
+                                 warc_response_bytes)
+
+RECS = [
+    ("https://a.example.com/1", "2026-01-01T00:00:01Z", "hello world".encode()),
+    ("https://b.example.com/2", "2026-01-02T03:04:05Z",
+     "unicode: café 日本語".encode()),
+    ("https://c.example.com/3", "2026-01-03T00:00:00Z", b"\x00\x01binary\xff"),
+]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_roundtrip(gz):
+    buf = build_warc(RECS, gzip_records=gz)
+    out = list(iter_warc_records(buf, on_error="raise"))
+    assert len(out) == 3
+    for (url, date, payload), (headers, block) in zip(RECS, out):
+        assert headers["warc-target-uri"] == url
+        assert headers["warc-date"] == date
+        assert headers["warc-type"] == "response"
+        status, http, body = parse_http_response(block)
+        assert status == 200
+        assert body == payload
+        assert http["content-length"] == str(len(payload))
+
+
+def test_writer_deterministic():
+    assert build_warc(RECS, gzip_records=True) == build_warc(
+        RECS, gzip_records=True)
+    # record ids are content-derived, not random
+    a = warc_response_bytes("https://x/1", "2026-01-01T00:00:00Z", b"p")
+    b = warc_response_bytes("https://x/1", "2026-01-01T00:00:00Z", b"p")
+    assert a == b
+    assert b"urn:uuid:" in a
+
+
+def test_gunzip_multi_member():
+    raw = b"abc" * 1000
+    multi = gzip.compress(raw[:1500], mtime=0) + gzip.compress(
+        raw[1500:], mtime=0)
+    assert gunzip_members(multi) == raw
+    assert gunzip_members(raw) == raw  # passthrough
+    with pytest.raises(ValueError, match="truncated"):
+        gunzip_members(gzip.compress(raw)[:40])
+    with pytest.raises(ValueError, match="trailing garbage"):
+        gunzip_members(gzip.compress(raw, mtime=0) + b"junk")
+
+
+def test_chunked_http():
+    payload = (b"HTTP/1.1 200 OK\r\ntransfer-encoding: chunked\r\n\r\n"
+               b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n")
+    status, headers, body = parse_http_response(payload)
+    assert (status, body) == (200, b"hello world")
+
+
+def test_non_http_block_kept_raw():
+    status, headers, body = parse_http_response(b"not http at all")
+    assert status is None and body == b"not http at all"
+
+
+def test_corruption_stop_and_raise():
+    buf = build_warc(RECS)
+    cut = buf[: buf.find(b"WARC/1.0", 10) + 4]  # second record truncated
+    got = list(iter_warc_records(cut, on_error="stop"))
+    assert len(got) == 1  # first record survives
+    with pytest.raises(ValueError):
+        list(iter_warc_records(cut, on_error="raise"))
+    with pytest.raises(ValueError):
+        list(iter_warc_records(b"GARBAGE" + buf, on_error="raise"))
+    assert list(iter_warc_records(b"GARBAGE" + buf)) == []
+
+
+def test_records_frame_types():
+    frame = records_frame(build_warc(RECS, gzip_records=True))
+    assert list(frame["url"]) == [u for u, _, _ in RECS]
+    assert str(frame["warc_ts"].dtype).startswith("datetime64")
+    assert frame["warc_ts"].dt.tz is None  # tz-naive UTC, pages convention
+    assert int(frame["warc_ts"].iloc[0].timestamp()) == 1767225601
+    assert list(frame["http_status"]) == [200, 200, 200]
+    assert bytes(frame["html"].iloc[2]) == RECS[2][2]
+
+
+def test_read_warc_spark(spark, tmp_path):
+    (tmp_path / "f1.warc.gz").write_bytes(build_warc(RECS[:2],
+                                                     gzip_records=True))
+    (tmp_path / "f2.warc").write_bytes(build_warc(RECS[2:]))
+    (tmp_path / "bad.warc").write_bytes(b"NOT A WARC FILE")
+    df = read_warc(spark, str(tmp_path)).cache()
+    try:
+        ok = df.filter(df.parse_error.isNull()).orderBy("url").collect()
+        assert [r["url"] for r in ok] == [u for u, _, _ in RECS]
+        assert [bytes(r["html"]) for r in ok] == [p for _, _, p in RECS]
+        assert [r["warc_ts"].isoformat() for r in ok] == [
+            "2026-01-01T00:00:01", "2026-01-02T03:04:05",
+            "2026-01-03T00:00:00"]
+        bad = df.filter(df.parse_error.isNotNull()).collect()
+        assert len(bad) == 1 and bad[0]["warc_file"].endswith("bad.warc")
+        assert bad[0]["url"] is None
+        with pytest.raises(Exception):
+            read_warc(spark, str(tmp_path), on_error="raise").count()
+    finally:
+        df.unpersist()
