@@ -314,3 +314,30 @@ def read_warc(spark, paths, on_error: str = "null"):
 
     src = spark.read.format("binaryFile").load(paths)
     return src.select("path", "content").mapInPandas(kernel, schema=schema)
+
+
+def warc_to_pages(spark, paths, on_error: str = "null"):
+    """WARC files -> the full ``pages`` table of ``BASELINE.json``:
+    ``(url, warc_ts, html, text, lang)`` + ``day`` partition key.
+
+    Composes :func:`read_warc` with the frozen extraction
+    (:func:`sketchlib.data.pages.extract_text_expr` — the north-rule
+    byte-identity invariant) and the n-gram language heuristic
+    (:func:`sketchlib.text.analysis.lang_id`), all JVM column
+    expressions in the same stage as the parse output — one pass, no
+    shuffle.  Unparseable files are dropped here (read with
+    :func:`read_warc` directly to audit them); write the result
+    partitioned by ``(lang, day)`` per docs/RUNBOOK.md."""
+    from pyspark.sql import functions as F
+
+    from ..text.analysis import lang_id
+    from .pages import extract_text_expr
+
+    df = read_warc(spark, paths, on_error=on_error)
+    if on_error == "null":
+        df = df.filter(df.parse_error.isNull())
+    text = extract_text_expr(F.col("html"))
+    return (df.withColumn("text", text)
+            .withColumn("lang", lang_id(F.col("text")))
+            .withColumn("day", F.to_date("warc_ts"))
+            .select("url", "warc_ts", "html", "text", "lang", "day"))

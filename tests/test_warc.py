@@ -110,3 +110,27 @@ def test_read_warc_spark(spark, tmp_path):
             read_warc(spark, str(tmp_path), on_error="raise").count()
     finally:
         df.unpersist()
+
+
+def test_warc_to_pages(spark, tmp_path):
+    from sketchlib.data.pages import wrap_html
+    from sketchlib.data.warc import warc_to_pages
+
+    recs = [("https://p.example.com/en", "2026-01-04T00:00:00Z",
+             wrap_html("the quick brown fox and the lazy dog of it",
+                       "t1")),
+            ("https://p.example.com/ru", "2026-01-05T12:00:00Z",
+             wrap_html("слово один слово два слово три слово четыре",
+                       "t2"))]
+    (tmp_path / "p.warc.gz").write_bytes(build_warc(recs,
+                                                    gzip_records=True))
+    rows = warc_to_pages(spark, str(tmp_path)).orderBy("url").collect()
+    assert [r["url"] for r in rows] == [u for u, _, _ in recs]
+    # extraction inverts wrap_html byte-identically (north-rule invariant)
+    assert rows[0]["text"] == "the quick brown fox and the lazy dog of it"
+    assert rows[1]["text"] == "слово один слово два слово три слово четыре"
+    assert rows[0]["lang"] == "en"
+    assert rows[1]["lang"] == "ru"
+    assert str(rows[0]["day"]) == "2026-01-04"
+    assert set(rows[0].asDict()) == {"url", "warc_ts", "html", "text",
+                                     "lang", "day"}
