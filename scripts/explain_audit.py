@@ -535,6 +535,60 @@ def main() -> None:
     sections.append(("filter_might_contain(lineitem, cuckoo blob)", p,
                      checks))
 
+    # 32. Bloom-pruned join: the probe is a map-side Python filter under
+    # the join (placement-below-join is plan-asserted in
+    # tests/test_joinprune.py on the optimized plan); with broadcast_dim
+    # the whole plan is exchange-free
+    from sketchlib.spark.joinprune import key_bloom, pruned_join
+    from sketchlib.spark.specs import BloomSpec
+
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    dim = (part.filter(F.col("p_size") < 10)
+           .select(F.col("p_partkey").alias("l_partkey"), "p_brand"))
+    bspec = BloomSpec(m_bits=1 << 16)
+    jblob = key_bloom(dim, "l_partkey", bspec)
+    # pin the SMJ shape: the point of this section is the shuffle-join
+    # baseline a too-big-to-broadcast dim forces (the gate-scale dim
+    # would otherwise auto-broadcast)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(pruned_join(li.select("l_partkey", "l_quantity"), dim,
+                                "l_partkey", "inner", blob=jblob,
+                                spec=bspec))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    checks = [("Bloom probe runs as a vectorized Python filter on the "
+               "fact side", "ArrowEvalPython" in p),
+              ("probe NOT duplicated onto the dim side (opaque probe: "
+               "Catalyst filter inference would copy it across the "
+               "equi-join — one Python stage total)",
+               p.count("ArrowEvalPython (") == 1),
+              ("exactly the two join-side exchanges (no extra shuffle "
+               "introduced by the probe)", n_shuffles(p) == 2),
+              ("no cartesian product", "CartesianProduct" not in p)]
+    sections.append(("pruned_join(lineitem, part[p_size<10], inner) — "
+                     "SMJ on survivors", p, checks))
+
+    p = plan_of(pruned_join(li.select("l_partkey", "l_quantity"), dim,
+                            "l_partkey", "inner", blob=jblob, spec=bspec,
+                            broadcast_dim=True))
+    checks = [("probe + broadcast join: ZERO shuffle exchanges end to end",
+               n_shuffles(p) == 0),
+              ("broadcast hash join on the survivors",
+               "BroadcastHashJoin" in p)]
+    sections.append(("pruned_join(..., broadcast_dim=True) — exchange-free",
+                     p, checks))
+
+    p = plan_of(pruned_join(li.select("l_partkey", "l_quantity"),
+                            dim.select("l_partkey"), "l_partkey",
+                            "left_anti", blob=jblob, spec=bspec))
+    checks = [("split-union plan: probe-false rows bypass the join "
+               "entirely (Union of map-only branch + exact anti-join)",
+               "Union" in p and "LeftAnti" in p),
+              ("no cartesian product", "CartesianProduct" not in p)]
+    sections.append(("pruned_join(lineitem, dim, left_anti) — split-union",
+                     p, checks))
+
     out = ["# BENCH/PLANS — physical-plan audit",
            "",
            "Generated by `python scripts/explain_audit.py`. Each section is "

@@ -59,10 +59,6 @@ from pyspark.sql import functions as F
 from .membership import bloom_build_bytes, filter_might_contain
 from .specs import BloomSpec
 
-_PRUNABLE = ("inner", "left_semi", "leftsemi", "semi")
-_ANTI = ("left_anti", "leftanti", "anti")
-
-
 def _as_cols(on) -> list[str]:
     return [on] if isinstance(on, str) else list(on)
 
@@ -106,11 +102,16 @@ def pruned_join(fact: DataFrame, dim: DataFrame, on,
     if blob is None:
         blob = key_bloom(dim, cols, spec)
     dim_side = F.broadcast(dim) if broadcast_dim else dim
+    # opaque=True pins the probe to the fact side: Catalyst's filter
+    # inference would otherwise copy a deterministic probe across the
+    # equi-join onto the dim side — a wasted full Python pass over it
     if hw in ("leftanti", "anti"):
         # split-union: definitely-absent rows skip the join entirely
-        absent = filter_might_contain(fact, cols, blob, spec, negate=True)
-        candidates = filter_might_contain(fact, cols, blob, spec)
+        absent = filter_might_contain(fact, cols, blob, spec, negate=True,
+                                      opaque=True)
+        candidates = filter_might_contain(fact, cols, blob, spec,
+                                          opaque=True)
         checked = candidates.join(dim_side, on=cols, how="left_anti")
         return absent.unionByName(checked)
-    pruned = filter_might_contain(fact, cols, blob, spec)
+    pruned = filter_might_contain(fact, cols, blob, spec, opaque=True)
     return pruned.join(dim_side, on=cols, how=how)

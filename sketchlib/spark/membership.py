@@ -160,10 +160,18 @@ def might_contain_udf(blob: bytes, cols: Sequence[str] | str,
 
 
 def _might_contain_expr(blob: bytes, cols: list, spec, col_exprs: list,
-                        valid: Column | None) -> Column:
+                        valid: Column | None,
+                        opaque: bool = False) -> Column:
     """Shared core: ``valid`` non-None means the caller guarantees
     ``col_exprs`` are null-free (JVM-side coalesce) and supplies the
-    membership verdict for the masked rows (False)."""
+    membership verdict for the masked rows (False).
+
+    ``opaque=True`` marks the probe UDF non-deterministic, which pins it
+    where the caller placed it: Catalyst's filter inference otherwise
+    COPIES a deterministic probe across an equi-join onto the other side
+    (semantically safe — no false negatives — but a wasted full Python
+    pass over that side; :func:`sketchlib.spark.joinprune.pruned_join`
+    probes exactly one side by design)."""
     from pyspark.sql import SparkSession
 
     session = SparkSession.getActiveSession()
@@ -201,12 +209,15 @@ def _might_contain_expr(blob: bytes, cols: list, spec, col_exprs: list,
         return pd.Series(bf.contains_hashes(
             hash_columns(pdf, cols, spec.hash_name)))
 
+    if opaque:
+        _contains = _contains.asNondeterministic()
     probe = _contains(*col_exprs)
     return probe if valid is None else (valid & probe)
 
 
 def probe_might_contain(df: DataFrame, cols, blob: bytes,
-                        spec: BloomSpec | None = None) -> Column:
+                        spec: BloomSpec | None = None,
+                        opaque: bool = False) -> Column:
     """Null-exact membership column for ``df``'s key columns: nulls are
     coalesced JVM-side to a typed filler (so integer batches never degrade
     to float64 in pandas — exact for full-range int64) and masked to
@@ -219,15 +230,17 @@ def probe_might_contain(df: DataFrame, cols, blob: bytes,
     for c in cols:
         valid = valid & F.col(c).isNotNull()
         safe.append(F.coalesce(F.col(c), zero_lit(col_type(df, c))))
-    return _might_contain_expr(blob, cols, spec or BloomSpec(), safe, valid)
+    return _might_contain_expr(blob, cols, spec or BloomSpec(), safe, valid,
+                               opaque=opaque)
 
 
 def filter_might_contain(df: DataFrame, cols, blob: bytes,
                          spec: BloomSpec | None = None,
-                         negate: bool = False) -> DataFrame:
+                         negate: bool = False,
+                         opaque: bool = False) -> DataFrame:
     """Keep rows possibly present in (or, with ``negate``, definitely absent
     from) the filter — the semi-/anti-join pre-filter.  Null-key rows are
     definitely absent (kept only under ``negate``); null handling is exact
     for every key type via :func:`probe_might_contain`."""
-    c = probe_might_contain(df, cols, blob, spec)
+    c = probe_might_contain(df, cols, blob, spec, opaque=opaque)
     return df.filter(~c if negate else c)
