@@ -316,6 +316,64 @@ def read_warc(spark, paths, on_error: str = "null"):
     return src.select("path", "content").mapInPandas(kernel, schema=schema)
 
 
+def write_warc(df, out_dir: str, url_col: str = "url",
+               ts_col: str = "warc_ts", payload_col: str = "html",
+               shards: int | None = None,
+               gzip_records: bool = True) -> list[dict]:
+    """Distributed WARC sink: one ``part-{partition:05d}.warc[.gz]`` file
+    per partition of ``df`` under ``out_dir`` (a path every executor can
+    reach — local-mode dir, NFS, or an object-store mount; pass
+    ``shards`` to repartition first).  Returns the manifest
+    ``[{file, n_records, n_bytes}, ...]``.
+
+    Idempotent under task retries: each task writes a temp file and
+    renames it into place (rename is atomic on POSIX), and the file name
+    is a pure function of the partition id, so a retry overwrites its
+    own output rather than duplicating records.  Rows with a null url or
+    payload are skipped (counted out of the manifest); ``warc_ts`` may
+    be null (epoch is written).  Records within a file follow the
+    partition's row order."""
+    import os
+
+    import pandas as pd
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+    if shards is not None:
+        df = df.repartition(shards)
+    cols = [url_col, ts_col, payload_col]
+    ext = ".warc.gz" if gzip_records else ".warc"
+
+    def sink(batches):
+        recs = []
+        for pdf in batches:
+            for url, ts, payload in zip(pdf[url_col], pdf[ts_col],
+                                        pdf[payload_col]):
+                if url is None or payload is None:
+                    continue
+                ts = pd.Timestamp(0) if pd.isna(ts) else pd.Timestamp(ts)
+                recs.append((str(url),
+                             ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                             bytes(payload)))
+        pid = TaskContext.get().partitionId()
+        name = f"part-{pid:05d}{ext}"
+        data = build_warc(recs, gzip_records=gzip_records)
+        tmp = os.path.join(out_dir, f".{name}.attempt-"
+                           f"{TaskContext.get().taskAttemptId()}")
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, os.path.join(out_dir, name))
+        yield pd.DataFrame({"file": [name],
+                            "n_records": [len(recs)],
+                            "n_bytes": [len(data)]})
+
+    manifest = (df.select(*cols)
+                .mapInPandas(sink,
+                             "file string, n_records long, n_bytes long")
+                .collect())
+    return sorted((r.asDict() for r in manifest), key=lambda d: d["file"])
+
+
 def warc_to_pages(spark, paths, on_error: str = "null"):
     """WARC files -> the full ``pages`` table of ``BASELINE.json``:
     ``(url, warc_ts, html, text, lang)`` + ``day`` partition key.

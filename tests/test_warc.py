@@ -134,3 +134,30 @@ def test_warc_to_pages(spark, tmp_path):
     assert str(rows[0]["day"]) == "2026-01-04"
     assert set(rows[0].asDict()) == {"url", "warc_ts", "html", "text",
                                      "lang", "day"}
+
+
+def test_write_warc_sink(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from sketchlib.data.warc import read_warc, write_warc
+
+    import datetime
+    rows = [Row(url=f"https://s.example.com/{i}",
+                warc_ts=datetime.datetime(2026, 1, 1, 0, 0, i),
+                html=f"payload {i}".encode()) for i in range(20)]
+    rows.append(Row(url=None, warc_ts=None, html=b"skipped"))
+    rows.append(Row(url="https://s.example.com/nullts", warc_ts=None,
+                    html=b"epoch ts"))
+    df = spark.createDataFrame(rows)
+    out = str(tmp_path / "sink")
+    manifest = write_warc(df, out, shards=3)
+    assert [m["file"] for m in manifest] == [
+        "part-00000.warc.gz", "part-00001.warc.gz", "part-00002.warc.gz"]
+    assert sum(m["n_records"] for m in manifest) == 21  # null url skipped
+    back = read_warc(spark, out).orderBy("url").collect()
+    assert len(back) == 21
+    assert all(r["parse_error"] is None for r in back)
+    by_url = {r["url"]: r for r in back}
+    assert bytes(by_url["https://s.example.com/7"]["html"]) == b"payload 7"
+    assert by_url["https://s.example.com/7"]["warc_ts"].second == 7
+    assert by_url["https://s.example.com/nullts"]["warc_ts"].year == 1970
