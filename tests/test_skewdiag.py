@@ -229,3 +229,21 @@ class TestJoinAdvice:
         s = adv.strategy(broadcast_rows=100, n_partitions=200,
                          skew_tolerance=2.0)
         assert "+salt_left" in s and "+salt_right" not in s
+
+    def test_strategy_bloom_prune_flag(self):
+        """A too-big-to-broadcast join with a low estimated matching
+        fraction on the big side recommends Bloom pruning it; a high
+        fraction (most big-side rows match) does not."""
+        from sketchlib.spark.skewdiag import JoinAdvice
+
+        low = JoinAdvice(
+            n_left=10_000_000, n_right=2_000_000, ndv_left=10_000_000,
+            ndv_right=2_000_000, f2_left=10_000_000, f2_right=2_000_000,
+            est_join_rows=100_000, upper_margin=0.0)
+        s = low.strategy(broadcast_rows=100)
+        assert s.startswith("shuffle") and "+bloom_prune_left" in s
+        high = JoinAdvice(
+            n_left=10_000_000, n_right=2_000_000, ndv_left=10_000_000,
+            ndv_right=2_000_000, f2_left=10_000_000, f2_right=2_000_000,
+            est_join_rows=9_000_000, upper_margin=0.0)
+        assert "bloom_prune" not in high.strategy(broadcast_rows=100)
