@@ -2413,6 +2413,32 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot diff (sketchlib/data/crawldelta.py crawl_delta):
+    old = docs with doc_id%10 < 8, new = docs with doc_id%10 >= 1 where
+    every third doc's text changed — so urls split into removed (%10=0),
+    added (%10 in {8,9}), changed (%3=0 overlap), unchanged (the rest).
+    Content identity uses the engine-reproducible md5 fingerprint so the
+    oracle replays the whole diff as a FULL OUTER JOIN; the narrow
+    (key, fp) projection before the join is the 100 TB posture (text
+    never shuffles)."""
+    from sketchlib.data.crawldelta import crawl_delta
+
+    base = (_read(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", "text",
+                    F.concat(F.lit("https://crawl.example.com/"),
+                             F.col("doc_id").cast("string")).alias("url")))
+    old = base.filter(F.col("doc_id") % 10 < 8).select("url", "text")
+    new = (base.filter(F.col("doc_id") % 10 >= 1)
+           .select("url",
+                   F.when(F.col("doc_id") % 3 == 0,
+                          F.concat(F.col("text"), F.lit(" v2")))
+                   .otherwise(F.col("text")).alias("text")))
+    fp = F.md5(F.encode(F.col("text"), "UTF-8"))
+    return crawl_delta(old, new, fingerprint=fp).orderBy("url")
+
+
 def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance-resampling selection (sketchlib/text/dsir.py) in
     exact-gram mode: target = docs with doc_id % 37 == 0, raw = the whole
@@ -3063,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_pruned_join": q_bloom_pruned_join,
         "bloom_pruned_anti": q_bloom_pruned_anti,
         "warc_roundtrip": q_warc_roundtrip,
+        "crawl_delta": q_crawl_delta,
         # -- longest-stale (r02-green, unchecked since) --------------------
         "url_normalize_keys": q_url_normalize_keys,
         "embedding_near_dup": q_embedding_near_dup,
@@ -3848,6 +3875,24 @@ def _pipeline_oracles() -> dict[str, str]:
             "AS payload_md5 "
             "FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0 "
             "ORDER BY doc_id"
+        ),
+        "crawl_delta": (
+            # the whole diff replayed as a FULL OUTER JOIN over md5
+            # content fingerprints
+            "WITH base AS (SELECT doc_id, text, "
+            "'https://crawl.example.com/' || doc_id AS url "
+            "FROM documents WHERE text IS NOT NULL), "
+            "o AS (SELECT url, md5(text) AS old_fp FROM base "
+            "WHERE doc_id % 10 < 8), "
+            "n AS (SELECT url, md5(CASE WHEN doc_id % 3 = 0 "
+            "THEN text || ' v2' ELSE text END) AS new_fp FROM base "
+            "WHERE doc_id % 10 >= 1) "
+            "SELECT coalesce(o.url, n.url) AS url, "
+            "CASE WHEN o.url IS NULL THEN 'added' "
+            "WHEN n.url IS NULL THEN 'removed' "
+            "WHEN o.old_fp = n.new_fp THEN 'unchanged' "
+            "ELSE 'changed' END AS status, o.old_fp, n.new_fp "
+            "FROM o FULL OUTER JOIN n ON o.url = n.url ORDER BY url"
         ),
         "dsir_selection": (
             # full re-derivation: same tokenizer + bigram construction
