@@ -74,8 +74,14 @@ def _parse_header_block(block: bytes) -> dict[str, str]:
     for line in block.split(b"\r\n")[1:]:  # [0] is the version line
         k, sep, v = line.partition(b":")
         if sep:
-            headers[k.strip().decode("latin-1").lower()] = (
-                v.strip().decode("latin-1"))
+            val = v.strip()
+            try:
+                # WARC header values are UTF-8 (ISO 28500 §4); fall back
+                # to latin-1 so a nonconforming byte never kills a file
+                decoded = val.decode("utf-8")
+            except UnicodeDecodeError:
+                decoded = val.decode("latin-1")
+            headers[k.strip().decode("latin-1").lower()] = decoded
     return headers
 
 
@@ -190,6 +196,11 @@ def warc_response_bytes(url: str, date_iso: str, payload: bytes,
             ).encode("ascii") + payload
     rid = uuid.UUID(bytes=hashlib.md5(
         f"{url}|{date_iso}".encode()).digest())
+    if any(c in "\r\n" for c in url):
+        raise ValueError("url must not contain CR/LF (header injection)")
+    # WARC header field values are UTF-8 (ISO 28500 §4) — a raw IRI url
+    # must not crash the writer even though crawlers normally
+    # percent-encode first
     rec = (f"WARC/1.0\r\n"
            f"WARC-Type: response\r\n"
            f"WARC-Target-URI: {url}\r\n"
@@ -197,7 +208,7 @@ def warc_response_bytes(url: str, date_iso: str, payload: bytes,
            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
            f"Content-Type: application/http; msgtype=response\r\n"
            f"Content-Length: {len(http)}\r\n\r\n"
-           ).encode("ascii") + http + b"\r\n\r\n"
+           ).encode("utf-8") + http + b"\r\n\r\n"
     return gzip.compress(rec, mtime=0) if gzip_record else rec
 
 

@@ -161,3 +161,14 @@ def test_write_warc_sink(spark, tmp_path):
     assert bytes(by_url["https://s.example.com/7"]["html"]) == b"payload 7"
     assert by_url["https://s.example.com/7"]["warc_ts"].second == 7
     assert by_url["https://s.example.com/nullts"]["warc_ts"].year == 1970
+
+
+def test_unicode_url_roundtrip():
+    url = "https://例え.jp/パス?q=café"
+    buf = warc_response_bytes(url, "2026-01-01T00:00:00Z", b"p",
+                              gzip_record=True)
+    [(headers, block)] = list(iter_warc_records(buf, on_error="raise"))
+    assert headers["warc-target-uri"] == url
+    with pytest.raises(ValueError, match="CR/LF"):
+        warc_response_bytes("https://x/\r\nWARC-Type: evil",
+                            "2026-01-01T00:00:00Z", b"p")
