@@ -50,18 +50,44 @@ _GZ_MAGIC = b"\x1f\x8b"
 
 def gunzip_members(data: bytes) -> bytes:
     """Decompress multi-member gzip (CC WARCs are one gzip member per
-    record, concatenated).  Plain bytes pass through untouched."""
+    record, concatenated).  Plain bytes pass through untouched.  Raises
+    ``ValueError`` on any corruption (zlib's own ``zlib.error`` is
+    translated — callers catch ONE exception type)."""
     if not data.startswith(_GZ_MAGIC):
         return data
     out = []
     while data:
         d = zlib.decompressobj(wbits=47)  # gzip wrapper
-        out.append(d.decompress(data))  # no max_length: consumes all input
+        try:
+            out.append(d.decompress(data))  # no max_length: consumes all
+        except zlib.error as exc:
+            raise ValueError(f"corrupt gzip member: {exc}") from exc
         if not d.eof:
             raise ValueError("truncated gzip member")
         data = d.unused_data
         if data and not data.startswith(_GZ_MAGIC):
             raise ValueError("trailing garbage after gzip member")
+    return b"".join(out)
+
+
+def _gunzip_prefix(data: bytes) -> bytes:
+    """Best-effort multi-member decompression: every member before the
+    first corruption, plus whatever the corrupt member yielded before
+    failing.  CC archives gzip each record as its own member, so a
+    truncated file still surrenders all its complete records — the
+    length-delimited record parse then stops at the ragged tail."""
+    out = []
+    while data:
+        d = zlib.decompressobj(wbits=47)
+        try:
+            out.append(d.decompress(data))
+        except zlib.error:
+            break
+        if not d.eof:
+            break
+        data = d.unused_data
+        if data and not data.startswith(_GZ_MAGIC):
+            break
     return b"".join(out)
 
 
@@ -97,7 +123,16 @@ def iter_warc_records(data: bytes,
     ``"raise"`` raises ``ValueError`` instead."""
     if on_error not in ("stop", "raise"):
         raise ValueError("on_error must be 'stop' or 'raise'")
-    data = gunzip_members(data)
+    if on_error == "stop" and data.startswith(_GZ_MAGIC):
+        # stop-mode contract extends through decompression: a corrupt or
+        # truncated member keeps every record before it (one member per
+        # record in CC archives) instead of discarding the whole file
+        try:
+            data = gunzip_members(data)
+        except ValueError:
+            data = _gunzip_prefix(data)
+    else:
+        data = gunzip_members(data)
     pos, n = 0, len(data)
     while pos < n:
         # tolerate inter-record blank lines

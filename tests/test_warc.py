@@ -172,3 +172,72 @@ def test_unicode_url_roundtrip():
     with pytest.raises(ValueError, match="CR/LF"):
         warc_response_bytes("https://x/\r\nWARC-Type: evil",
                             "2026-01-01T00:00:00Z", b"p")
+
+
+def test_fuzz_truncation_yields_prefix():
+    """Every truncation of a valid buffer yields a PREFIX of the true
+    records under on_error='stop' (never a wrong slice, never a crash)."""
+    buf = build_warc(RECS)
+    truth = [(h["warc-target-uri"], b) for h, b in iter_warc_records(buf)]
+    import random
+    rng = random.Random(42)
+    cuts = sorted(rng.sample(range(len(buf)), 60)) + [len(buf) - 1]
+    for cut in cuts:
+        got = [(h["warc-target-uri"], b)
+               for h, b in iter_warc_records(buf[:cut])]
+        assert got == truth[:len(got)]
+        assert len(got) <= len(truth)
+
+
+def test_fuzz_byte_flips_never_crash():
+    """Arbitrary single-byte corruption either still parses (stop mode)
+    or raises a clean ValueError (raise mode) — no other exception type,
+    no hang, and every yielded block is a bytes object."""
+    buf = build_warc(RECS)
+    import random
+    rng = random.Random(7)
+    for _ in range(80):
+        i = rng.randrange(len(buf))
+        mutated = buf[:i] + bytes([buf[i] ^ 0xFF]) + buf[i + 1:]
+        for h, b in iter_warc_records(mutated, on_error="stop"):
+            assert isinstance(b, bytes)
+        try:
+            for h, b in iter_warc_records(mutated, on_error="raise"):
+                parse_http_response(b)
+        except ValueError:
+            pass
+
+
+def test_fuzz_random_garbage_never_crashes():
+    import random
+    rng = random.Random(99)
+    for n in (0, 1, 7, 64, 4096):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert list(iter_warc_records(data, on_error="stop")) == []
+
+
+def test_gzip_corruption_contract():
+    """Corrupt gzip raises ValueError (never zlib.error — read_warc's
+    on_error='null' catches ValueError only), and stop mode keeps every
+    record gzipped before the corruption point."""
+    import zlib as _z
+
+    buf = build_warc(RECS, gzip_records=True)
+    truncated = buf[:-20]  # inside the third record's member
+    got = list(iter_warc_records(truncated, on_error="stop"))
+    assert [h["warc-target-uri"] for h, _ in got] == [
+        u for u, _, _ in RECS[:2]]
+    try:
+        list(iter_warc_records(truncated, on_error="raise"))
+        assert False, "should raise"
+    except ValueError:
+        pass
+    except _z.error:
+        assert False, "zlib.error escaped: read_warc would kill the job"
+    # flip a byte inside the first member's deflate stream
+    bad = buf[:30] + bytes([buf[30] ^ 0xFF]) + buf[31:]
+    try:
+        list(iter_warc_records(bad, on_error="raise"))
+    except ValueError:
+        pass
+    list(iter_warc_records(bad, on_error="stop"))  # must not raise
