@@ -14,6 +14,7 @@ from .aggregate import (  # noqa: F401
 )
 from .audit import accuracy_audit, audit_summary  # noqa: F401
 from .bucketing import colocated_join, write_bucketed  # noqa: F401
+from .joinprune import key_bloom, pruned_join  # noqa: F401
 from .skewdiag import JoinAdvice, SkewDiagnosis, advise_join, diagnose_skew  # noqa: F401
 from .specs import (  # noqa: F401
     AmsSpec,
