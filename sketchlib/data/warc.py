@@ -48,47 +48,68 @@ _GZ_MAGIC = b"\x1f\x8b"
 # decompression
 
 
+#: per-iteration feed size for the member loop: large enough that a
+#: typical CC record (a few KB compressed) costs ONE slice, small enough
+#: that per-member slicing stays O(chunk), not O(remaining file)
+_GZ_CHUNK = 1 << 16
+
+
+def _gunzip_stream(data: bytes, strict: bool) -> bytes:
+    """O(n) multi-member decompression.  The two naive shapes are both
+    pathological on per-record-gzipped CC segments (~6k members/MB):
+    feeding a ``decompressobj`` the whole remaining buffer re-copies it
+    per member via ``unused_data`` (quadratic memcpy), and
+    ``gzip.decompress`` pays ~0.4 ms of Python-level header machinery
+    per member (measured 3x slower than even the quadratic loop at 3 MB)
+    — so this loop feeds bounded chunks from a memoryview: per-member
+    cost is O(member + chunk), file cost O(n).
+
+    ``strict=True`` raises ``ValueError`` on truncation / corruption /
+    trailing garbage; ``strict=False`` returns everything decoded before
+    the problem (the length-delimited record parse then stops at the
+    ragged tail)."""
+    mv = memoryview(data)
+    out = []
+    pos, n = 0, len(data)
+    while pos < n:
+        if data[pos:pos + 2] != _GZ_MAGIC:
+            if strict:
+                raise ValueError("trailing garbage after gzip member")
+            break
+        d = zlib.decompressobj(wbits=47)  # gzip wrapper
+        while True:
+            chunk = mv[pos:pos + _GZ_CHUNK]
+            try:
+                out.append(d.decompress(chunk))
+            except zlib.error as exc:
+                if strict:
+                    raise ValueError(f"corrupt gzip data: {exc}") from exc
+                return b"".join(out)
+            pos += len(chunk) - len(d.unused_data)
+            if d.eof:
+                break
+            if pos >= n:
+                if strict:
+                    raise ValueError("truncated gzip member")
+                return b"".join(out)
+    return b"".join(out)
+
+
 def gunzip_members(data: bytes) -> bytes:
     """Decompress multi-member gzip (CC WARCs are one gzip member per
     record, concatenated).  Plain bytes pass through untouched.  Raises
-    ``ValueError`` on any corruption (zlib's own ``zlib.error`` is
+    ``ValueError`` on any corruption (zlib's exception types are
     translated — callers catch ONE exception type)."""
     if not data.startswith(_GZ_MAGIC):
         return data
-    out = []
-    while data:
-        d = zlib.decompressobj(wbits=47)  # gzip wrapper
-        try:
-            out.append(d.decompress(data))  # no max_length: consumes all
-        except zlib.error as exc:
-            raise ValueError(f"corrupt gzip member: {exc}") from exc
-        if not d.eof:
-            raise ValueError("truncated gzip member")
-        data = d.unused_data
-        if data and not data.startswith(_GZ_MAGIC):
-            raise ValueError("trailing garbage after gzip member")
-    return b"".join(out)
+    return _gunzip_stream(data, strict=True)
 
 
 def _gunzip_prefix(data: bytes) -> bytes:
-    """Best-effort multi-member decompression: every member before the
-    first corruption, plus whatever the corrupt member yielded before
-    failing.  CC archives gzip each record as its own member, so a
-    truncated file still surrenders all its complete records — the
-    length-delimited record parse then stops at the ragged tail."""
-    out = []
-    while data:
-        d = zlib.decompressobj(wbits=47)
-        try:
-            out.append(d.decompress(data))
-        except zlib.error:
-            break
-        if not d.eof:
-            break
-        data = d.unused_data
-        if data and not data.startswith(_GZ_MAGIC):
-            break
-    return b"".join(out)
+    """Best-effort variant: every byte decodable before the first
+    corruption (CC gzips one record per member, so a truncated file
+    still surrenders all its complete records)."""
+    return _gunzip_stream(data, strict=False)
 
 
 # --------------------------------------------------------------------------
