@@ -2413,6 +2413,32 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def q_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus fuzzy near-dup (sketchlib/dedup/minhash.py
+    near_dup_between): the benchmark side is whitespace-inflated (and
+    for every second one, suffix-appended) copies of every 41st corpus
+    doc re-identified at +200000 — the lightly-edited eval contamination
+    exact n-gram overlap misses.  The corpus is banded once and joined
+    map-only against the broadcast benchmark buckets; candidates are
+    exact-verified, so the oracle is the full cross-frame exact-Jaccard
+    join (banding miss prob < 1e-7 at s >= 0.8 with 128/32, and the run
+    is deterministic)."""
+    from sketchlib.dedup.minhash import near_dup_between
+
+    docs = (_read(spark, sf_dir, "documents").select("doc_id", "text")
+            .filter(F.col("text").isNotNull()))
+    bench = (docs.filter(F.col("doc_id") % 41 == 0)
+             .select((F.col("doc_id") + 200000).alias("doc_id"),
+                     F.when(F.col("doc_id") % 82 == 0,
+                            F.concat(F.replace(F.col("text"), F.lit(" "),
+                                               F.lit("  ")),
+                                     F.lit(" appended evaluation suffix")))
+                     .otherwise(F.replace(F.col("text"), F.lit(" "),
+                                          F.lit("   "))).alias("text")))
+    pairs = near_dup_between(docs, bench, threshold=0.8)
+    return pairs.orderBy("id_left", "id_right")
+
+
 def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-snapshot diff (sketchlib/data/crawldelta.py crawl_delta):
     old = docs with doc_id%10 < 8, new = docs with doc_id%10 >= 1 where
@@ -3090,6 +3116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_pruned_anti": q_bloom_pruned_anti,
         "warc_roundtrip": q_warc_roundtrip,
         "crawl_delta": q_crawl_delta,
+        "fuzzy_decontamination": q_fuzzy_decontamination,
         # -- longest-stale (r02-green, unchecked since) --------------------
         "url_normalize_keys": q_url_normalize_keys,
         "embedding_near_dup": q_embedding_near_dup,
@@ -3875,6 +3902,37 @@ def _pipeline_oracles() -> dict[str, str]:
             "AS payload_md5 "
             "FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0 "
             "ORDER BY doc_id"
+        ),
+        "fuzzy_decontamination": (
+            # full cross-frame exact-Jaccard join over the same 3-gram
+            # shingles (whole-string fallback under 3 tokens) — exact
+            # verification makes banding recall the only difference, and
+            # it is lossless on these >= 0.8 pairs
+            "WITH corpus AS (SELECT doc_id, text FROM documents "
+            "WHERE text IS NOT NULL), "
+            "bench AS (SELECT doc_id + 200000 AS doc_id, "
+            "CASE WHEN doc_id % 82 = 0 THEN "
+            "replace(text, ' ', '  ') || ' appended evaluation suffix' "
+            "ELSE replace(text, ' ', '   ') END AS text "
+            "FROM corpus WHERE doc_id % 41 = 0), "
+            "shl AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN "
+            "list_distinct([(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) "
+            "for i in range(1, len(t) - 1)]) "
+            "ELSE [array_to_string(t, ' ')] END AS s FROM ("
+            "SELECT doc_id, regexp_split_to_array(lower(trim(text)), "
+            "'\\s+') AS t FROM corpus)), "
+            "shr AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN "
+            "list_distinct([(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) "
+            "for i in range(1, len(t) - 1)]) "
+            "ELSE [array_to_string(t, ' ')] END AS s FROM ("
+            "SELECT doc_id, regexp_split_to_array(lower(trim(text)), "
+            "'\\s+') AS t FROM bench)) "
+            "SELECT * FROM (SELECT a.doc_id AS id_left, "
+            "b.doc_id AS id_right, "
+            "len(list_intersect(a.s, b.s))::DOUBLE / "
+            "len(list_distinct(a.s || b.s)) AS jaccard "
+            "FROM shl a, shr b) WHERE jaccard >= 0.8 "
+            "ORDER BY id_left, id_right"
         ),
         "crawl_delta": (
             # the whole diff replayed as a FULL OUTER JOIN over md5

@@ -262,6 +262,31 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return sh.mapInArrow(sign, out_schema)
 
 
+def _banded(sig_df: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """(id, band, bucket) — one row per (doc, band); bucket = xxhash64 of
+    the band's signature slice.  Shared by the within-corpus and
+    cross-corpus candidate generators (identical banding on both sides is
+    what makes their buckets comparable)."""
+    n_hashes_col = F.size("sig")
+    # bands > signature length would make rows_per_band 0: every band
+    # hashes an EMPTY slice, all docs share one bucket per band, and the
+    # max_bucket filter then silently reports zero candidates — fail the
+    # row loudly instead (raise_error evaluates JVM-side)
+    rows_per_band = (F.when(
+        n_hashes_col >= F.lit(bands), (n_hashes_col / bands).cast("int"))
+        .otherwise(F.raise_error(F.concat(
+            F.lit(f"bands={bands} exceeds the signature length "),
+            n_hashes_col.cast("string"))).cast("int")))
+    return sig_df.filter(F.col("sig").isNotNull()).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.xxhash64(F.slice("sig", bnd * rows_per_band + 1,
+                                               rows_per_band)))
+        ).alias("band", "bucket"))
+
+
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
                         bands: int = 32, max_bucket: int = 1000) -> DataFrame:
     """Candidate (id_a < id_b) pairs sharing at least one LSH band bucket.
@@ -276,24 +301,7 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
     pairs per bucket)."""
     if bands < 1:
         raise ValueError("bands must be >= 1")
-    n_hashes_col = F.size("sig")
-    # bands > signature length would make rows_per_band 0: every band
-    # hashes an EMPTY slice, all docs share one bucket per band, and the
-    # max_bucket filter then silently reports zero candidates — fail the
-    # row loudly instead (raise_error evaluates JVM-side)
-    rows_per_band = (F.when(
-        n_hashes_col >= F.lit(bands), (n_hashes_col / bands).cast("int"))
-        .otherwise(F.raise_error(F.concat(
-            F.lit(f"bands={bands} exceeds the signature length "),
-            n_hashes_col.cast("string"))).cast("int")))
-    banded = sig_df.filter(F.col("sig").isNotNull()).select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bnd: F.xxhash64(F.slice("sig", bnd * rows_per_band + 1,
-                                               rows_per_band)))
-        ).alias("band", "bucket"))
+    banded = _banded(sig_df, id_col, bands)
     buckets = (banded.groupBy("band", "bucket")
                .agg(F.collect_list(id_col).alias("__ids"))
                .filter((F.size("__ids") >= 2)
@@ -370,4 +378,76 @@ def near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     out = (j.withColumn("jaccard", jac)
            .filter(F.col("jaccard") >= threshold)
            .select("id_a", "id_b", "jaccard"))
+    return tag_intermediates(out, pairs)
+
+
+def near_dup_between(left: DataFrame, right: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     threshold: float = 0.7, n_hashes: int = 128,
+                     bands: int = 32, shingle_k: int = 3,
+                     method: str = "perm", broadcast_right: bool = True,
+                     max_bucket_right: int = 1000) -> DataFrame:
+    """Cross-corpus near-duplicates: ``(id_left, id_right, jaccard)`` for
+    pairs with exact word-shingle Jaccard >= threshold, one doc from each
+    frame — the FUZZY decontamination shape (exact n-gram overlap is
+    :mod:`sketchlib.text.decontaminate`; this catches the
+    whitespace-perturbed / lightly-edited benchmark copies exact grams
+    miss, the check Llama/GPT-style train-set audits run).
+
+    Scale shape: both sides go through the SAME banding
+    (:func:`_banded`), and candidates come from an equi-join on
+    (band, bucket).  With ``broadcast_right=True`` (the decontamination
+    default — eval suites are ~10^5 docs) the right side's banded table
+    broadcasts and the corpus is NEVER shuffled: candidate generation is
+    map-only against the corpus scan, and only candidate ids (typically
+    <<1% of the corpus) reach the exact-Jaccard verify.  Right-side
+    buckets larger than ``max_bucket_right`` are dropped whole
+    (degenerate boilerplate buckets — they'd pair with a huge fraction
+    of the corpus; the within-corpus dedup handles those).  Both ids
+    keep their frames' values; the output columns are ``id_left`` /
+    ``id_right`` regardless of ``id_col``.
+
+    Recall follows the banding curve exactly like
+    :func:`near_dup_pairs` (miss prob (1-s^r)^b — < 1e-14 at s >= 0.9
+    with 128/32); candidates are exact-verified, so precision is 1."""
+    from pyspark import StorageLevel
+
+    from ..spark.cacheutil import tag_intermediates
+
+    base_l = left.filter(F.col(text_col).isNotNull())
+    base_r = right.filter(F.col(text_col).isNotNull())
+    sig_l = minhash_signatures(base_l, text_col, id_col, n_hashes,
+                               shingle_k, method=method)
+    sig_r = minhash_signatures(base_r, text_col, id_col, n_hashes,
+                               shingle_k, method=method)
+    banded_l = _banded(sig_l.select(id_col, "sig"), id_col, bands) \
+        .withColumnRenamed(id_col, "id_left")
+    banded_r = _banded(sig_r.select(id_col, "sig"), id_col, bands) \
+        .withColumnRenamed(id_col, "id_right")
+    if max_bucket_right is not None:
+        keep = (banded_r.groupBy("band", "bucket")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") <= max_bucket_right)
+                .drop("__n"))
+        banded_r = banded_r.join(F.broadcast(keep), ["band", "bucket"],
+                                 "semi")
+    rhs = F.broadcast(banded_r) if broadcast_right else banded_r
+    pairs = (banded_l.join(rhs, ["band", "bucket"])
+             .select("id_left", "id_right").distinct()
+             .persist(StorageLevel.MEMORY_AND_DISK))
+
+    def shingle_side(base, out_id):
+        ids = pairs.select(F.col(out_id).alias(id_col)).distinct()
+        cand = base.join(F.broadcast(ids), id_col, "semi")
+        return cand.select(
+            F.col(id_col).alias(out_id),
+            shingles_col(F.col(text_col), shingle_k).alias(f"sh_{out_id}"))
+
+    j = (pairs.join(shingle_side(base_l, "id_left"), "id_left")
+         .join(shingle_side(base_r, "id_right"), "id_right"))
+    jac = (F.size(F.array_intersect("sh_id_left", "sh_id_right"))
+           / F.size(F.array_union("sh_id_left", "sh_id_right")))
+    out = (j.withColumn("jaccard", jac)
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_left", "id_right", "jaccard"))
     return tag_intermediates(out, pairs)

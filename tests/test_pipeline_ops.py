@@ -922,3 +922,72 @@ class TestDedupTextHardening:
         assert "" not in set(map(str, model.tokens))
         kws = top_keywords(df, model, k=3)
         assert kws.filter(F.col("token") == "").count() == 0
+
+
+class TestNearDupBetween:
+    def _frames(self, spark):
+        from pyspark.sql import Row
+        corpus = [Row(doc_id=i, text=f"unique corpus doc {i} " * 8 +
+                      f"tail {i}") for i in range(40)]
+        # docs 100/101 are light perturbations of eval docs 0/1
+        eval_rows = [
+            Row(doc_id=0, text="the quick brown fox jumps over the lazy "
+                               "dog again and again in the meadow"),
+            Row(doc_id=1, text="pack my box with five dozen liquor jugs "
+                               "before the long winter arrives early"),
+            Row(doc_id=2, text="completely unrelated benchmark question "
+                               "about astrophysics and neutron stars"),
+        ]
+        corpus.append(Row(doc_id=100, text="the quick  brown fox jumps "
+                          "over the lazy dog again and again in the "
+                          "meadow"))
+        corpus.append(Row(doc_id=101, text="pack my box with five dozen "
+                          "liquor jugs before the long winter arrives "
+                          "early today"))
+        return (spark.createDataFrame(corpus),
+                spark.createDataFrame(eval_rows))
+
+    def test_finds_cross_pairs_only(self, spark):
+        from sketchlib.dedup.minhash import near_dup_between
+
+        left, right = self._frames(spark)
+        for bc in (True, False):
+            got = {(r["id_left"], r["id_right"])
+                   for r in near_dup_between(
+                       left, right, threshold=0.6,
+                       broadcast_right=bc).collect()}
+            assert got == {(100, 0), (101, 1)}, bc
+
+    def test_matches_exact_jaccard(self, spark):
+        """Every reported pair's jaccard equals the exact value, and no
+        above-threshold cross pair is missed on this well-separated set."""
+        from sketchlib.dedup.minhash import near_dup_between, shingles_col
+
+        left, right = self._frames(spark)
+        got = {(r["id_left"], r["id_right"]): r["jaccard"]
+               for r in near_dup_between(left, right,
+                                         threshold=0.5).collect()}
+        sh_l = left.select("doc_id", shingles_col(F.col("text")).alias("s"))
+        sh_r = right.select(F.col("doc_id").alias("rid"),
+                            shingles_col(F.col("text")).alias("t"))
+        exact = {(r["doc_id"], r["rid"]): r["j"]
+                 for r in sh_l.crossJoin(sh_r).select(
+                     "doc_id", "rid",
+                     (F.size(F.array_intersect("s", "t"))
+                      / F.size(F.array_union("s", "t"))).alias("j"))
+                 .filter(F.col("j") >= 0.5).collect()}
+        assert got == exact
+
+    def test_null_text_and_bucket_cap(self, spark):
+        from pyspark.sql import Row
+
+        from sketchlib.dedup.minhash import near_dup_between
+
+        left, right = self._frames(spark)
+        left = left.unionByName(spark.createDataFrame(
+            [Row(doc_id=999, text=None)], "doc_id bigint, text string"))
+        # max_bucket_right=0 drops every right bucket -> no candidates
+        assert near_dup_between(left, right,
+                                max_bucket_right=0).count() == 0
+        assert near_dup_between(left, right,
+                                threshold=0.6).count() == 2
