@@ -589,6 +589,24 @@ def main() -> None:
     sections.append(("pruned_join(lineitem, dim, left_anti) — split-union",
                      p, checks))
 
+    # 33. cross-corpus fuzzy near-dup: candidate generation is a
+    # broadcast join against the benchmark side's banded table — the
+    # corpus side reaches the candidate join without any exchange
+    from sketchlib.dedup.minhash import near_dup_between
+
+    bench = docs.filter(F.col("doc_id") % 41 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text")
+    p = plan_of(near_dup_between(docs.select("doc_id", "text"), bench,
+                                 threshold=0.8))
+    n_bhj = p.count("BroadcastHashJoin")
+    checks = [("candidate generation joins the broadcast benchmark "
+               "buckets (no corpus shuffle into the LSH join)",
+               n_bhj >= 1 and "CartesianProduct" not in p),
+              ("verify side prefilters by broadcast candidate-id "
+               "semi-joins", "LeftSemi" in p)]
+    sections.append(("near_dup_between(documents, bench) — cross-corpus "
+                     "fuzzy near-dup", p, checks))
+
     out = ["# BENCH/PLANS — physical-plan audit",
            "",
            "Generated by `python scripts/explain_audit.py`. Each section is "
