@@ -58,3 +58,44 @@ def test_custom_fingerprint_and_summary(spark):
     s = {r["status"]: r["n_keys"] for r in delta_summary(d).collect()}
     assert s == {"added": 0, "removed": 0, "changed": 1, "unchanged": 1}
     assert set(s) == set(STATUSES)
+
+
+def test_randomized_vs_spark_sql(spark):
+    """Seeded random snapshots: crawl_delta matches a plain full-outer
+    reference computed with vanilla Spark ops, across 5 shapes with
+    duplicate keys resolved by latest capture."""
+    import random
+
+    rng = random.Random(77)
+    for trial in range(5):
+        n_old = rng.randrange(20, 80)
+        n_new = rng.randrange(20, 80)
+        keys = rng.randrange(10, 40)
+
+        def rows(n):
+            return [(f"u{rng.randrange(keys)}",
+                     rng.choice(["a", "b", "c", None]),
+                     datetime.datetime(2026, 1, 1 + rng.randrange(20)))
+                    for _ in range(n)]
+
+        old, new = _df(spark, rows(n_old)), _df(spark, rows(n_new))
+        got = {r["url"]: r["status"]
+               for r in crawl_delta(old, new, ts_col="warc_ts").collect()}
+
+        def latest(df):
+            w = (df.groupBy("url")
+                 .agg(F.max(F.struct(F.col("warc_ts").alias("ts"),
+                                     F.xxhash64("text").alias("fp")))
+                      .alias("w")))
+            return {r["url"]: r["w"]["fp"] for r in w.collect()}
+
+        lo, ln = latest(old), latest(new)
+        want = {}
+        for u in set(lo) | set(ln):
+            if u not in lo:
+                want[u] = "added"
+            elif u not in ln:
+                want[u] = "removed"
+            else:
+                want[u] = "unchanged" if lo[u] == ln[u] else "changed"
+        assert got == want, trial

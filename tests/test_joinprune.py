@@ -94,3 +94,30 @@ def test_probe_below_join_in_plan(spark):
     below = plan[join_at:]
     assert ("pythonUDF" in below) or ("ArrowEvalPython" in below) or (
         "BatchEvalPython" in below), plan
+
+
+def test_randomized_equivalence_sweep(spark):
+    """Seeded random frames (nulls, dup keys, disjoint/overlapping key
+    ranges, tiny filters): pruned_join == plain join for every supported
+    how, across 6 random shapes."""
+    import random
+
+    rng = random.Random(20260820)
+    for trial in range(6):
+        n_fact = rng.randrange(50, 300)
+        n_dim = rng.randrange(1, 60)
+        key_space = rng.randrange(3, 40)
+        shift = rng.choice([0, 0, key_space])  # sometimes disjoint
+        fact_rows = [(rng.randrange(key_space) if rng.random() > 0.1
+                      else None, i) for i in range(n_fact)]
+        dim_rows = [(rng.randrange(key_space) + shift if rng.random() > 0.1
+                     else None, -i) for i in range(n_dim)]
+        fact = spark.createDataFrame(fact_rows, "k bigint, v long")
+        dim = spark.createDataFrame(dim_rows, "k bigint, w long")
+        spec = BloomSpec(m_bits=1 << rng.randrange(4, 14),
+                         k=rng.randrange(1, 8))
+        for how in ("inner", "left_semi", "left_anti"):
+            plain = _sorted_rows(fact.join(dim, "k", how))
+            pruned = _sorted_rows(pruned_join(fact, dim, "k", how,
+                                              spec=spec))
+            assert pruned == plain, (trial, how)
