@@ -295,25 +295,9 @@ def build_warc(records, gzip_records: bool = False) -> bytes:
 PAGES_FIELDS = ("url", "warc_ts", "http_status", "content_type", "html")
 
 
-def records_frame(data: bytes, on_error: str = "stop"):
-    """Parse one WARC buffer into a pandas DataFrame with
-    :data:`PAGES_FIELDS` columns — the shared kernel of
-    :func:`read_warc` and the round-trip gate.  Only ``response``
-    records become rows (request/metadata/warcinfo are skipped, per the
-    pages-table contract); ``warc_ts`` is a tz-naive UTC datetime64
-    (the repo-wide pages-table convention)."""
+def _pages_frame(urls, tss, statuses, ctypes, payloads):
     import pandas as pd
 
-    urls, tss, statuses, ctypes, payloads = [], [], [], [], []
-    for headers, block in iter_warc_records(data, on_error=on_error):
-        if headers.get("warc-type") != "response":
-            continue
-        status, http_headers, payload = parse_http_response(block)
-        urls.append(headers.get("warc-target-uri"))
-        tss.append(headers.get("warc-date"))
-        statuses.append(status)
-        ctypes.append(http_headers.get("content-type"))
-        payloads.append(payload)
     return pd.DataFrame({
         "url": pd.Series(urls, dtype="object"),
         "warc_ts": pd.to_datetime(
@@ -325,18 +309,71 @@ def records_frame(data: bytes, on_error: str = "stop"):
     })
 
 
+def records_frames(data: bytes, on_error: str = "stop",
+                   chunk_records: int = 8192):
+    """Parse one WARC buffer into a STREAM of pandas DataFrames of at
+    most ``chunk_records`` rows each — the shared kernel of
+    :func:`read_warc` and the round-trip gate.  Only ``response``
+    records become rows (request/metadata/warcinfo are skipped, per the
+    pages-table contract); ``warc_ts`` is a tz-naive UTC datetime64
+    (the repo-wide pages-table convention).  Chunking bounds peak task
+    memory at (decompressed buffer + one chunk of payload copies)
+    instead of (buffer + EVERY payload at once) — on a ~5 GB
+    decompressed CC segment that halves the task's footprint."""
+    urls, tss, statuses, ctypes, payloads = [], [], [], [], []
+    it = iter_warc_records(data, on_error=on_error)
+    while True:
+        try:
+            headers, block = next(it)
+        except StopIteration:
+            break
+        except ValueError:
+            # flush the good prefix BEFORE propagating, so a caller
+            # catching the error still has every record parsed so far
+            if urls:
+                yield _pages_frame(urls, tss, statuses, ctypes, payloads)
+            raise
+        if headers.get("warc-type") != "response":
+            continue
+        status, http_headers, payload = parse_http_response(block)
+        urls.append(headers.get("warc-target-uri"))
+        tss.append(headers.get("warc-date"))
+        statuses.append(status)
+        ctypes.append(http_headers.get("content-type"))
+        payloads.append(payload)
+        if len(urls) >= chunk_records:
+            yield _pages_frame(urls, tss, statuses, ctypes, payloads)
+            urls, tss, statuses, ctypes, payloads = [], [], [], [], []
+    if urls:
+        yield _pages_frame(urls, tss, statuses, ctypes, payloads)
+
+
+def records_frame(data: bytes, on_error: str = "stop"):
+    """One-frame convenience over :func:`records_frames` (small buffers
+    — fixtures, the round-trip gate)."""
+    import pandas as pd
+
+    frames = list(records_frames(data, on_error=on_error))
+    if not frames:
+        return _pages_frame([], [], [], [], [])
+    return pd.concat(frames, ignore_index=True)
+
+
 def read_warc(spark, paths, on_error: str = "null"):
     """WARC files -> pages-shaped DataFrame ``(warc_file, url, warc_ts,
     http_status, content_type, html, parse_error)``.
 
     ``binaryFile`` source: one file per task (parallelism = file count —
-    the CC-snapshot granularity), whole file decompressed + parsed in one
-    pandas kernel call, rows emitted through a single Arrow exchange.
-    ``on_error="null"`` (default) turns a malformed FILE into one row
-    with null page fields and the error in ``parse_error`` (count them,
-    re-crawl them — never kill the job); ``"raise"`` fails the task.
-    Project/filter downstream as usual — the parse cost is per-file
-    either way, but column pruning keeps the Arrow exchange narrow."""
+    the CC-snapshot granularity); the file is decompressed once and its
+    records stream out in bounded chunks (``records_frames``), so peak
+    task memory is the decompressed buffer plus ONE chunk of payload
+    copies, not the whole file twice.  ``on_error="null"`` (default)
+    keeps every record parsed before a corruption point AND appends one
+    row with null page fields carrying the error in ``parse_error``
+    (count the bad files, re-crawl them — never kill the job);
+    ``"raise"`` fails the task.  Project/filter downstream as usual —
+    the parse cost is per-file either way, but column pruning keeps the
+    Arrow exchange narrow."""
     from pyspark.sql import types as T
 
     if on_error not in ("null", "raise"):
@@ -358,7 +395,12 @@ def read_warc(spark, paths, on_error: str = "null"):
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
                 try:
-                    frame = records_frame(bytes(content), on_error="raise")
+                    for frame in records_frames(bytes(content),
+                                                on_error="raise"):
+                        frame.insert(0, "warc_file", path)
+                        frame["parse_error"] = pd.Series(
+                            [None] * len(frame), dtype="object")
+                        yield frame
                 except ValueError as exc:
                     if on_error == "raise":
                         raise
@@ -374,10 +416,6 @@ def read_warc(spark, paths, on_error: str = "null"):
                                                  dtype="object"),
                     })
                     continue
-                frame.insert(0, "warc_file", path)
-                frame["parse_error"] = pd.Series(
-                    [None] * len(frame), dtype="object")
-                yield frame
 
     src = spark.read.format("binaryFile").load(paths)
     return src.select("path", "content").mapInPandas(kernel, schema=schema)

@@ -241,3 +241,17 @@ def test_gzip_corruption_contract():
     except ValueError:
         pass
     list(iter_warc_records(bad, on_error="stop"))  # must not raise
+
+
+def test_read_warc_partial_file_keeps_prefix(spark, tmp_path):
+    """A file corrupted mid-archive yields its good-prefix records AND
+    one parse_error row (countable + retrievable)."""
+    buf = build_warc(RECS)  # plain: cut inside record 3's header
+    cut = buf[: buf.rfind(b"WARC/1.0") + 30]
+    (tmp_path / "partial.warc").write_bytes(cut)
+    df = read_warc(spark, str(tmp_path))
+    rows = df.collect()
+    good = [r for r in rows if r["parse_error"] is None]
+    bad = [r for r in rows if r["parse_error"] is not None]
+    assert sorted(r["url"] for r in good) == [u for u, _, _ in RECS[:2]]
+    assert len(bad) == 1 and bad[0]["url"] is None
