@@ -1,0 +1,228 @@
+"""Oracles for sketchlib.graph: link extraction, host graph, HyperBall.
+
+HyperBall's oracle exploits the reference's direct-count mode
+(HllConstants.cs:42): every ball in these graphs holds < 100 nodes, so the
+per-node HLL is EXACT and hyperball output must equal brute-force BFS
+bit-for-bit — no tolerance anywhere.
+"""
+
+from __future__ import annotations
+
+import random
+from collections import deque
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sketchlib.graph import (
+    closeness_centrality,
+    extract_links,
+    extract_links_expr,
+    harmonic_centrality,
+    host_edges,
+    hyperball,
+    neighborhood_function,
+)
+
+
+# ---------------------------------------------------------------------------
+# links
+# ---------------------------------------------------------------------------
+
+HTML = (
+    '<html><body>'
+    '<a href="https://a.example.com/x">one</a>'
+    "<a class='z' href='http://b.example.com/y?q=1'>two</a>"
+    '<a href="/relative/path">three</a>'
+    '<a href="//c.example.com/proto">four</a>'
+    '<A HREF="HTTPS://D.EXAMPLE.COM/UP">five</A>'
+    '<a name="anchor-no-href">six</a>'
+    '</body></html>'
+)
+
+
+def test_extract_links_expr_variants(spark):
+    df = spark.createDataFrame([("u1", HTML.encode("utf-8"))], "url string, html binary")
+    links = df.select(extract_links_expr("html").alias("l")).collect()[0]["l"]
+    assert links == [
+        "https://a.example.com/x",
+        "http://b.example.com/y?q=1",
+        "/relative/path",
+        "//c.example.com/proto",
+        "HTTPS://D.EXAMPLE.COM/UP",
+    ]
+
+
+def test_extract_links_explodes_and_drops_linkless(spark):
+    df = spark.createDataFrame(
+        [("u1", HTML), ("u2", "<html><body>no links</body></html>")],
+        "url string, html string")
+    rows = extract_links(df).collect()
+    assert {r["url"] for r in rows} == {"u1"}
+    assert len(rows) == 5
+
+
+def test_host_edges_resolution(spark):
+    df = spark.createDataFrame(
+        [("https://www.src.example.com/page", HTML)], "url string, html string")
+    edges = {(r["src_host"], r["dst_host"]): r["n_links"]
+             for r in host_edges(df).collect()}
+    # relative link -> self edge, excluded by default; proto-relative borrows
+    # https; uppercase host lowers
+    assert edges == {
+        ("src.example.com", "a.example.com"): 1,
+        ("src.example.com", "b.example.com"): 1,
+        ("src.example.com", "c.example.com"): 1,
+        ("src.example.com", "d.example.com"): 1,
+    }
+    with_self = {(r["src_host"], r["dst_host"]): r["n_links"]
+                 for r in host_edges(df, include_self=True).collect()}
+    assert with_self[("src.example.com", "src.example.com")] == 1
+
+
+def test_host_edges_malformed_rows_survive(spark):
+    df = spark.createDataFrame(
+        [("not a url at all", '<a href="https://ok.com/x">y</a>'),
+         ("https://fine.com/p", '<a href="https://ok.com/x">y</a>'),
+         ("https://fine.com/p", "<a href='http://:bad:/'>z</a>")],
+        "url string, html string")
+    edges = {(r["src_host"], r["dst_host"]): r["n_links"]
+             for r in host_edges(df).collect()}
+    # row 1: src host unparseable -> dropped; row 3: dst unparseable -> dropped
+    assert edges == {("fine.com", "ok.com"): 1}
+
+
+# ---------------------------------------------------------------------------
+# hyperball — exact BFS parity in direct-count range
+# ---------------------------------------------------------------------------
+
+def _bfs_balls(edges, nodes, max_r, directed):
+    adj = {n: set() for n in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        if not directed:
+            adj[v].add(u)
+    out = {}
+    for s in nodes:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            if dist[x] >= max_r:
+                continue
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        for r in range(max_r + 1):
+            out[(s, r)] = sum(1 for d in dist.values() if d <= r)
+    return out
+
+
+def _hyperball_dict(spark, edges, max_r, directed):
+    df = spark.createDataFrame(edges, "u long, v long")
+    balls = hyperball(df, max_r, directed=directed)
+    got = {(r["node"], r["r"]): r["ball_est"] for r in balls.collect()}
+    return got
+
+
+def test_hyperball_path_graph_exact(spark):
+    # 0 -> 1 -> 2 -> 3
+    edges = [(0, 1), (1, 2), (2, 3)]
+    got = _hyperball_dict(spark, edges, 3, directed=True)
+    exact = _bfs_balls(edges, range(4), 3, directed=True)
+    for k, v in got.items():
+        assert v == exact[k], k
+    # node 0 reaches everything at r=3
+    assert got[(0, 3)] == 4
+    # sink node saturates immediately: its rows stop at the global fixed
+    # point, but r=0 row exists
+    assert got[(3, 0)] == 1
+
+
+def test_hyperball_early_stop_on_diameter(spark):
+    edges = [(0, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    balls = hyperball(df, max_r=10, directed=True)
+    # diameter 2: rounds 0,1,2 produce frames; round 3 hits the fixed point
+    assert balls.agg(F.max("r")).collect()[0][0] == 2
+
+
+def test_hyperball_undirected_and_disconnected(spark):
+    edges = [(0, 1), (2, 3)]
+    got = _hyperball_dict(spark, edges, 2, directed=False)
+    exact = _bfs_balls(edges, range(4), 2, directed=False)
+    # saturation at r=1 truncates frames; every emitted estimate must match
+    for k, v in got.items():
+        assert v == exact[k], k
+    assert got[(0, 1)] == 2 and got[(2, 1)] == 2
+
+
+def test_hyperball_randomized_exact_parity(spark):
+    rng = random.Random(1234)
+    n = 40
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(120)})
+    edges = [e for e in edges if e[0] != e[1]]
+    nodes = sorted({u for e in edges for u in e})
+    got = _hyperball_dict(spark, edges, 4, directed=True)
+    exact = _bfs_balls(edges, nodes, 4, directed=True)
+    r_eff = max(r for (_, r) in got)
+    for (s, r), v in got.items():
+        assert v == exact[(s, r)], (s, r)
+    # past the effective radius nothing changes; verify the plateau is real
+    for s in nodes:
+        assert exact[(s, 4)] == exact[(s, min(4, r_eff))]
+
+
+def test_neighborhood_function_pads_plateau(spark):
+    edges = [(0, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    nf = {r["r"]: r["n_pairs_est"] for r in
+          neighborhood_function(df, 5, directed=True).collect()}
+    # N(0)=3, N(1)=3+2... path 0->1->2: balls r1 = {0:2,1:2,2:1}=5, r2 = 6
+    assert nf[0] == 3.0 and nf[1] == 5.0 and nf[2] == 6.0
+    assert nf[3] == 6.0 and nf[4] == 6.0 and nf[5] == 6.0
+    assert len(nf) == 6
+
+
+def test_centralities_exact_small_graph(spark):
+    # star: center 0 -- leaves 1..4 (undirected)
+    edges = [(0, i) for i in range(1, 5)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    balls = hyperball(df, 2, directed=False)
+    h = {r["node"]: r["harmonic"] for r in harmonic_centrality(balls).collect()}
+    assert h[0] == pytest.approx(4.0)          # 4 at distance 1
+    assert h[1] == pytest.approx(1.0 + 3 / 2)  # center at 1, leaves at 2
+    c = {r["node"]: r for r in closeness_centrality(balls).collect()}
+    assert c[0]["reachable"] == 4 and c[0]["total_dist"] == 4
+    assert c[0]["lin_index"] == pytest.approx(4.0)
+    assert c[1]["reachable"] == 4 and c[1]["total_dist"] == 1 + 3 * 2
+    assert c[1]["lin_index"] == pytest.approx(16 / 7)
+
+
+def test_hyperball_rejects_negative_radius(spark):
+    df = spark.createDataFrame([(0, 1)], "u long, v long")
+    with pytest.raises(ValueError):
+        hyperball(df, -1)
+
+
+def test_hyperball_null_edges_ignored(spark):
+    df = spark.createDataFrame([(0, 1), (None, 2), (3, None)], "u long, v long")
+    got = {(r["node"], r["r"]): r["ball_est"]
+           for r in hyperball(df, 1, directed=True).collect()}
+    # only nodes on non-null edges participate
+    assert set(n for (n, _) in got) == {0, 1}
+    assert got[(0, 1)] == 2
+
+
+def test_empty_and_degenerate_inputs(spark):
+    e = spark.createDataFrame([], "u long, v long")
+    assert hyperball(e, 3).count() == 0
+    nf = {r["r"]: r["n_pairs_est"]
+          for r in neighborhood_function(e, 2).collect()}
+    assert nf == {0: 0.0, 1: 0.0, 2: 0.0}
+    # self-loop only: the node exists, its ball is itself
+    e3 = spark.createDataFrame([(5, 5)], "u long, v long")
+    rows = hyperball(e3, 2).collect()
+    assert [(r["node"], r["r"], r["ball_est"]) for r in rows] == [(5, 0, 1)]
