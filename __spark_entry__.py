@@ -2465,6 +2465,71 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_delta(old, new, fingerprint=fp).orderBy("url")
 
 
+def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph (sketchlib/graph/links.py host_edges) over
+    pages synthesized deterministically from documents: each doc becomes a
+    page at https://www.h{doc_id%97}.example.com with two absolute outlinks
+    (mixed quote styles, one http/one https) plus a relative link.  The
+    Spark side runs the REAL extraction pipeline — regexp_extract_all over
+    the html string, explode, url_host (www-strip + try_parse_url), self-
+    edge drop, groupBy — while the oracle derives the same edges closed-
+    form from the doc_id arithmetic, so any extraction/normalization bug
+    breaks the hash."""
+    from sketchlib.graph.links import host_edges
+
+    d = F.col("doc_id")
+    h = lambda e: F.concat(F.lit("h"), e.cast("string"), F.lit(".example.com"))  # noqa: E731
+    pages = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://www."), h(d % 97), F.lit("/d/"),
+                 d.cast("string")).alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="https://'), h((d * 7 + 1) % 97),
+            F.lit('/a">1</a><a class=\'x\' href=\'http://'),
+            h((d * 11 + 3) % 97), F.lit("/b'>2</a><a href=\"/rel/"),
+            d.cast("string"), F.lit('">3</a></body></html>')).alias("html"))
+    return (host_edges(pages)
+            .orderBy("src_host", "dst_host"))
+
+
+def q_hyperball_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood function (sketchlib/graph/hyperball.py) on the
+    bipartite supplier-part graph (l_partkey < 200; node ids disjointified
+    as supp*2 / part*2+1), undirected, radii 0..3.  The HLL estimate N(r)
+    is checked within 6 sigma of the exact pair count, which the Spark side
+    derives by iterative BFS joins and the oracle by a recursive CTE —
+    balls here are a few hundred nodes (LinearCounting regime), so the
+    margin holds with enormous slack.  The gate-scale exact BFS stores
+    O(n^2) pair rows; HyperBall itself stores one blob per node, which is
+    the whole point at 10^9 nodes."""
+    from sketchlib.graph.hyperball import neighborhood_function
+
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
+    edges = (li.select((F.col("l_suppkey") * 2).alias("u"),
+                       (F.col("l_partkey") * 2 + 1).alias("v"))
+             .distinct())
+    est = neighborhood_function(edges, 3, directed=False)
+
+    # exact pair counts via BFS over the symmetrized edge set (gate-only)
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    nodes = (sym.select(F.col("u").alias("src")).distinct())
+    pairs = nodes.select("src", F.col("src").alias("reached"))
+    counts = [(0, pairs.count())]
+    for r in range(1, 4):
+        step = (pairs.join(sym, pairs["reached"] == sym["u"])
+                .select("src", F.col("v").alias("reached")))
+        pairs = pairs.unionByName(step).distinct().localCheckpoint(eager=True)
+        counts.append((r, pairs.count()))
+    exact = spark.createDataFrame(counts, "r int, exact_pairs long")
+
+    j = est.join(exact, "r")
+    within = (F.abs(F.col("n_pairs_est") - F.col("exact_pairs"))
+              <= F.greatest(F.lit(_HLL_MARGIN) * F.col("exact_pairs"),
+                            F.lit(2.0))).alias("within_bound")
+    return j.select("r", "exact_pairs", within).orderBy("r")
+
+
 def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance-resampling selection (sketchlib/text/dsir.py) in
     exact-gram mode: target = docs with doc_id % 37 == 0, raw = the whole
@@ -3117,6 +3182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "crawl_delta": q_crawl_delta,
         "fuzzy_decontamination": q_fuzzy_decontamination,
+        "host_link_graph": q_host_link_graph,
+        "hyperball_neighborhood": q_hyperball_neighborhood,
         # -- longest-stale (r02-green, unchecked since) --------------------
         "url_normalize_keys": q_url_normalize_keys,
         "embedding_near_dup": q_embedding_near_dup,
@@ -3951,6 +4018,43 @@ def _pipeline_oracles() -> dict[str, str]:
             "WHEN o.old_fp = n.new_fp THEN 'unchanged' "
             "ELSE 'changed' END AS status, o.old_fp, n.new_fp "
             "FROM o FULL OUTER JOIN n ON o.url = n.url ORDER BY url"
+        ),
+        "host_link_graph": (
+            # closed-form re-derivation of the synthesized link graph from
+            # the doc_id arithmetic: Spark runs regex extraction + host
+            # normalization on real HTML strings; the oracle knows what the
+            # hosts must be.  Relative links resolve to the page's own host
+            # and self edges are dropped, hence the src != dst filters.
+            "WITH p AS (SELECT 'h' || (doc_id % 97) || '.example.com' AS s, "
+            "'h' || ((doc_id * 7 + 1) % 97) || '.example.com' AS d1, "
+            "'h' || ((doc_id * 11 + 3) % 97) || '.example.com' AS d2 "
+            "FROM documents), "
+            "links AS (SELECT s, d1 AS d FROM p WHERE s != d1 "
+            "UNION ALL SELECT s, d2 FROM p WHERE s != d2) "
+            "SELECT s AS src_host, d AS dst_host, COUNT(*) AS n_links "
+            "FROM links GROUP BY s, d ORDER BY s, d"
+        ),
+        "hyperball_neighborhood": (
+            # exact neighborhood function by recursive CTE over the
+            # symmetrized supplier-part graph; the Spark side's HLL estimate
+            # is asserted within 6 sigma there, so the hash matches exactly
+            # when the sketch math is in bound
+            "WITH RECURSIVE "
+            "e AS (SELECT DISTINCT l_suppkey * 2 AS u, "
+            "l_partkey * 2 + 1 AS v FROM lineitem WHERE l_partkey < 200), "
+            "sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e), "
+            "nodes AS (SELECT DISTINCT u AS n FROM sym), "
+            "walk(src, node, d) AS ("
+            "SELECT n, n, 0 FROM nodes "
+            "UNION "
+            "SELECT w.src, s.v, w.d + 1 FROM walk w "
+            "JOIN sym s ON s.u = w.node WHERE w.d < 3), "
+            "md AS (SELECT src, node, MIN(d) AS d FROM walk "
+            "GROUP BY src, node) "
+            "SELECT CAST(rs.r AS INTEGER) AS r, "
+            "COUNT(*) AS exact_pairs, TRUE AS within_bound "
+            "FROM (VALUES (0), (1), (2), (3)) rs(r) "
+            "JOIN md ON md.d <= rs.r GROUP BY rs.r ORDER BY r"
         ),
         "dsir_selection": (
             # full re-derivation: same tokenizer + bigram construction
