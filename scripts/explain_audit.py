@@ -607,6 +607,49 @@ def main() -> None:
     sections.append(("near_dup_between(documents, bench) — cross-corpus "
                      "fuzzy near-dup", p, checks))
 
+    # 34. host link graph: extraction must be pure codegen (regex + explode
+    # + parse inside WholeStageCodegen), with the single shuffle being the
+    # (src_host, dst_host) aggregate — page payloads never shuffle
+    from sketchlib.graph.links import host_edges
+
+    pages_links = pages.select(
+        "url",
+        F.concat(F.lit('<a href="https://out'),
+                 (F.xxhash64("url") % 50).cast("string"),
+                 F.lit('.example.com/x">l</a>')).alias("html"))
+    p = plan_of(host_edges(pages_links))
+    checks = [("one shuffle: the (src_host, dst_host) count aggregate",
+               n_shuffles(p) == 1),
+              ("extraction stays JVM-side (no Python evals in the plan)",
+               "Python" not in p and "BatchEvalPython" not in p),
+              ("map-side partial aggregation before the exchange",
+               p.count("HashAggregate") >= 2)]
+    sections.append(("host_edges(pages) — link extraction + host graph",
+                     p, checks))
+
+    # 35. one HyperBall relaxation round: edges ⋈ counters feeding the
+    # grouped blob merge — shuffles carry edge rows and sketch blobs only
+    from sketchlib.spark.aggregate import HllSpec, merge_partials, sketch_agg
+
+    hb_edges = li.select((F.col("l_suppkey") * 2).alias("u"),
+                         (F.col("l_partkey") * 2 + 1).alias("v")).distinct()
+    hb_edges = hb_edges.localCheckpoint(eager=True)
+    spec = HllSpec()
+    nodes0 = (hb_edges.select(F.col("u").alias("node"))
+              .unionByName(hb_edges.select(F.col("v").alias("node")))
+              .distinct())
+    counters = sketch_agg(nodes0, "node", ["node"], spec).localCheckpoint(eager=True)
+    contrib = (hb_edges.join(counters, hb_edges["v"] == counters["node"])
+               .select(hb_edges["u"].alias("node"), "sketch"))
+    p = plan_of(merge_partials(counters.unionByName(contrib), ["node"], spec))
+    checks = [("no cartesian product in the relaxation join",
+               "CartesianProduct" not in p),
+              ("grouped blob merge collects map-side before its exchange "
+               "(ObjectHashAggregate partial_collect_list)",
+               "partial_collect_list" in p or p.count("ObjectHashAggregate") >= 2)]
+    sections.append(("hyperball round — edges ⋈ counters + merge_partials",
+                     p, checks))
+
     out = ["# BENCH/PLANS — physical-plan audit",
            "",
            "Generated by `python scripts/explain_audit.py`. Each section is "
