@@ -2530,6 +2530,26 @@ def q_hyperball_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("r", "exact_pairs", within).orderBy("r")
 
 
+def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (sketchlib/graph/pagerank.py) on the
+    97-host graph synthesized from doc_id arithmetic, 3 iterations at
+    scale=10^6.  Integer micro-unit ranks make every sum order-independent,
+    so the oracle replays the FULL power iteration in SQL (one CTE per
+    iteration, including the dangling-mass term) and the value hash must
+    match bit-for-bit — no tolerance."""
+    from sketchlib.graph.pagerank import pagerank
+
+    d = F.col("doc_id")
+    docs = _read(spark, sf_dir, "documents")
+    edges = (docs.select((d % 97).alias("u"), ((d * 7 + 1) % 97).alias("v"))
+             .unionByName(
+                 docs.select((d % 97).alias("u"),
+                             ((d * 11 + 3) % 97).alias("v")))
+             .distinct())
+    return (pagerank(edges, n_iter=3)
+            .orderBy("node"))
+
+
 def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance-resampling selection (sketchlib/text/dsir.py) in
     exact-gram mode: target = docs with doc_id % 37 == 0, raw = the whole
@@ -3184,6 +3204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_decontamination": q_fuzzy_decontamination,
         "host_link_graph": q_host_link_graph,
         "hyperball_neighborhood": q_hyperball_neighborhood,
+        "pagerank_hosts": q_pagerank_hosts,
         # -- longest-stale (r02-green, unchecked since) --------------------
         "url_normalize_keys": q_url_normalize_keys,
         "embedding_near_dup": q_embedding_near_dup,
@@ -4055,6 +4076,44 @@ def _pipeline_oracles() -> dict[str, str]:
             "COUNT(*) AS exact_pairs, TRUE AS within_bound "
             "FROM (VALUES (0), (1), (2), (3)) rs(r) "
             "JOIN md ON md.d <= rs.r GROUP BY rs.r ORDER BY r"
+        ),
+        "pagerank_hosts": (
+            # full 3-iteration power-iteration replay in integer arithmetic
+            # (BIGINT // division, order-independent sums) — bit-exact, so
+            # the hash matches with no tolerance.  The dangling term is
+            # computed faithfully each iteration even though this graph has
+            # none (every residue 0..96 appears as a source).
+            "WITH e AS (SELECT DISTINCT u, v FROM ("
+            "SELECT doc_id % 97 AS u, (doc_id * 7 + 1) % 97 AS v "
+            "FROM documents UNION ALL "
+            "SELECT doc_id % 97, (doc_id * 11 + 3) % 97 FROM documents)), "
+            "nodes AS (SELECT DISTINCT u AS n FROM e "
+            "UNION SELECT DISTINCT v FROM e), "
+            "nn AS (SELECT COUNT(*) AS c FROM nodes), "
+            "deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u), "
+            "r0 AS (SELECT n, CAST(1000000 AS BIGINT) AS r FROM nodes), "
+            "g1 AS (SELECT (SELECT COALESCE(SUM(r), 0) FROM r0 WHERE n NOT IN "
+            "(SELECT u FROM deg)) // (SELECT c FROM nn) AS sh), "
+            "c1 AS (SELECT e.v AS n, SUM(r0.r // deg.d) AS s FROM e "
+            "JOIN deg USING (u) JOIN r0 ON r0.n = e.u GROUP BY e.v), "
+            "r1 AS (SELECT nodes.n, 150000 + (85 * (COALESCE(c1.s, 0) + "
+            "(SELECT sh FROM g1))) // 100 AS r "
+            "FROM nodes LEFT JOIN c1 ON c1.n = nodes.n), "
+            "g2 AS (SELECT (SELECT COALESCE(SUM(r), 0) FROM r1 WHERE n NOT IN "
+            "(SELECT u FROM deg)) // (SELECT c FROM nn) AS sh), "
+            "c2 AS (SELECT e.v AS n, SUM(r1.r // deg.d) AS s FROM e "
+            "JOIN deg USING (u) JOIN r1 ON r1.n = e.u GROUP BY e.v), "
+            "r2 AS (SELECT nodes.n, 150000 + (85 * (COALESCE(c2.s, 0) + "
+            "(SELECT sh FROM g2))) // 100 AS r "
+            "FROM nodes LEFT JOIN c2 ON c2.n = nodes.n), "
+            "g3 AS (SELECT (SELECT COALESCE(SUM(r), 0) FROM r2 WHERE n NOT IN "
+            "(SELECT u FROM deg)) // (SELECT c FROM nn) AS sh), "
+            "c3 AS (SELECT e.v AS n, SUM(r2.r // deg.d) AS s FROM e "
+            "JOIN deg USING (u) JOIN r2 ON r2.n = e.u GROUP BY e.v), "
+            "r3 AS (SELECT nodes.n, 150000 + (85 * (COALESCE(c3.s, 0) + "
+            "(SELECT sh FROM g3))) // 100 AS r "
+            "FROM nodes LEFT JOIN c3 ON c3.n = nodes.n) "
+            "SELECT n AS node, CAST(r AS BIGINT) AS rank FROM r3 ORDER BY n"
         ),
         "dsir_selection": (
             # full re-derivation: same tokenizer + bigram construction

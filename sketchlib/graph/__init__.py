@@ -21,3 +21,4 @@ from .links import (  # noqa: F401
     extract_links_expr,
     host_edges,
 )
+from .pagerank import pagerank  # noqa: F401

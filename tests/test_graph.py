@@ -226,3 +226,101 @@ def test_empty_and_degenerate_inputs(spark):
     e3 = spark.createDataFrame([(5, 5)], "u long, v long")
     rows = hyperball(e3, 2).collect()
     assert [(r["node"], r["r"], r["ball_est"]) for r in rows] == [(5, 0, 1)]
+
+
+# ---------------------------------------------------------------------------
+# pagerank — exact integer-arithmetic parity with a pure-python replay
+# ---------------------------------------------------------------------------
+
+def _py_pagerank(edges, n_iter, damping_pct=85, scale=1_000_000):
+    e = sorted({(u, v) for u, v in edges if u is not None and v is not None})
+    nodes = sorted({x for p in e for x in p})
+    n = len(nodes)
+    deg = {}
+    for u, _ in e:
+        deg[u] = deg.get(u, 0) + 1
+    base = ((100 - damping_pct) * scale) // 100
+    rank = {x: scale for x in nodes}
+    for _ in range(n_iter):
+        dang = sum(rank[x] for x in nodes if x not in deg)
+        share = dang // n
+        in_sum = {x: 0 for x in nodes}
+        for u, v in e:
+            in_sum[v] += rank[u] // deg[u]
+        rank = {x: base + (damping_pct * (in_sum[x] + share)) // 100
+                for x in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_replay(spark):
+    from sketchlib.graph import pagerank
+
+    rng = random.Random(99)
+    edges = sorted({(rng.randrange(30), rng.randrange(30)) for _ in range(80)})
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=5).collect()}
+    want = _py_pagerank(edges, 5)
+    assert got == want
+
+
+def test_pagerank_dangling_and_hub(spark):
+    from sketchlib.graph import pagerank
+
+    # 1,2,3 -> 0; 0 has no out-edges (dangling hub)
+    edges = [(1, 0), (2, 0), (3, 0)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=4).collect()}
+    want = _py_pagerank(edges, 4)
+    assert got == want
+    assert got[0] > got[1] == got[2] == got[3]
+
+
+def test_pagerank_bit_stable_across_partitionings(spark):
+    from sketchlib.graph import pagerank
+
+    rng = random.Random(7)
+    edges = sorted({(rng.randrange(50), rng.randrange(50)) for _ in range(200)})
+    a = spark.createDataFrame(edges, "u long, v long").repartition(1)
+    b = spark.createDataFrame(edges, "u long, v long").repartition(7)
+    ra = sorted((r["node"], r["rank"]) for r in pagerank(a, 4).collect())
+    rb = sorted((r["node"], r["rank"]) for r in pagerank(b, 4).collect())
+    assert ra == rb
+
+
+def test_pagerank_tracks_float_pagerank(spark):
+    from sketchlib.graph import pagerank
+
+    # ring + shortcut: known asymmetric ranks; integer quantization must sit
+    # within ppm of the float computation at scale=1e6
+    edges = [(i, (i + 1) % 10) for i in range(10)] + [(0, 5), (1, 5)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["node"]: r["rank"] / 1e6 for r in pagerank(df, 20).collect()}
+
+    nodes = sorted({x for p in edges for x in p})
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    fr = {x: 1.0 for x in nodes}
+    for _ in range(20):
+        s = {x: 0.0 for x in nodes}
+        for u, v in edges:
+            s[v] += fr[u] / deg[u]
+        fr = {x: 0.15 + 0.85 * s[x] for x in nodes}
+    for x in nodes:
+        assert got[x] == pytest.approx(fr[x], abs=1e-4)
+    assert max(got, key=got.get) == 5
+
+
+def test_pagerank_degenerate(spark):
+    from sketchlib.graph import pagerank
+
+    empty = spark.createDataFrame([], "u long, v long")
+    assert pagerank(empty, 3).count() == 0
+    one = spark.createDataFrame([(1, 1)], "u long, v long")
+    # self-loop keeps all its mass: rank stays ~scale
+    r = pagerank(one, 3).collect()[0]
+    assert r["node"] == 1 and abs(r["rank"] - 1_000_000) <= 3
+    with pytest.raises(ValueError):
+        pagerank(one, -1)
+    with pytest.raises(ValueError):
+        pagerank(one, 2, damping_pct=101)
