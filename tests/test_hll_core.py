@@ -365,3 +365,100 @@ def test_add_reports_changed_reference_cases():
     assert add_int(0) is False
     # element not present but the internal state doesn't change
     assert add_int(116) is False
+
+
+# ---------------------------------------------------------------------------
+# fold_blobs: wire-level group fold must be bit-identical to sequential merge
+# ---------------------------------------------------------------------------
+
+def _random_blob(rng, p, mode):
+    import numpy as np
+    from sketchlib.hll import HllSketch
+
+    sk = HllSketch(p=p)
+    if mode == "empty":
+        n = 0
+    elif mode == "direct":
+        n = rng.integers(1, 90)
+    elif mode == "sparse":
+        n = rng.integers(101, 500)
+    else:  # dense
+        n = (1 << p)  # far past the sparse bound at small p
+    if n:
+        sk.add_hashes(rng.integers(0, 2**63, size=n, dtype=np.int64)
+                      .astype(np.uint64))
+    return sk.to_bytes()
+
+
+@pytest.mark.parametrize("p", [8, 11, 14])
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_fold_blobs_bit_identical_to_sequential(p, seed):
+    import numpy as np
+    from sketchlib.hll import HllSketch, fold_blobs
+
+    rng = np.random.default_rng(seed * 1000 + p)
+    modes = ["empty", "direct", "sparse", "dense"]
+    for _ in range(8):
+        k = int(rng.integers(2, 7))
+        blobs = [_random_blob(rng, p, modes[int(rng.integers(0, 4))])
+                 for _ in range(k)]
+        merged = None
+        for b in blobs:
+            sk = HllSketch.from_bytes(b)
+            if merged is None:
+                merged = sk
+            else:
+                merged.merge(sk)
+        assert fold_blobs(blobs) == merged.to_bytes()
+        # order-invariance of the fold itself
+        perm = [blobs[i] for i in rng.permutation(k)]
+        assert fold_blobs(perm) == merged.to_bytes()
+
+
+def test_fold_blobs_all_direct_stays_direct():
+    from sketchlib.hll import HllSketch, fold_blobs
+
+    a, b = HllSketch(), HllSketch()
+    a.add(b"x", b"y")
+    b.add(b"y", b"z")
+    out = HllSketch.from_bytes(fold_blobs([a.to_bytes(), b.to_bytes()]))
+    assert out.direct is not None and out.count() == 3
+    assert out.count_additions == 4
+
+
+def test_fold_blobs_direct_overflow_promotes():
+    import numpy as np
+    from sketchlib.hll import HllSketch, fold_blobs
+
+    rng = np.random.default_rng(7)
+    parts = []
+    for i in range(3):
+        sk = HllSketch()
+        sk.add_hashes(rng.integers(0, 2**63, size=60, dtype=np.int64)
+                      .astype(np.uint64))
+        parts.append(sk.to_bytes())
+    out = HllSketch.from_bytes(fold_blobs(parts))
+    assert out.direct is None  # ~180 distinct > 100
+    seq = HllSketch.from_bytes(parts[0])
+    for b in parts[1:]:
+        seq.merge(HllSketch.from_bytes(b))
+    assert out == seq
+
+
+def test_fold_blobs_precision_mismatch_raises():
+    from sketchlib.hll import HllSketch, fold_blobs
+
+    a = HllSketch(p=12); a.add(b"x")
+    b = HllSketch(p=14); b.add(b"y")
+    with pytest.raises(ValueError, match="precision"):
+        fold_blobs([a.to_bytes(), b.to_bytes()])
+
+
+def test_fold_blobs_rejects_empty_and_truncated():
+    from sketchlib.hll import HllSketch, fold_blobs
+
+    with pytest.raises(ValueError):
+        fold_blobs([])
+    a = HllSketch(); a.add(b"x")
+    with pytest.raises(ValueError):
+        fold_blobs([a.to_bytes()[:5]])
