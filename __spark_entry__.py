@@ -2530,6 +2530,28 @@ def q_hyperball_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("r", "exact_pairs", within).orderBy("r")
 
 
+def q_host_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall geometric centralities (sketchlib/graph/hyperball.py
+    closeness_centrality) on a 97-node ring-with-chords graph (out-degree 2:
+    i -> i+1 and i -> 3i+5 mod 97), radii 0..4, directed.  Every ball holds
+    <= 97 < 100 nodes, so the per-node HLL runs in the reference's
+    direct-count mode (HllConstants.cs:42) and reachable/total_dist/
+    lin_index are EXACT — the oracle recomputes them from a recursive-CTE
+    BFS and the hash must match with no tolerance.  Shell sums are integral
+    doubles (< 2^53), so even the double arithmetic is order-independent."""
+    from sketchlib.graph.hyperball import closeness_centrality, hyperball
+
+    d = F.col("doc_id")
+    docs = _read(spark, sf_dir, "documents")
+    edges = (docs.select((d % 97).alias("u"), ((d + 1) % 97).alias("v"))
+             .unionByName(
+                 docs.select((d % 97).alias("u"),
+                             ((d * 3 + 5) % 97).alias("v")))
+             .distinct())
+    balls = hyperball(edges, 4, directed=True)
+    return closeness_centrality(balls).orderBy("node")
+
+
 def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point integer PageRank (sketchlib/graph/pagerank.py) on the
     97-host graph synthesized from doc_id arithmetic, 3 iterations at
@@ -3205,6 +3227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_link_graph": q_host_link_graph,
         "hyperball_neighborhood": q_hyperball_neighborhood,
         "pagerank_hosts": q_pagerank_hosts,
+        "host_centrality": q_host_centrality,
         # -- longest-stale (r02-green, unchecked since) --------------------
         "url_normalize_keys": q_url_normalize_keys,
         "embedding_near_dup": q_embedding_near_dup,
@@ -4076,6 +4099,34 @@ def _pipeline_oracles() -> dict[str, str]:
             "COUNT(*) AS exact_pairs, TRUE AS within_bound "
             "FROM (VALUES (0), (1), (2), (3)) rs(r) "
             "JOIN md ON md.d <= rs.r GROUP BY rs.r ORDER BY r"
+        ),
+        "host_centrality": (
+            # exact BFS centralities on the 97-node ring-with-chords graph:
+            # reachable = |ball(v, 4)| - 1, total_dist = sum of min
+            # distances, lin_index = reachable^2 / total_dist — all exact
+            # (balls < 100 -> direct-count mode on the Spark side)
+            "WITH RECURSIVE "
+            "e AS (SELECT DISTINCT u, v FROM ("
+            "SELECT doc_id % 97 AS u, (doc_id + 1) % 97 AS v FROM documents "
+            "UNION ALL SELECT doc_id % 97, (doc_id * 3 + 5) % 97 "
+            "FROM documents)), "
+            "nodes AS (SELECT DISTINCT u AS n FROM e "
+            "UNION SELECT DISTINCT v FROM e), "
+            "walk(src, node, d) AS ("
+            "SELECT n, n, 0 FROM nodes "
+            "UNION "
+            "SELECT w.src, e.v, w.d + 1 FROM walk w "
+            "JOIN e ON e.u = w.node WHERE w.d < 4), "
+            "md AS (SELECT src, node, MIN(d) AS d FROM walk "
+            "GROUP BY src, node) "
+            "SELECT src AS node, "
+            "CAST(COUNT(*) FILTER (WHERE d > 0) AS DOUBLE) AS reachable, "
+            "CAST(SUM(d) AS DOUBLE) AS total_dist, "
+            "CASE WHEN SUM(d) > 0 THEN "
+            "(CAST(COUNT(*) FILTER (WHERE d > 0) AS DOUBLE) * "
+            "CAST(COUNT(*) FILTER (WHERE d > 0) AS DOUBLE)) / "
+            "CAST(SUM(d) AS DOUBLE) ELSE 0.0 END AS lin_index "
+            "FROM md GROUP BY src ORDER BY node"
         ),
         "pagerank_hosts": (
             # full 3-iteration power-iteration replay in integer arithmetic
