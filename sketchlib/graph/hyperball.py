@@ -188,8 +188,13 @@ def harmonic_centrality(balls: DataFrame) -> DataFrame:
     contribute 0), which is why it replaces closeness at web scale.
     """
     sh = _shells(balls).filter(F.col("r") >= 1)
-    return (sh.groupBy("node")
-            .agg(F.sum(F.col("__shell") / F.col("r")).alias("harmonic")))
+    agg = (sh.groupBy("node")
+           .agg(F.sum(F.col("__shell") / F.col("r")).alias("harmonic")))
+    # keep a row for every node even when no shell row exists (a graph that
+    # saturates at r=0 — all self-loops — emits only r=0 ball rows)
+    universe = balls.select("node").distinct()
+    return (universe.join(agg, "node", "left")
+            .select("node", F.coalesce("harmonic", F.lit(0.0)).alias("harmonic")))
 
 
 def closeness_centrality(balls: DataFrame) -> DataFrame:
@@ -203,6 +208,11 @@ def closeness_centrality(balls: DataFrame) -> DataFrame:
     agg = sh.groupBy("node").agg(
         F.sum("__shell").alias("reachable"),
         F.sum(F.col("__shell") * F.col("r")).alias("total_dist"))
+    universe = balls.select("node").distinct()
+    agg = (universe.join(agg, "node", "left")
+           .select("node",
+                   F.coalesce("reachable", F.lit(0.0)).alias("reachable"),
+                   F.coalesce("total_dist", F.lit(0.0)).alias("total_dist")))
     lin = (F.when(F.col("total_dist") > 0,
                   F.col("reachable") * F.col("reachable") / F.col("total_dist"))
            .otherwise(F.lit(0.0)))

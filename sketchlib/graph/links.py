@@ -61,9 +61,12 @@ def host_edges(df: DataFrame, url_col: str = "url", html_col: str = "html",
     * absolute ``http(s)`` hrefs resolve to their own host;
     * protocol-relative (``//host/path``) hrefs resolve by borrowing the
       page's scheme;
-    * every other href (path-relative, fragment, ``mailto:`` …) is
-      same-host navigation — kept only when ``include_self=True`` (self
-      edges otherwise dominate the graph and say nothing about authority);
+    * hrefs with any OTHER scheme (``mailto:``, ``ftp:``, ``javascript:``
+      …) are dropped — they are not web navigation, and counting them as
+      self-links would silently pad self-edge counts;
+    * every remaining href (path-relative, fragment) is same-host
+      navigation — kept only when ``include_self=True`` (self edges
+      otherwise dominate the graph and say nothing about authority);
     * hrefs whose host cannot be parsed are dropped (``url_host`` returns
       NULL instead of throwing under ANSI mode).
 
@@ -78,8 +81,12 @@ def host_edges(df: DataFrame, url_col: str = "url", html_col: str = "html",
     scheme = F.lower(F.try_parse_url(F.col("__u"), F.lit("PROTOCOL")))
     absolute = F.lower(F.col("__l")).rlike(r"^https?://")
     proto_rel = F.col("__l").startswith("//")
+    # any other scheme (mailto:, ftp:, javascript:, data:, tel:) is not web
+    # navigation -> NULL host, filtered below
+    other_scheme = F.col("__l").rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
     dst = (F.when(absolute, url_host(F.col("__l")))
             .when(proto_rel, url_host(F.concat(scheme, F.lit(":"), F.col("__l"))))
+            .when(other_scheme, F.lit(None).cast("string"))
             .otherwise(F.col("__src")))
     edges = (links
              .select(F.col("__src").alias("src_host"), dst.alias("dst_host"))

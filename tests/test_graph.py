@@ -324,3 +324,30 @@ def test_pagerank_degenerate(spark):
         pagerank(one, -1)
     with pytest.raises(ValueError):
         pagerank(one, 2, damping_pct=101)
+
+
+def test_host_edges_non_web_schemes_dropped(spark):
+    html = ('<a href="mailto:a@b.com">m</a>'
+            '<a href="javascript:void(0)">j</a>'
+            '<a href="ftp://files.example.com/x">f</a>'
+            '<a href="tel:+1-555">t</a>'
+            '<a href="/keep">k</a>')
+    df = spark.createDataFrame([("https://self.com/p", html)],
+                               "url string, html string")
+    with_self = {(r["src_host"], r["dst_host"]): r["n_links"]
+                 for r in host_edges(df, include_self=True).collect()}
+    # only the path-relative link counts as self navigation
+    assert with_self == {("self.com", "self.com"): 1}
+
+
+def test_centralities_emit_rows_on_saturated_graph(spark):
+    from sketchlib.graph import closeness_centrality, harmonic_centrality
+
+    # all self-loops: hyperball saturates at r=0, no shell rows exist
+    df = spark.createDataFrame([(1, 1), (2, 2)], "u long, v long")
+    balls = hyperball(df, 3, directed=True)
+    h = {r["node"]: r["harmonic"] for r in harmonic_centrality(balls).collect()}
+    assert h == {1: 0.0, 2: 0.0}
+    c = {r["node"]: (r["reachable"], r["total_dist"], r["lin_index"])
+         for r in closeness_centrality(balls).collect()}
+    assert c == {1: (0.0, 0.0, 0.0), 2: (0.0, 0.0, 0.0)}
