@@ -16,6 +16,9 @@ Layering:
 * ``sketchlib.text`` / ``sketchlib.dedup`` / ``sketchlib.similarity`` /
   ``sketchlib.multimodal`` — training-data pipeline operators (quality/langid,
   exact+MinHash+SimHash dedup, ANN, media plumbing).
+* ``sketchlib.graph`` — web-graph analytics: link extraction / host graph,
+  HyperBall (HLL neighborhood function + centralities), fixed-point integer
+  PageRank.
 * ``sketchlib.data`` — deterministic Common-Crawl-style ``pages`` table
   generator, frozen byte-identical text extraction, Iceberg/Parquet table
   interface.

@@ -12,6 +12,7 @@
 
 from .hyperball import (  # noqa: F401
     closeness_centrality,
+    effective_diameter,
     harmonic_centrality,
     hyperball,
     neighborhood_function,

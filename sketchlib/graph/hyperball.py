@@ -165,6 +165,31 @@ def neighborhood_function(edges: DataFrame, max_r: int,
             .orderBy("r"))
 
 
+def effective_diameter(nf: DataFrame, q: float = 0.9) -> float:
+    """Effective diameter at quantile ``q`` (ANF's headline statistic): the
+    smallest radius r where N(r) >= q * N(max computed radius), linearly
+    interpolated between the bracketing radii (the convention of Palmer et
+    al. / the HyperANF papers, so sub-integer values are comparable across
+    systems).  Input is :func:`neighborhood_function` output; the frame is
+    ``max_r + 1`` tiny rows, so this collects it.  Returns 0.0 for an empty
+    graph."""
+    if not 0 < q <= 1:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    rows = sorted((r["r"], r["n_pairs_est"]) for r in nf.collect())
+    if not rows or rows[-1][1] <= 0:
+        return 0.0
+    target = q * rows[-1][1]
+    prev_r, prev_n = rows[0]
+    if prev_n >= target:
+        return float(prev_r)
+    for r, n in rows[1:]:
+        if n >= target:
+            # interpolate inside the shell that crosses the target
+            return float(prev_r) + (target - prev_n) / (n - prev_n)
+        prev_r, prev_n = r, n
+    return float(rows[-1][0])
+
+
 def _shells(balls: DataFrame):
     from pyspark.sql.window import Window
 

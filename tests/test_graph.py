@@ -351,3 +351,21 @@ def test_centralities_emit_rows_on_saturated_graph(spark):
     c = {r["node"]: (r["reachable"], r["total_dist"], r["lin_index"])
          for r in closeness_centrality(balls).collect()}
     assert c == {1: (0.0, 0.0, 0.0), 2: (0.0, 0.0, 0.0)}
+
+
+def test_effective_diameter(spark):
+    from sketchlib.graph import effective_diameter
+
+    # path 0->1->2: N = [3, 5, 6]; q=0.9 -> target 5.4, crossed between
+    # r=1 (5) and r=2 (6) -> 1 + 0.4/1 = 1.4
+    edges = [(0, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    nf = neighborhood_function(df, 4, directed=True)
+    assert effective_diameter(nf) == pytest.approx(1.4)
+    # q below N(0)/N(max): already satisfied at r=0
+    assert effective_diameter(nf, q=0.5) == 0.0
+    # empty graph
+    e = spark.createDataFrame([], "u long, v long")
+    assert effective_diameter(neighborhood_function(e, 2)) == 0.0
+    with pytest.raises(ValueError):
+        effective_diameter(nf, q=0.0)
