@@ -34,6 +34,8 @@ def main() -> int:
     ap.add_argument("--max-r", type=int, default=4)
     ap.add_argument("--synth-nodes", type=int, default=2_000_000)
     ap.add_argument("--synth-degree", type=int, default=5)
+    ap.add_argument("--synth-only", action="store_true",
+                    help="skip the 24M extraction stages (scaling sweeps)")
     ap.add_argument("--report", action="store_true",
                     help="append the results to BENCH/BASELINE.md")
     args = ap.parse_args()
@@ -54,53 +56,58 @@ def main() -> int:
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
-    pages = spark.read.parquet(args.data)
-    n_rows = pages.count()
+    if args.synth_only:
+        n_rows = n_edges = n_nodes = 0
+        best = hb_wall = float('nan')
+        r_eff = rounds = 0
+    else:
+        pages = spark.read.parquet(args.data)
+        n_rows = pages.count()
 
-    # Zipf-ish outlink targets derived from the url hash: 3 links/page into
-    # a 100k-host universe with hub skew (hash % 1000 == 0 -> a top-10 hub),
-    # exercising the aggregate's skew path the way real link graphs do.
-    h = F.abs(F.xxhash64("url"))
-    link = lambda salt, mod: F.concat(  # noqa: E731
-        F.lit('<p>filler</p><a href="https://out'),
-        F.when((h + salt) % 1000 < 10, ((h + salt) % 10).cast("string"))
-         .otherwise(((h + salt) % mod).cast("string")),
-        F.lit('.example.com/x?p='), ((h + salt) % 97).cast("string"),
-        F.lit('">link</a>'))
-    linked = pages.select(
-        "url",
-        F.concat(F.col("html").cast("string"), link(F.lit(1), F.lit(100_000)),
-                 link(F.lit(7), F.lit(100_000)),
-                 link(F.lit(13), F.lit(1_000))).alias("html"))
+        # Zipf-ish outlink targets derived from the url hash: 3 links/page into
+        # a 100k-host universe with hub skew (hash % 1000 == 0 -> a top-10 hub),
+        # exercising the aggregate's skew path the way real link graphs do.
+        h = F.abs(F.xxhash64("url"))
+        link = lambda salt, mod: F.concat(  # noqa: E731
+            F.lit('<p>filler</p><a href="https://out'),
+            F.when((h + salt) % 1000 < 10, ((h + salt) % 10).cast("string"))
+             .otherwise(((h + salt) % mod).cast("string")),
+            F.lit('.example.com/x?p='), ((h + salt) % 97).cast("string"),
+            F.lit('">link</a>'))
+        linked = pages.select(
+            "url",
+            F.concat(F.col("html").cast("string"), link(F.lit(1), F.lit(100_000)),
+                     link(F.lit(7), F.lit(100_000)),
+                     link(F.lit(13), F.lit(1_000))).alias("html"))
 
-    # timed reps run UNPERSISTED (persisting inside the loop would let rep 2
-    # hit the block cache through Spark's plan-identity reuse and report a
-    # bogus wall); the persisted copy for the hyperball stage is built after
-    best = float("inf")
-    for _ in range(args.reps):
+        # timed reps run UNPERSISTED (persisting inside the loop would let rep 2
+        # hit the block cache through Spark's plan-identity reuse and report a
+        # bogus wall); the persisted copy for the hyperball stage is built after
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.time()
+            n_edges = host_edges(linked).count()
+            best = min(best, time.time() - t0)
+        rate = n_rows / best
+        print(f"link_extract: {n_rows} pages -> {n_edges} host edges "
+              f"in {best:.1f}s = {rate / 1e6:.2f}M docs/s")
+
+        edges_cached = host_edges(linked).persist()
+        edges_cached.count()
+        e = edges_cached.select(F.col("src_host").alias("u"),
+                                F.col("dst_host").alias("v"))
+        n_nodes = (e.select(F.col("u").alias("n"))
+                   .unionByName(e.select(F.col("v").alias("n")))
+                   .distinct().count())
         t0 = time.time()
-        n_edges = host_edges(linked).count()
-        best = min(best, time.time() - t0)
-    rate = n_rows / best
-    print(f"link_extract: {n_rows} pages -> {n_edges} host edges "
-          f"in {best:.1f}s = {rate / 1e6:.2f}M docs/s")
-
-    edges_cached = host_edges(linked).persist()
-    edges_cached.count()
-    e = edges_cached.select(F.col("src_host").alias("u"),
-                            F.col("dst_host").alias("v"))
-    n_nodes = (e.select(F.col("u").alias("n"))
-               .unionByName(e.select(F.col("v").alias("n")))
-               .distinct().count())
-    t0 = time.time()
-    balls = hyperball(e, args.max_r, directed=True)
-    n_ball_rows = balls.count()
-    hb_wall = time.time() - t0
-    r_eff = balls.agg(F.max("r")).collect()[0][0]
-    rounds = max(r_eff, 1)
-    print(f"hyperball: |V|={n_nodes} |E|={n_edges} max_r={args.max_r} "
-          f"r_eff={r_eff} -> {n_ball_rows} ball rows in {hb_wall:.1f}s "
-          f"({hb_wall / rounds:.1f}s/round)")
+        balls = hyperball(e, args.max_r, directed=True)
+        n_ball_rows = balls.count()
+        hb_wall = time.time() - t0
+        r_eff = balls.agg(F.max("r")).collect()[0][0]
+        rounds = max(r_eff, 1)
+        print(f"hyperball: |V|={n_nodes} |E|={n_edges} max_r={args.max_r} "
+              f"r_eff={r_eff} -> {n_ball_rows} ball rows in {hb_wall:.1f}s "
+              f"({hb_wall / rounds:.1f}s/round)")
 
     # deep synthetic graph: random ~degree-regular digraph on N nodes
     # (diameter ~ log_degree(N)), so every round up to max_r is a full
@@ -124,7 +131,7 @@ def main() -> int:
           f"({s_wall / s_rounds:.1f}s/round, "
           f"{s_edges * s_rounds / s_wall / 1e6:.2f}M edge-relaxations/s)")
 
-    if args.report:
+    if args.report and not args.synth_only:
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as fh:
             fh.write(
                 f"\n### Web-graph surface at 24M pages (local[{args.cpus}])\n\n"

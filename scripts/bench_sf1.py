@@ -59,6 +59,10 @@ GATES = [
     # round-4: deletable membership — blob-only build + map-only probe,
     # pins the broadcast-blob linearity at 10x rows
     "cuckoo_membership_retract",
+    # round-5: HyperBall on the lineitem-derived graph — edge extraction
+    # scales with rows, the relaxation rounds with distinct edges; pins
+    # that the blob-only loop doesn't pick up a row-linear term
+    "hyperball_neighborhood",
 ]
 
 
