@@ -42,7 +42,8 @@ from pyspark.sql import functions as F
 
 def pagerank(edges: DataFrame, n_iter: int = 10, damping_pct: int = 85,
              scale: int = 1_000_000, src_col: str = "u",
-             dst_col: str = "v") -> DataFrame:
+             dst_col: str = "v", seeds: DataFrame | None = None,
+             seed_col: str = "node") -> DataFrame:
     """Fixed-point integer PageRank: ``(node, rank)`` after ``n_iter`` power
     iterations, ``rank`` in units of ``scale`` (initial rank = ``scale``,
     i.e. 1.0 per node).
@@ -51,6 +52,15 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping_pct: int = 85,
     the host-graph convention); NULL endpoints are dropped; self-loops
     count like any edge.  ``damping_pct`` is an integer percentage so the
     damping multiply stays exact.
+
+    ``seeds`` switches to **personalized** PageRank (random walk with
+    restart): initial mass, the (1-damping) teleport, and the dangling
+    redistribution all go to the seed nodes only, so rank measures
+    proximity-weighted authority relative to the seed set (e.g. "hosts
+    like these known-good hosts").  Global PageRank is exactly the
+    ``seeds = all nodes`` special case — same arithmetic, bit-identical
+    output.  Seeds not present in the graph are ignored; raises if none
+    remain.
     """
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
@@ -68,6 +78,20 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping_pct: int = 85,
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0).cast("long"))
+    if seeds is None:
+        flagged = nodes.select("node", F.lit(True).alias("__seed"))
+        n_seeds = n_nodes
+    else:
+        s = (seeds.select(F.col(seed_col).alias("node"))
+             .filter(F.col("node").isNotNull()).distinct()
+             .withColumn("__seed", F.lit(True)))
+        flagged = (nodes.join(s, "node", "left")
+                   .select("node", F.coalesce("__seed", F.lit(False))
+                           .alias("__seed")))
+        n_seeds = flagged.filter("__seed").count()
+        if n_seeds == 0:
+            raise ValueError("no seed appears in the graph")
+    flagged = flagged.localCheckpoint(eager=True)
     deg = e.groupBy("u").agg(F.count("*").alias("deg"))
     # edges with the source's out-degree attached — constant across
     # iterations, so join it once and checkpoint
@@ -75,28 +99,35 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping_pct: int = 85,
           .select("u", "v", "deg")
           .localCheckpoint(eager=True))
     base = ((100 - damping_pct) * scale) // 100
+    seed_base = F.when(F.col("__seed"), F.lit(base)).otherwise(F.lit(0)) \
+        .cast("long")
 
-    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    ranks = flagged.select(
+        "node",
+        F.when(F.col("__seed"), F.lit(scale)).otherwise(F.lit(0))
+        .cast("long").alias("rank"))
     for _ in range(n_iter):
         shares = (ed.join(ranks, ed["u"] == ranks["node"])
                   .select(F.col("v").alias("node"),
                           F.expr("rank div deg").alias("share")))
         summed = shares.groupBy("node").agg(F.sum("share").alias("in_sum"))
         # dangling mass: rank held by nodes with no out-edges, shared
-        # uniformly (integer floor) — one O(1)-row job per iteration
+        # uniformly over the SEED set (integer floor) — one O(1)-row job
+        # per iteration
         dang_row = (ranks.join(deg, ranks["node"] == deg["u"], "left_anti")
                     .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("s"))
                     .collect()[0])
-        dang_share = int(dang_row["s"]) // n_nodes
+        dang_share = int(dang_row["s"]) // n_seeds
         # `div` (integer division) end-to-end: a float `/` would round
         # through double and lose exactness past 2^53
         contrib = (F.coalesce(F.col("in_sum"), F.lit(0).cast("long"))
-                   + F.lit(dang_share).cast("long"))
-        rank_new = (F.lit(base).cast("long")
+                   + F.when(F.col("__seed"), F.lit(dang_share))
+                   .otherwise(F.lit(0)).cast("long"))
+        rank_new = (seed_base
                     + F.expr(f"CAST({damping_pct} AS BIGINT) "
                              f"* __contrib div 100"))
-        ranks = (nodes.join(summed, "node", "left")
-                 .select("node", contrib.alias("__contrib"))
+        ranks = (flagged.join(summed, "node", "left")
+                 .select("node", F.col("__seed"), contrib.alias("__contrib"))
                  .select("node", rank_new.alias("rank"))
                  .localCheckpoint(eager=True))
     return ranks

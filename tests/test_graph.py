@@ -369,3 +369,68 @@ def test_effective_diameter(spark):
     assert effective_diameter(neighborhood_function(e, 2)) == 0.0
     with pytest.raises(ValueError):
         effective_diameter(nf, q=0.0)
+
+
+def _py_ppr(edges, seeds, n_iter, damping_pct=85, scale=1_000_000):
+    e = sorted({(u, v) for u, v in edges if u is not None and v is not None})
+    nodes = sorted({x for p in e for x in p})
+    seeds = [s for s in seeds if s in nodes]
+    deg = {}
+    for u, _ in e:
+        deg[u] = deg.get(u, 0) + 1
+    base = ((100 - damping_pct) * scale) // 100
+    rank = {x: (scale if x in seeds else 0) for x in nodes}
+    for _ in range(n_iter):
+        dang = sum(rank[x] for x in nodes if x not in deg)
+        share = dang // len(seeds)
+        in_sum = {x: 0 for x in nodes}
+        for u, v in e:
+            in_sum[v] += rank[u] // deg[u]
+        rank = {x: (base if x in seeds else 0)
+                + (damping_pct * (in_sum[x]
+                                  + (share if x in seeds else 0))) // 100
+                for x in nodes}
+    return rank
+
+
+def test_personalized_pagerank_matches_python_replay(spark):
+    from sketchlib.graph import pagerank
+
+    rng = random.Random(11)
+    edges = sorted({(rng.randrange(25), rng.randrange(25)) for _ in range(70)})
+    seeds = [0, 3, 7]
+    df = spark.createDataFrame(edges, "u long, v long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, n_iter=5, seeds=sdf).collect()}
+    want = _py_ppr(edges, seeds, 5)
+    assert got == want
+    # mass concentrates near seeds: a seed outranks the global minimum
+    assert got[0] > min(got.values())
+
+
+def test_personalized_pagerank_all_seeds_equals_global(spark):
+    from sketchlib.graph import pagerank
+
+    rng = random.Random(13)
+    edges = sorted({(rng.randrange(20), rng.randrange(20)) for _ in range(50)})
+    df = spark.createDataFrame(edges, "u long, v long")
+    nodes = sorted({x for p in edges for x in p})
+    sdf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    g = sorted((r["node"], r["rank"]) for r in pagerank(df, 4).collect())
+    p = sorted((r["node"], r["rank"])
+               for r in pagerank(df, 4, seeds=sdf).collect())
+    assert g == p
+
+
+def test_personalized_pagerank_unknown_seeds(spark):
+    from sketchlib.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "u long, v long")
+    # unknown seeds ignored; all-unknown raises
+    sdf = spark.createDataFrame([(1,), (99,)], "node long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, 2, seeds=sdf).collect()}
+    assert got == _py_ppr([(1, 2)], [1], 2)
+    bad = spark.createDataFrame([(99,)], "node long")
+    with pytest.raises(ValueError, match="seed"):
+        pagerank(df, 2, seeds=bad)
