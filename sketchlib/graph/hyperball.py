@@ -165,17 +165,21 @@ def neighborhood_function(edges: DataFrame, max_r: int,
             .orderBy("r"))
 
 
-def effective_diameter(nf: DataFrame, q: float = 0.9) -> float:
+def effective_diameter(nf, q: float = 0.9) -> float:
     """Effective diameter at quantile ``q`` (ANF's headline statistic): the
     smallest radius r where N(r) >= q * N(max computed radius), linearly
     interpolated between the bracketing radii (the convention of Palmer et
     al. / the HyperANF papers, so sub-integer values are comparable across
-    systems).  Input is :func:`neighborhood_function` output; the frame is
-    ``max_r + 1`` tiny rows, so this collects it.  Returns 0.0 for an empty
-    graph."""
+    systems).  Input is :func:`neighborhood_function` output — the
+    DataFrame, or an already-collected list of ``(r, n_pairs)`` tuples
+    (callers that aggregated N(r) themselves skip a second hyperball run).
+    Returns 0.0 for an empty graph."""
     if not 0 < q <= 1:
         raise ValueError(f"q must be in (0, 1], got {q}")
-    rows = sorted((r["r"], r["n_pairs_est"]) for r in nf.collect())
+    if isinstance(nf, DataFrame):
+        rows = sorted((r["r"], r["n_pairs_est"]) for r in nf.collect())
+    else:
+        rows = sorted((int(r), float(n)) for r, n in nf)
     if not rows or rows[-1][1] <= 0:
         return 0.0
     target = q * rows[-1][1]

@@ -434,3 +434,46 @@ def test_personalized_pagerank_unknown_seeds(spark):
     bad = spark.createDataFrame([(99,)], "node long")
     with pytest.raises(ValueError, match="seed"):
         pagerank(df, 2, seeds=bad)
+
+
+def test_graph_job_end_to_end(spark, tmp_path):
+    """graph_job main() over a tiny pages fixture: edges + pagerank +
+    centrality outputs exist and are internally consistent.  The fixture's
+    html has no links, so links are injected by rewriting the html column
+    into a derived input directory."""
+    import json
+    import os
+
+    from sketchlib.data.pages import write_pages_parquet
+    from sketchlib.jobs.graph_job import main
+
+    src = str(tmp_path / "pages")
+    write_pages_parquet(src, 800, seed=7)
+    pages = spark.read.parquet(src)
+    linked = pages.withColumn(
+        "html",
+        F.concat(F.col("html").cast("string"),
+                 F.lit('<a href="https://hub.example.com/x">h</a>'),
+                 F.lit('<a href="https://l'),
+                 (F.xxhash64("url") % 20).cast("string"),
+                 F.lit('.example.com/y">l</a>')).cast("binary"))
+    inp = str(tmp_path / "linked")
+    linked.write.parquet(inp)
+    out = str(tmp_path / "graph_out")
+    # --cpus 4 keeps the job on the test-sized local session config
+    assert main(["--input", inp, "--output", out, "--cpus", "4",
+                 "--pagerank-iters", "3", "--max-r", "3"]) == 0
+
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    assert summary["n_hosts"] > 20 and summary["n_edges"] > 20
+    assert summary["effective_diameter_090"] >= 0.0
+
+    pr = {r["node"]: r["rank"]
+          for r in spark.read.parquet(f"{out}/pagerank").collect()}
+    assert len(pr) == summary["n_hosts"]
+    # every source host links to the hub -> the hub must rank highest
+    assert max(pr, key=pr.get) == "hub.example.com"
+    cent = spark.read.parquet(f"{out}/centrality")
+    assert cent.count() == summary["n_hosts"]
+    assert {"node", "reachable", "total_dist", "lin_index",
+            "harmonic"} <= set(cent.columns)
