@@ -390,7 +390,7 @@ def _random_blob(rng, p, mode):
     return sk.to_bytes()
 
 
-@pytest.mark.parametrize("p", [8, 11, 14])
+@pytest.mark.parametrize("p", [4, 6, 8, 11, 14])
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 def test_fold_blobs_bit_identical_to_sequential(p, seed):
     import numpy as np
