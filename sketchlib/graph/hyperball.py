@@ -59,6 +59,7 @@ from sketchlib.spark.aggregate import (
     HllSpec,
     estimate_col,
     merge_partials,
+    premerge_partials,
     sketch_agg,
 )
 
@@ -82,7 +83,7 @@ def _signature(counters: DataFrame) -> tuple:
 
 def hyperball(edges: DataFrame, max_r: int, spec: HllSpec | None = None,
               src_col: str = "u", dst_col: str = "v",
-              directed: bool = True) -> DataFrame:
+              directed: bool = True, premerge: bool = True) -> DataFrame:
     """Ball-size estimates ``(node, r, ball_est)`` for ``r = 0 .. r_eff``.
 
     ``edges`` rows with NULL endpoints are ignored; self-loops are harmless
@@ -120,7 +121,14 @@ def hyperball(edges: DataFrame, max_r: int, spec: HllSpec | None = None,
     for r in range(1, max_r + 1):
         contrib = (e.join(counters, e["v"] == counters["node"])
                    .select(e["u"].alias("node"), "sketch"))
-        counters = (merge_partials(counters.unionByName(contrib), ["node"], spec)
+        merge_in = counters.unionByName(contrib)
+        if premerge:
+            # map-side blob combine: a node's contributions from all its
+            # out-neighbors in one partition collapse to a single blob
+            # before the shuffle — |E| rows drop to ≤ |V| × partitions
+            # (bit-identical; premerge_partials docstring)
+            merge_in = premerge_partials(merge_in, ["node"], spec)
+        counters = (merge_partials(merge_in, ["node"], spec)
                     .localCheckpoint(eager=True))
         sig = _signature(counters)
         if sig == prev:

@@ -761,3 +761,87 @@ def distinct_count(df: DataFrame, element_cols, group_cols: Sequence[str] = (),
     merged = sketch_agg(df, element_cols, group_cols, spec, tree_fanout=tree_fanout)
     cols = list(group_cols) + [estimate_col(spec).alias(estimate_name)]
     return merged.select(*cols)
+
+
+def premerge_partials(partials: DataFrame, group_cols: Sequence[str],
+                      spec=None, sketch_col: str = "sketch") -> DataFrame:
+    """Map-side combine for BLOB tables: fold each input partition's blobs
+    per group BEFORE any shuffle — a narrow ``mapInArrow`` pass, no
+    exchange.  Output is at most (distinct groups in partition) rows per
+    partition, so a downstream :func:`merge_partials` shuffles
+    ``min(rows, groups x partitions)`` blobs instead of every input row.
+
+    Spark's own map-side combine (partial ``collect_list``) gathers blobs
+    but cannot MERGE them (the merge is a Python UDF); this pass does the
+    merge early, which matters when many same-group blobs share a
+    partition — e.g. HyperBall's relaxation join output, where a node's
+    contributions from all its out-neighbors in one partition collapse to
+    a single blob (hub fan-in drops from |E| shuffled rows to
+    <= |V| x partitions).  Worth it whenever blobs-per-(group, partition)
+    exceeds ~1 — measured 2.9x on HyperBall's uniform-degree-5 synthetic
+    graph (61.5 s vs 178.8 s for 4 rounds at 1M nodes / 5M edges,
+    local[32], same session) because the relaxation union carries
+    (1 + in-degree) blobs per node; a truly all-unique blob table gains
+    nothing and pays one narrow pass (``hyperball(premerge=False)``).
+
+    Associativity + commutativity of the merge (canonical-bytes pinned)
+    makes the final result bit-identical with or without this pass.
+    Worker memory is O(blobs in the partition) — the shuffle input it
+    replaces.  Group keys factorize through ``arrow_group_codes``
+    (dictionary encoding), so NULL keys and full-range int64 keys
+    round-trip exactly; singleton groups pass their canonical blob
+    through untouched (no re-serialization).
+    """
+    import pyarrow as pa
+
+    spec = spec or HllSpec()
+    group_cols = list(group_cols)
+    fold = getattr(spec, "fold_blobs", None)
+    if fold is None:
+        def fold(blobs):  # generic object-path fallback, same semantics
+            merged = None
+            for b in blobs:
+                sk = spec.from_bytes(bytes(b))
+                merged = sk if merged is None else spec.merge(merged, sk)
+            return spec.to_bytes(merged)
+
+    narrowed = partials.select(*group_cols, sketch_col)
+    schema = narrowed.schema
+
+    def combine(batches):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        pa_schema = to_arrow_schema(schema)
+        acc: dict = {}  # key tuple -> list[bytes]
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            codes, key_cols = arrow_group_codes(batch, group_cols)
+            keys = _keys_as_tuples(key_cols)
+            blobs = batch.column(sketch_col).to_pylist()
+            # C-speed zip; dict/list ops are the only per-row Python cost
+            for code, blob in zip(codes.tolist(), blobs):
+                k = keys[code]
+                lst = acc.get(k)
+                if lst is None:
+                    acc[k] = [blob]
+                else:
+                    lst.append(blob)
+        if not acc:
+            return
+        out_keys = list(acc.keys())
+        # NULL keys in numeric columns ride through the dictionary decode as
+        # NaN floats (same as the build_partials pandas emit) — from_pandas
+        # with the explicit field type converts them back to typed nulls
+        arrays = [
+            pa.Array.from_pandas(pd.Series([k[i] for k in out_keys]),
+                                 type=pa_schema.field(i).type, safe=False)
+            for i in range(len(group_cols))
+        ]
+        arrays.append(pa.array(
+            [blobs[0] if len(blobs) == 1 else fold(blobs)
+             for blobs in acc.values()],
+            type=pa.binary()))
+        yield pa.RecordBatch.from_arrays(arrays, schema=pa_schema)
+
+    return narrowed.mapInArrow(combine, schema)

@@ -278,3 +278,46 @@ def test_rolling_merge_bit_identical(spark):
         win = df.filter((F.col("d") > anchor - 3) & (F.col("d") <= anchor))
         want = bytes(sketch_agg(win, "v", ["g"], spec).collect()[0]["sketch"])
         assert rolled[("a", anchor)] == want, anchor
+
+
+def test_premerge_partials_bit_identical(spark):
+    """premerge (map-side blob combine) -> merge must equal plain merge
+    bit-for-bit, including NULL group keys."""
+    import random
+
+    from sketchlib.spark.aggregate import (
+        HllSpec,
+        build_partials,
+        merge_partials,
+        premerge_partials,
+    )
+
+    rng = random.Random(5)
+    rows = [((rng.randrange(6) if rng.random() > 0.1 else None),
+             rng.randrange(4000)) for _ in range(8000)]
+    df = spark.createDataFrame(rows, "g int, x long").repartition(7)
+    spec = HllSpec()
+    partials = build_partials(df, "x", ["g"], spec).persist()
+    plain = {r["g"]: bytes(r["sketch"])
+             for r in merge_partials(partials, ["g"], spec).collect()}
+    pre = premerge_partials(partials, ["g"], spec)
+    combined = {r["g"]: bytes(r["sketch"])
+                for r in merge_partials(pre, ["g"], spec).collect()}
+    partials.unpersist()
+    # countAdditions differs by merge tree?  No: additions are summed, and
+    # both trees see every partial exactly once -> identical totals, and
+    # registers are order-free -> full bit identity
+    assert plain == combined
+    assert None in plain
+
+
+def test_premerge_partials_reduces_rows(spark):
+    from sketchlib.spark import aggregate as agg
+
+    df = spark.createDataFrame([(i % 3, i) for i in range(3000)],
+                               "g int, x long").repartition(4)
+    partials = agg.build_partials(df, "x", ["g"], agg.HllSpec())
+    exploded = partials.unionByName(partials).unionByName(partials)
+    pre = agg.premerge_partials(exploded, ["g"], agg.HllSpec())
+    # ≤ groups × partitions rows out
+    assert pre.count() <= 3 * exploded.rdd.getNumPartitions()
