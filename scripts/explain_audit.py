@@ -641,14 +641,21 @@ def main() -> None:
     counters = sketch_agg(nodes0, "node", ["node"], spec).localCheckpoint(eager=True)
     contrib = (hb_edges.join(counters, hb_edges["v"] == counters["node"])
                .select(hb_edges["u"].alias("node"), "sketch"))
-    p = plan_of(merge_partials(counters.unionByName(contrib), ["node"], spec))
+    from sketchlib.spark.aggregate import premerge_partials
+
+    pre = premerge_partials(counters.unionByName(contrib), ["node"], spec)
+    p = plan_of(merge_partials(pre, ["node"], spec))
     checks = [("no cartesian product in the relaxation join",
                "CartesianProduct" not in p),
+              ("map-side blob combine runs as a narrow MapInArrow pass "
+               "below the merge exchange", "MapInArrow" in p),
               ("grouped blob merge collects map-side before its exchange "
                "(ObjectHashAggregate partial_collect_list)",
-               "partial_collect_list" in p or p.count("ObjectHashAggregate") >= 2)]
-    sections.append(("hyperball round — edges ⋈ counters + merge_partials",
-                     p, checks))
+               "partial_collect_list" in p or p.count("ObjectHashAggregate") >= 2),
+              ("at most the join + merge exchanges (premerge adds none)",
+               n_shuffles(p) <= 2)]
+    sections.append(("hyperball round — edges ⋈ counters + premerge + "
+                     "merge_partials", p, checks))
 
     out = ["# BENCH/PLANS — physical-plan audit",
            "",
