@@ -778,11 +778,14 @@ def premerge_partials(partials: DataFrame, group_cols: Sequence[str],
     contributions from all its out-neighbors in one partition collapse to
     a single blob (hub fan-in drops from |E| shuffled rows to
     <= |V| x partitions).  Worth it whenever blobs-per-(group, partition)
-    exceeds ~1 — measured 2.9x on HyperBall's uniform-degree-5 synthetic
-    graph (61.5 s vs 178.8 s for 4 rounds at 1M nodes / 5M edges,
-    local[32], same session) because the relaxation union carries
-    (1 + in-degree) blobs per node; a truly all-unique blob table gains
-    nothing and pays one narrow pass (``hyperball(premerge=False)``).
+    exceeds ~1: on a power-law host graph the HyperBall relaxation's
+    merge-shuffle input drops 13.15M -> 132k rows (99.7x measured at 24M
+    pages); on a uniform-degree synthetic it is ~1.1x and the LOCAL wall
+    is a wash (isolated alternating A/B, min-of-2: 220.2 s vs 188.9 s —
+    local shuffle is nearly free, so the volume cut pays on
+    network-shuffle clusters, not single-box runs).  A truly all-unique
+    blob table gains nothing and pays one narrow pass
+    (``hyperball(premerge=False)``).
 
     Associativity + commutativity of the merge (canonical-bytes pinned)
     makes the final result bit-identical with or without this pass.
