@@ -24,8 +24,13 @@ from sketchlib.text.urls import url_host
 # href value inside an <a ...> tag, either quote style.  RE2-compatible
 # (no backreference to the opening quote): the value class excludes both
 # quote chars and '>', so a mismatched-quote attribute yields a truncated
-# value instead of swallowing the rest of the document.
-_HREF_RE = r"""(?i)<a\s[^>]*href\s*=\s*["']([^"'>]*)["']"""
+# value instead of swallowing the rest of the document.  The attribute
+# span and the value are BOUNDED ({0,2000} / {0,4000}): crawled pages
+# contain pathological fragments ('<a ' followed by megabytes with no
+# '>'), where an unbounded [^>]* makes Java's backtracking quadratic per
+# tag — a stuck-task job-killer at corpus scale.  Links living >2000
+# chars into a tag's attribute list are dropped by design.
+_HREF_RE = r"""(?i)<a\s[^>]{0,2000}?href\s*=\s*["']([^"'>]{0,4000})["']"""
 
 
 def extract_links_expr(html_col: Column | str) -> Column:

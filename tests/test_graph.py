@@ -477,3 +477,21 @@ def test_graph_job_end_to_end(spark, tmp_path):
     assert cent.count() == summary["n_hosts"]
     assert {"node", "reachable", "total_dist", "lin_index",
             "harmonic"} <= set(cent.columns)
+
+
+def test_extract_links_pathological_fragment_bounded(spark):
+    # '<a ' followed by a huge attr-less span with no '>' must not hang
+    # (bounded quantifier) and must not yield a link; a later clean tag
+    # still extracts.  Duplicate href in one tag: first wins (lazy match,
+    # the browser rule).
+    import time
+
+    junk = "<a " + "x" * 2_000_000 + '<a href="https://ok.com/a">fine</a>'
+    dup = '<a href="https://first.com/1" href="https://second.com/2">d</a>'
+    df = spark.createDataFrame([("u1", junk), ("u2", dup)],
+                               "url string, html string")
+    t0 = time.time()
+    rows = {(r["url"], r["link"]) for r in extract_links(df).collect()}
+    assert time.time() - t0 < 30
+    assert rows == {("u1", "https://ok.com/a"),
+                    ("u2", "https://first.com/1")}
