@@ -189,3 +189,43 @@ class TestDegenerateInputs:
         ok = pack_sequences(tok.filter("n_tokens is null or n_tokens >= 0"),
                             "n_tokens", 16)
         assert ok.count() == 3
+
+
+class TestFoldBlobsHypothesis:
+    """Hypothesis sweep: the wire-level group fold (hll.fold_blobs) must be
+    bit-identical to the sequential from_bytes/merge/to_bytes fold for ANY
+    list of sketches, any p, any mix of modes — with shrinking, so a
+    counterexample arrives minimal."""
+
+    def test_fold_matches_sequential(self):
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+
+        from sketchlib.hll import HllSketch, fold_blobs
+
+        @st.composite
+        def blob(draw):
+            p = draw(st.shared(st.sampled_from([4, 7, 8, 11, 14]),
+                               key="p"))
+            n = draw(st.sampled_from([0, 1, 3, 50, 99, 101, 150, 1200]))
+            seed = draw(st.integers(0, 2**31 - 1))
+            sk = HllSketch(p=p)
+            if n:
+                rng = np.random.default_rng(seed)
+                sk.add_hashes(rng.integers(0, 2**63, size=n, dtype=np.int64)
+                              .astype(np.uint64))
+            return sk.to_bytes()
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(blob(), min_size=1, max_size=6))
+        def check(blobs):
+            merged = None
+            for b in blobs:
+                sk = HllSketch.from_bytes(b)
+                if merged is None:
+                    merged = sk
+                else:
+                    merged.merge(sk)
+            assert fold_blobs(blobs) == merged.to_bytes()
+
+        check()
