@@ -495,3 +495,14 @@ def test_extract_links_pathological_fragment_bounded(spark):
     assert time.time() - t0 < 30
     assert rows == {("u1", "https://ok.com/a"),
                     ("u2", "https://first.com/1")}
+
+
+def test_hyperball_premerge_identical_results(spark):
+    rng = random.Random(321)
+    edges = sorted({(rng.randrange(60), rng.randrange(60)) for _ in range(200)})
+    df = spark.createDataFrame(edges, "u long, v long")
+    a = sorted((r["node"], r["r"], r["ball_est"])
+               for r in hyperball(df, 4, premerge=True).collect())
+    b = sorted((r["node"], r["r"], r["ball_est"])
+               for r in hyperball(df, 4, premerge=False).collect())
+    assert a == b
