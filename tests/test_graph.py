@@ -506,3 +506,58 @@ def test_hyperball_premerge_identical_results(spark):
     b = sorted((r["node"], r["r"], r["ball_est"])
                for r in hyperball(df, 4, premerge=False).collect())
     assert a == b
+
+
+def test_hyperball_approximate_regime_within_bound(spark):
+    """Balls past the direct-count threshold (n > 100): every estimate must
+    sit within 6 sigma of exact BFS (sigma = 1.04/sqrt(2^14) at the default
+    p) — the published-bound contract in the regime the gate's 97-node
+    graphs never reach."""
+    rng = random.Random(2718)
+    n = 300
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(2200)})
+    edges = [e for e in edges if e[0] != e[1]]
+    nodes = sorted({x for p in edges for x in p})
+    got = _hyperball_dict(spark, edges, 3, directed=True)
+    exact = _bfs_balls(edges, nodes, 3, directed=True)
+    margin = 6 * 1.04 / (2 ** 14) ** 0.5
+    big = 0
+    for (s, r), est in got.items():
+        ex = exact[(s, r)]
+        assert abs(est - ex) <= max(margin * ex, 2.0), (s, r, est, ex)
+        big += ex > 100
+    assert big > 100  # the approximate regime was actually exercised
+
+
+def test_graph_job_personalized_seeds(spark, tmp_path):
+    import json
+    import os
+
+    from sketchlib.data.pages import write_pages_parquet
+    from sketchlib.jobs.graph_job import main
+
+    src = str(tmp_path / "pages")
+    write_pages_parquet(src, 400, seed=9)
+    pages = spark.read.parquet(src)
+    linked = pages.withColumn(
+        "html",
+        F.concat(F.col("html").cast("string"),
+                 F.lit('<a href="https://s'),
+                 (F.xxhash64("url") % 10).cast("string"),
+                 F.lit('.example.com/y">l</a>')).cast("binary"))
+    inp = str(tmp_path / "linked")
+    linked.write.parquet(inp)
+    seeds = str(tmp_path / "seeds")
+    spark.createDataFrame([("s3.example.com",), ("no-such.example.com",)],
+                          "host string").write.parquet(seeds)
+    out = str(tmp_path / "g")
+    assert main(["--input", inp, "--output", out, "--cpus", "4",
+                 "--pagerank-iters", "3", "--max-r", "2",
+                 "--seeds", seeds]) == 0
+    pr = {r["node"]: r["rank"]
+          for r in spark.read.parquet(f"{out}/pagerank").collect()}
+    # teleport mass is restricted to the seed: it must hold the top rank,
+    # and hosts with no path from the seed hold zero
+    assert max(pr, key=pr.get) == "s3.example.com"
+    assert min(pr.values()) == 0
+    assert json.load(open(os.path.join(out, "summary.json")))["n_hosts"] == len(pr)
