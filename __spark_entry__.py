@@ -826,16 +826,24 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_docs from the fingerprint collect below — no bare .count() passes
     full = ((F.col("shared_chunks") == F.col("chunks_a"))
             & (F.col("chunks_a") == F.col("chunks_b")))
-    [prow] = self_pairs.agg(
-        F.count("*").alias("nf"),
-        F.count_if(full).alias("nfull")).collect()
+    # the pair aggregate and the two partition-stability fingerprint passes
+    # are independent job chains — overlap them (each underutilizes the
+    # cluster on its own; results are deterministic under overlap)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_pairs = pool.submit(self_pairs.agg(
+            F.count("*").alias("nf"),
+            F.count_if(full).alias("nfull")).collect)
+        f_a = pool.submit(chunk_fingerprints(docs, avg_size=64).collect)
+        f_b = pool.submit(
+            chunk_fingerprints(docs.repartition(13), avg_size=64).collect)
+        [prow] = f_pairs.result()
+        a = {r["doc_id"]: r["chunks"] for r in f_a.result()}
+        b = {r["doc_id"]: r["chunks"] for r in f_b.result()}
     n_found, n_full = prow["nf"], prow["nfull"]
     from sketchlib.spark.cacheutil import unpersist_intermediates
     unpersist_intermediates(pairs)  # the tag lives on shared_chunk_pairs' result
-    a = {r["doc_id"]: r["chunks"] for r in
-         chunk_fingerprints(docs, avg_size=64).collect()}
-    b = {r["doc_id"]: r["chunks"] for r in
-         chunk_fingerprints(docs.repartition(13), avg_size=64).collect()}
     n_docs = len(a)
     return spark.createDataFrame(
         [(int(n_docs), bool(n_found == n_docs), bool(n_full == n_docs),
@@ -945,17 +953,27 @@ def q_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per pass; 8 is plenty for a 5-group state and cuts checkpoint
         # file churn 4x (a bench-scale knob — a real cluster keeps its own)
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        (ev.filter(F.col("user_id") % 2 == 0)
-         .coalesce(2).write.mode("append").parquet(src))
-        run_pass()
-        (ev.filter(F.col("user_id") % 2 == 1)
-         .coalesce(2).write.mode("append").parquet(src))
-        run_pass()
+        # the exact reference aggregate depends only on the source table,
+        # not on the streamed state — compute it concurrently with the two
+        # streaming passes so its scan back-fills idle executors
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            f_exact = pool.submit(ev.groupBy("event_type").agg(
+                F.countDistinct("user_id").alias("exact_users")).collect)
+            (ev.filter(F.col("user_id") % 2 == 0)
+             .coalesce(2).write.mode("append").parquet(src))
+            run_pass()
+            (ev.filter(F.col("user_id") % 2 == 1)
+             .coalesce(2).write.mode("append").parquet(src))
+            run_pass()
+            exact_rows = f_exact.result()
         est = spark.createDataFrame(
             [(k, int(v)) for k, v in collected.items()],
             "event_type string, estimate long")
-        exact = ev.groupBy("event_type").agg(
-            F.countDistinct("user_id").alias("exact_users"))
+        exact = spark.createDataFrame(
+            [(r["event_type"], int(r["exact_users"])) for r in exact_rows],
+            "event_type string, exact_users long")
         return _bound_check(est, exact, ["event_type"], "exact_users")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
@@ -1205,17 +1223,26 @@ def q_streaming_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        (ev.filter(F.col("user_id") % 2 == 0)
-         .coalesce(2).write.mode("append").parquet(src))
-        run_pass()
-        (ev.filter(F.col("user_id") % 2 == 1)
-         .coalesce(2).write.mode("append").parquet(src))
-        run_pass()
+        # exact reference depends only on the source table — overlap its
+        # scan with the two streaming passes (same device as the HLL gate)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            f_exact = pool.submit(ev.groupBy("event_type").agg(
+                F.countDistinct("user_id").alias("exact_users")).collect)
+            (ev.filter(F.col("user_id") % 2 == 0)
+             .coalesce(2).write.mode("append").parquet(src))
+            run_pass()
+            (ev.filter(F.col("user_id") % 2 == 1)
+             .coalesce(2).write.mode("append").parquet(src))
+            run_pass()
+            exact_rows = f_exact.result()
         est = spark.createDataFrame(
             [(k, int(v)) for k, v in collected.items()],
             "event_type string, estimate long")
-        exact = ev.groupBy("event_type").agg(
-            F.countDistinct("user_id").alias("exact_users"))
+        exact = spark.createDataFrame(
+            [(r["event_type"], int(r["exact_users"])) for r in exact_rows],
+            "event_type string, exact_users long")
         return _bound_check(est, exact, ["event_type"], "exact_users")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
@@ -1291,18 +1318,27 @@ def q_streaming_cms_point_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        (ev.filter(F.col("user_id") % 2 == 0)
-         .coalesce(2).write.mode("append").parquet(src))
-        run_pass()
-        (ev.filter(F.col("user_id") % 2 == 1)
-         .coalesce(2).write.mode("append").parquet(src))
-        run_pass()
+        # exact probe count depends only on the source table — overlap its
+        # scan with the two streaming passes
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            f_exact = pool.submit(ev.groupBy("event_type").agg(
+                F.count(F.when(F.col("user_id") == PROBE, 1))
+                .alias("exact_probe")).collect)
+            (ev.filter(F.col("user_id") % 2 == 0)
+             .coalesce(2).write.mode("append").parquet(src))
+            run_pass()
+            (ev.filter(F.col("user_id") % 2 == 1)
+             .coalesce(2).write.mode("append").parquet(src))
+            run_pass()
+            exact_rows = f_exact.result()
         est = spark.createDataFrame(
             [(k, int(v[0]), int(v[1])) for k, v in collected.items()],
             "event_type string, est long, n_rows long")
-        exact = ev.groupBy("event_type").agg(
-            F.count(F.when(F.col("user_id") == PROBE, 1))
-            .alias("exact_probe"))
+        exact = spark.createDataFrame(
+            [(r["event_type"], int(r["exact_probe"])) for r in exact_rows],
+            "event_type string, exact_probe long")
         eps = math.e / CmsSpec().width
         return (est.join(exact, "event_type")
                 .select(
@@ -1384,19 +1420,29 @@ def q_streaming_mg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        (ev.filter(F.col("user_id") % 2 == 0)
-         .coalesce(2).write.mode("append").parquet(src))
-        run_pass()
-        (ev.filter(F.col("user_id") % 2 == 1)
-         .coalesce(2).write.mode("append").parquet(src))
-        run_pass()
+        # exact per-group stream length / probe count depend only on the
+        # source table — overlap their scan with the two streaming passes
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            f_exact = pool.submit(ev.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("exact_rows"),
+                F.count(F.when(F.col("user_id") == PROBE, 1))
+                .alias("exact_probe")).collect)
+            (ev.filter(F.col("user_id") % 2 == 0)
+             .coalesce(2).write.mode("append").parquet(src))
+            run_pass()
+            (ev.filter(F.col("user_id") % 2 == 1)
+             .coalesce(2).write.mode("append").parquet(src))
+            run_pass()
+            exact_rows_c = f_exact.result()
         est = spark.createDataFrame(
             [(k, int(v[0]), int(v[1])) for k, v in collected.items()],
             "event_type string, est long, n_rows long")
-        exact = ev.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("exact_rows"),
-            F.count(F.when(F.col("user_id") == PROBE, 1))
-            .alias("exact_probe"))
+        exact = spark.createDataFrame(
+            [(r["event_type"], int(r["exact_rows"]), int(r["exact_probe"]))
+             for r in exact_rows_c],
+            "event_type string, exact_rows long, exact_probe long")
         return (est.join(exact, "event_type")
                 .select(
                     "event_type", "exact_probe",
@@ -1667,10 +1713,20 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("o_orderkey"),
         F.col("l_extendedprice").cast("double").alias("price"))
     base = tempfile.mkdtemp(prefix="bkt_gate_")
-    bo = write_bucketed(orders, "gate_bkt_orders", "o_orderkey", 8,
-                        path=os.path.join(base, "o"), sorted_by="o_orderkey")
-    bl = write_bucketed(li, "gate_bkt_li", "o_orderkey", 8,
-                        path=os.path.join(base, "l"), sorted_by="o_orderkey")
+    # the two bucketed materializations are independent write jobs to
+    # distinct tables/paths — overlap them so the smaller side's write
+    # back-fills executors while the larger side's tasks drain
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_bo = pool.submit(write_bucketed, orders, "gate_bkt_orders",
+                           "o_orderkey", 8, path=os.path.join(base, "o"),
+                           sorted_by="o_orderkey")
+        f_bl = pool.submit(write_bucketed, li, "gate_bkt_li",
+                           "o_orderkey", 8, path=os.path.join(base, "l"),
+                           sorted_by="o_orderkey")
+        bo = f_bo.result()
+        bl = f_bl.result()
     j = colocated_join(bl, bo, "o_orderkey")
     j.count()  # materialize so AQE finalizes the physical plan
     plan = (j._jdf.queryExecution().executedPlan().toString()
@@ -1734,23 +1790,44 @@ def _checkpoint_resume_users_body(spark, sf_dir, tempfile, HllSpec,
     try:
         src = lambda w: ev.filter(F.col("week") == w)  # noqa: E731
 
-        d_resume = tempfile.mkdtemp(prefix="ckpt_resume_")
-        half = SketchCheckpoint(d_resume, HllSpec(), ["user_id"],
-                                ["event_type"], unit_col="week")
-        half.run(spark, src, weeks[: max(1, len(weeks) // 2)])
-        # 'kill': drop the object; a fresh one on the same dir must resume
-        resumed = SketchCheckpoint(d_resume, HllSpec(), ["user_id"],
-                                   ["event_type"], unit_col="week")
-        resumed.run(spark, src, weeks)
+        def _resume_chain():
+            # half-run then resume MUST be sequential (that is the
+            # kill/resume semantics under test) — but the whole chain is
+            # independent of the control run and the exact aggregate
+            d_resume = tempfile.mkdtemp(prefix="ckpt_resume_")
+            half = SketchCheckpoint(d_resume, HllSpec(), ["user_id"],
+                                    ["event_type"], unit_col="week")
+            half.run(spark, src, weeks[: max(1, len(weeks) // 2)])
+            # 'kill': drop the object; a fresh one on the same dir resumes
+            resumed = SketchCheckpoint(d_resume, HllSpec(), ["user_id"],
+                                       ["event_type"], unit_col="week")
+            resumed.run(spark, src, weeks)
+            return resumed
+
+        def _control_chain():
+            control = SketchCheckpoint(tempfile.mkdtemp(prefix="ckpt_ctl_"),
+                                       HllSpec(), ["user_id"], ["event_type"],
+                                       unit_col="week")
+            control.run(spark, src, weeks)
+            return control
+
+        # three independent job chains over the persisted gate input —
+        # overlap them so the gate's ~8 sequential tiny jobs become ~3
+        # concurrent chains (each alone underutilizes the cluster)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_resumed = pool.submit(_resume_chain)
+            f_control = pool.submit(_control_chain)
+            f_exact = pool.submit(ev.groupBy("event_type").agg(
+                F.countDistinct("user_id").alias("exact_users")).collect)
+            resumed = f_resumed.result()
+            control = f_control.result()
+            exact_rows = f_exact.result()
         units_once = sorted(rec["unit"]
                             for rec in resumed.lineage()) == weeks
 
-        control = SketchCheckpoint(tempfile.mkdtemp(prefix="ckpt_ctl_"),
-                                   HllSpec(), ["user_id"], ["event_type"],
-                                   unit_col="week")
-        control.run(spark, src, weeks)
-
-        # one job for both final merges (union with a tag), one for exact
+        # one job for both final merges (union with a tag)
         both = (resumed.result(spark).withColumn("__src", F.lit("r"))
                 .unionByName(control.result(spark)
                              .withColumn("__src", F.lit("c")))
@@ -1762,8 +1839,6 @@ def _checkpoint_resume_users_body(spark, sf_dir, tempfile, HllSpec,
                  for r in both if r["__src"] == "c"}
         est = spark.createDataFrame([(k, int(v)) for k, v in est_r.items()],
                                     "event_type string, estimate long")
-        exact_rows = ev.groupBy("event_type").agg(
-            F.countDistinct("user_id").alias("exact_users")).collect()
     finally:
         # without this, a mid-gate failure pins the cached partitions in
         # the shared driver session for the rest of the 96-gate run
@@ -2507,20 +2582,37 @@ def q_hyperball_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (li.select((F.col("l_suppkey") * 2).alias("u"),
                        (F.col("l_partkey") * 2 + 1).alias("v"))
              .distinct())
-    est = neighborhood_function(edges, 3, directed=False)
 
-    # exact pair counts via BFS over the symmetrized edge set (gate-only)
-    sym = edges.unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    sym = sym.localCheckpoint(eager=True)
-    nodes = (sym.select(F.col("u").alias("src")).distinct())
-    pairs = nodes.select("src", F.col("src").alias("reached"))
-    counts = [(0, pairs.count())]
-    for r in range(1, 4):
-        step = (pairs.join(sym, pairs["reached"] == sym["u"])
-                .select("src", F.col("v").alias("reached")))
-        pairs = pairs.unionByName(step).distinct().localCheckpoint(eager=True)
-        counts.append((r, pairs.count()))
+    def _exact_bfs():
+        # exact pair counts via BFS over the symmetrized edge set (gate-only)
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        # lazy checkpoints: each round's count() is the action that
+        # materializes that round's pair set — one job per BFS radius
+        # instead of an eager checkpoint pass plus a count pass
+        sym = sym.localCheckpoint(eager=False)
+        nodes = (sym.select(F.col("u").alias("src")).distinct())
+        pairs = nodes.select("src", F.col("src").alias("reached"))
+        counts = [(0, pairs.count())]
+        for r in range(1, 4):
+            step = (pairs.join(sym, pairs["reached"] == sym["u"])
+                    .select("src", F.col("v").alias("reached")))
+            pairs = (pairs.unionByName(step).distinct()
+                     .localCheckpoint(eager=False))
+            counts.append((r, pairs.count()))
+        return counts
+
+    # the HyperBall relaxation rounds and the exact BFS are independent job
+    # chains over the same edge set — overlap them so one chain's shuffle
+    # tail back-fills the other's map stages
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_est = pool.submit(neighborhood_function, edges, 3, None,
+                            "u", "v", False)
+        f_exact = pool.submit(_exact_bfs)
+        est = f_est.result()
+        counts = f_exact.result()
     exact = spark.createDataFrame(counts, "r int, exact_pairs long")
 
     j = est.join(exact, "r")
@@ -2836,15 +2928,28 @@ def q_ams_f2_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _read(spark, sf_dir, "lineitem")
     margin = 6.8 * (2.0 / (1 << 12)) ** 0.5  # ~0.15 relative
-    rows = []
-    for col in ("l_orderkey", "l_suppkey"):
+    # 2 columns x (sketch build + exact F2) = four independent jobs over the
+    # same scan — overlap them instead of running four sequential passes
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _sketch_f2(col):
         spec = AmsSpec(width=1 << 12, depth=7)
         [r] = sketch_agg(li, col, (), spec).collect()
-        est = AmsSketch.from_bytes(bytes(r["sketch"])).estimate_f2()
+        return AmsSketch.from_bytes(bytes(r["sketch"])).estimate_f2()
+
+    def _exact_f2(col):
         [e] = (li.groupBy(col).count()
                .agg(F.sum(F.col("count") * F.col("count")).alias("f2")).collect())
-        exact = int(e["f2"])
-        rows.append((col, exact, bool(abs(est - exact) <= margin * exact)))
+        return int(e["f2"])
+
+    cols = ("l_orderkey", "l_suppkey")
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_est = {c: pool.submit(_sketch_f2, c) for c in cols}
+        f_ex = {c: pool.submit(_exact_f2, c) for c in cols}
+        rows = []
+        for col in cols:
+            est, exact = f_est[col].result(), f_ex[col].result()
+            rows.append((col, exact, bool(abs(est - exact) <= margin * exact)))
     return spark.createDataFrame(
         rows, "element string, exact_f2 long, within_bound boolean")
 
@@ -2995,13 +3100,23 @@ def q_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewed = li.select(
         F.when(F.col("l_orderkey") % 2 == 0, F.lit(-1))
         .otherwise(F.col("l_suppkey")).cast("long").alias("k"))
-    diag = diagnose_skew(skewed, "k", k=5)
-    [ex] = skewed.agg(
-        F.count("*").alias("n"),
-        F.sum(F.when(F.col("k") == -1, 1).otherwise(0)).alias("hub"),
-        F.count_distinct("k").alias("ndv")).collect()
-    f2_exact = skewed.groupBy("k").count().agg(
-        F.sum(F.col("count") * F.col("count"))).collect()[0][0]
+    # ONE exact pass instead of two: n / hub / ndv / F2 all derive from the
+    # per-key counts (n = sum(count), hub = count of the k=-1 group, ndv =
+    # #groups, F2 = sum(count^2)) — identical integers, half the scans; and
+    # the exact pass overlaps the sketch diagnosis (independent jobs)
+    from concurrent.futures import ThreadPoolExecutor
+
+    exact_agg = (skewed.groupBy("k").count().agg(
+        F.sum("count").alias("n"),
+        F.sum(F.when(F.col("k") == -1, F.col("count")).otherwise(0)).alias("hub"),
+        F.count("*").alias("ndv"),
+        F.sum(F.col("count") * F.col("count")).alias("f2")))
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_diag = pool.submit(diagnose_skew, skewed, "k", 5)
+        f_ex = pool.submit(exact_agg.collect)
+        diag = f_diag.result()
+        [ex] = f_ex.result()
+    f2_exact = ex["f2"]
     hub_val, est, lower = diag.hot_keys[0]
     sandwich_ok = bool(lower <= ex["hub"] <= est)
     ndv_ok = bool(abs(diag.ndv - ex["ndv"]) <= 4 * diag.ndv_rse * ex["ndv"])
@@ -3030,15 +3145,30 @@ def q_join_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _read(spark, sf_dir, "lineitem")
     orders = _read(spark, sf_dir, "orders")
-    adv = advise_join(li, "l_orderkey", orders, "o_orderkey")
-    [ex] = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-            .agg(F.count("*").alias("join_rows")).collect())
-    [el] = li.agg(F.count("*").alias("n"),
-                  F.count_distinct("l_orderkey").alias("ndv")).collect()
-    [er] = orders.agg(F.count("*").alias("n"),
-                      F.count_distinct("o_orderkey").alias("ndv")).collect()
-    f2l = li.groupBy("l_orderkey").count().agg(
-        F.sum(F.col("count") * F.col("count"))).collect()[0][0]
+    # all four exact-check jobs and the sketch pre-flight are independent —
+    # overlap them (straggler back-fill); and the left side's n / ndv / F2
+    # come from ONE per-key-count pass instead of two separate scans
+    # (n = sum(count), ndv = #groups, F2 = sum(count^2) — same integers)
+    from concurrent.futures import ThreadPoolExecutor
+
+    left_agg = (li.groupBy("l_orderkey").count().agg(
+        F.sum("count").alias("n"),
+        F.count("*").alias("ndv"),
+        F.sum(F.col("count") * F.col("count")).alias("f2")))
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_adv = pool.submit(advise_join, li, "l_orderkey", orders, "o_orderkey")
+        f_ex = pool.submit(
+            (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+             .agg(F.count("*").alias("join_rows"))).collect)
+        f_el = pool.submit(left_agg.collect)
+        f_er = pool.submit(
+            orders.agg(F.count("*").alias("n"),
+                       F.count_distinct("o_orderkey").alias("ndv")).collect)
+        adv = f_adv.result()
+        [ex] = f_ex.result()
+        [el] = f_el.result()
+        [er] = f_er.result()
+    f2l = el["f2"]
     est_ok = bool(ex["join_rows"] <= adv.est_join_rows
                   <= ex["join_rows"] + adv.upper_margin)
     ndv_ok = bool(abs(adv.ndv_left - el["ndv"]) <= 4 / (4096 ** 0.5) * el["ndv"]

@@ -108,14 +108,18 @@ def hyperball(edges: DataFrame, max_r: int, spec: HllSpec | None = None,
          .filter(F.col("u").isNotNull() & F.col("v").isNotNull()))
     if not directed:
         e = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    e = e.distinct().localCheckpoint(eager=True)
+    # lazy localCheckpoints: the NEXT action (the r=0 signature job below)
+    # materializes both the deduped edge set and the initial counters in ONE
+    # job — an eager checkpoint + separate signature pass would pay two
+    # full passes per materialization for the same bytes
+    e = e.distinct().localCheckpoint(eager=False)
 
     nodes = (e.select(F.col("u").alias("node"))
              .unionByName(e.select(F.col("v").alias("node")))
              .distinct())
     # B(v, 0) = {v}: one single-element sketch per node (direct mode -> the
     # r=0 estimate is exactly 1.0)
-    counters = sketch_agg(nodes, "node", ["node"], spec).localCheckpoint(eager=True)
+    counters = sketch_agg(nodes, "node", ["node"], spec).localCheckpoint(eager=False)
     prev = _signature(counters)
 
     def _snap(c: DataFrame, r: int) -> DataFrame:
@@ -133,8 +137,12 @@ def hyperball(edges: DataFrame, max_r: int, spec: HllSpec | None = None,
             # before the shuffle — |E| rows drop to ≤ |V| × partitions
             # (bit-identical; premerge_partials docstring)
             merge_in = premerge_partials(merge_in, ["node"], spec)
+        # lazy checkpoint: the signature job both materializes this round's
+        # counters (caching them for the next round / the final snapshot
+        # union) and computes the fixed-point hash — one pass per round
+        # instead of a checkpoint pass plus a signature pass
         counters = (merge_partials(merge_in, ["node"], spec)
-                    .localCheckpoint(eager=True))
+                    .localCheckpoint(eager=False))
         sig = _signature(counters)
         if sig == prev:
             # fixed point: B(v, r) == B(v, r-1) for every v — the frame for

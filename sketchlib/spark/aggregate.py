@@ -631,6 +631,45 @@ def merge_blobs_udf(spec) -> Column:
     return _merge
 
 
+def merge_estimate_udf(spec) -> Column:
+    """Fused fold-merge + estimate over an ``array<binary>`` column: one
+    Python entry per output group yielding the scalar estimate directly.
+
+    Functionally identical to ``merge_blobs_udf`` followed by
+    ``estimate_col`` (canonical serialization round-trips bit-for-bit, so
+    estimating the in-memory merged sketch equals estimating its
+    deserialized blob) — but the merged blob never crosses back to the JVM
+    only to be shipped to Python a second time for estimation: for a
+    per-group query that only wants the NUMBER, this removes one full
+    JVM->Python->JVM round trip of every group's blob plus a serialize +
+    deserialize per group."""
+    fold = getattr(spec, "fold_blobs", None)
+
+    @F.pandas_udf(spec.estimate_type)
+    def _merge_estimate(lists: pd.Series) -> pd.Series:
+        out = []
+        for blobs in lists:
+            if len(blobs) == 0:
+                # empty group (global agg over zero rows): estimate 0
+                out.append(spec.estimate(spec.make()))
+                continue
+            if len(blobs) == 1:
+                out.append(spec.estimate(spec.from_bytes(bytes(blobs[0]))))
+                continue
+            if fold is not None:
+                out.append(spec.estimate(
+                    spec.from_bytes(fold([bytes(b) for b in blobs]))))
+                continue
+            merged = None
+            for b in blobs:
+                sk = spec.from_bytes(bytes(b))
+                merged = sk if merged is None else spec.merge(merged, sk)
+            out.append(spec.estimate(merged))
+        return pd.Series(out)
+
+    return _merge_estimate
+
+
 def merge_partials(partials: DataFrame, group_cols: Sequence[str] = (),
                    spec: HllSpec | None = None, sketch_col: str = "sketch") -> DataFrame:
     """Stage 2: fold-merge each group's partial sketches into one.
@@ -758,9 +797,21 @@ def distinct_count(df: DataFrame, element_cols, group_cols: Sequence[str] = (),
     if spec is None:
         spec = (spec_factory() if spec_factory is not None
                 else HllSpec(p=p, hash_name=hash_name, prehashed=prehash64))
-    merged = sketch_agg(df, element_cols, group_cols, spec, tree_fanout=tree_fanout)
-    cols = list(group_cols) + [estimate_col(spec).alias(estimate_name)]
-    return merged.select(*cols)
+    group_cols = list(group_cols)
+    if tree_fanout:
+        merged = sketch_agg(df, element_cols, group_cols, spec,
+                            tree_fanout=tree_fanout)
+        return merged.select(*group_cols,
+                             estimate_col(spec).alias(estimate_name))
+    # fused merge+estimate: the caller only wants the scalar, so the merged
+    # blob never round-trips JVM->Python a second time (merge_estimate_udf)
+    partials = build_partials(df, element_cols, group_cols, spec)
+    collected = F.collect_list("sketch").alias("__blobs")
+    agged = (partials.groupBy(*group_cols).agg(collected) if group_cols
+             else partials.agg(collected))
+    return agged.select(*group_cols,
+                        merge_estimate_udf(spec)(F.col("__blobs"))
+                        .alias(estimate_name))
 
 
 def premerge_partials(partials: DataFrame, group_cols: Sequence[str],
