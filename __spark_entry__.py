@@ -630,11 +630,21 @@ def q_hll_checkpointed_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     weeks = sorted(str(r["week"]) for r in ev.select("week").distinct().collect())
     ck = SketchCheckpoint(tempfile.mkdtemp(prefix="ckpt_gate_"), HllSpec(),
                           ["user_id"], ["event_type"], unit_col="week")
-    ck.run(spark, lambda w: ev.filter(F.col("week") == w), weeks)
+    # per-week unit jobs are independent (write-then-commit) — run 3 in
+    # flight; and the exact reference aggregate overlaps the unit builds
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_exact = pool.submit(ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_users")).collect)
+        ck.run(spark, lambda w: ev.filter(F.col("week") == w), weeks,
+               parallelism=3)
+        exact_rows = f_exact.result()
     merged = ck.result(spark)
     est = merged.select("event_type", estimate_col(HllSpec()).alias("estimate"))
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users"))
+    exact = spark.createDataFrame(
+        [(r["event_type"], int(r["exact_users"])) for r in exact_rows],
+        "event_type string, exact_users long")
     return _bound_check(est, exact, ["event_type"], "exact_users")
 
 
@@ -890,10 +900,14 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming distances.  Oracle states the invariant as literals."""
     from sketchlib.dedup import simhash_near_dup_pairs
     from sketchlib.dedup.simhash import _popcount64, simhash_signatures
+    from sketchlib.spark.cacheutil import tag_intermediates
 
     docs = _read(spark, sf_dir, "documents")
-    got = simhash_near_dup_pairs(docs, max_hamming=3)
-    sim = simhash_signatures(docs, "text", "doc_id")
+    # ONE Python signature pass shared by the chunked-join pipeline and the
+    # brute-force check (persisted; both branches of the final job read the
+    # cached signatures instead of re-running the mapInArrow scan twice)
+    sim = simhash_signatures(docs, "text", "doc_id").persist()
+    got = simhash_near_dup_pairs(docs, max_hamming=3, signatures=sim)
     a = sim.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
     brute = (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
@@ -901,12 +915,12 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                          _popcount64(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
              .filter(F.col("hamming_bf") <= 3).select("id_a", "id_b", "hamming_bf"))
     j = got.join(brute, ["id_a", "id_b"], "full_outer")
-    return j.agg(
+    return tag_intermediates(j.agg(
         F.sum(F.when(F.col("hamming").isNull(), 1).otherwise(0)).alias("n_missed"),
         F.sum(F.when(F.col("hamming_bf").isNull(), 1).otherwise(0)).alias("n_extra"),
         (F.sum(F.when(F.col("hamming") != F.col("hamming_bf"), 1).otherwise(0)) == 0
          ).alias("distances_match"),
-        (F.count("*") > 0).alias("found_pairs"))
+        (F.count("*") > 0).alias("found_pairs")), sim)
 
 
 def q_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -952,28 +966,21 @@ def q_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the state store creates one directory tree per shuffle partition
         # per pass; 8 is plenty for a 5-group state and cuts checkpoint
         # file churn 4x (a bench-scale knob — a real cluster keeps its own)
+        # (r6 note: overlapping the exact aggregate with the passes was
+        # tried and measured SLOWER warm — the concurrent job stretches the
+        # micro-batch more than it saves — so the check stays sequential)
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        # the exact reference aggregate depends only on the source table,
-        # not on the streamed state — compute it concurrently with the two
-        # streaming passes so its scan back-fills idle executors
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            f_exact = pool.submit(ev.groupBy("event_type").agg(
-                F.countDistinct("user_id").alias("exact_users")).collect)
-            (ev.filter(F.col("user_id") % 2 == 0)
-             .coalesce(2).write.mode("append").parquet(src))
-            run_pass()
-            (ev.filter(F.col("user_id") % 2 == 1)
-             .coalesce(2).write.mode("append").parquet(src))
-            run_pass()
-            exact_rows = f_exact.result()
+        (ev.filter(F.col("user_id") % 2 == 0)
+         .coalesce(2).write.mode("append").parquet(src))
+        run_pass()
+        (ev.filter(F.col("user_id") % 2 == 1)
+         .coalesce(2).write.mode("append").parquet(src))
+        run_pass()
         est = spark.createDataFrame(
             [(k, int(v)) for k, v in collected.items()],
             "event_type string, estimate long")
-        exact = spark.createDataFrame(
-            [(r["event_type"], int(r["exact_users"])) for r in exact_rows],
-            "event_type string, exact_users long")
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_users"))
         return _bound_check(est, exact, ["event_type"], "exact_users")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
@@ -1223,26 +1230,17 @@ def q_streaming_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        # exact reference depends only on the source table — overlap its
-        # scan with the two streaming passes (same device as the HLL gate)
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            f_exact = pool.submit(ev.groupBy("event_type").agg(
-                F.countDistinct("user_id").alias("exact_users")).collect)
-            (ev.filter(F.col("user_id") % 2 == 0)
-             .coalesce(2).write.mode("append").parquet(src))
-            run_pass()
-            (ev.filter(F.col("user_id") % 2 == 1)
-             .coalesce(2).write.mode("append").parquet(src))
-            run_pass()
-            exact_rows = f_exact.result()
+        (ev.filter(F.col("user_id") % 2 == 0)
+         .coalesce(2).write.mode("append").parquet(src))
+        run_pass()
+        (ev.filter(F.col("user_id") % 2 == 1)
+         .coalesce(2).write.mode("append").parquet(src))
+        run_pass()
         est = spark.createDataFrame(
             [(k, int(v)) for k, v in collected.items()],
             "event_type string, estimate long")
-        exact = spark.createDataFrame(
-            [(r["event_type"], int(r["exact_users"])) for r in exact_rows],
-            "event_type string, exact_users long")
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_users"))
         return _bound_check(est, exact, ["event_type"], "exact_users")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
@@ -1318,27 +1316,18 @@ def q_streaming_cms_point_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        # exact probe count depends only on the source table — overlap its
-        # scan with the two streaming passes
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            f_exact = pool.submit(ev.groupBy("event_type").agg(
-                F.count(F.when(F.col("user_id") == PROBE, 1))
-                .alias("exact_probe")).collect)
-            (ev.filter(F.col("user_id") % 2 == 0)
-             .coalesce(2).write.mode("append").parquet(src))
-            run_pass()
-            (ev.filter(F.col("user_id") % 2 == 1)
-             .coalesce(2).write.mode("append").parquet(src))
-            run_pass()
-            exact_rows = f_exact.result()
+        (ev.filter(F.col("user_id") % 2 == 0)
+         .coalesce(2).write.mode("append").parquet(src))
+        run_pass()
+        (ev.filter(F.col("user_id") % 2 == 1)
+         .coalesce(2).write.mode("append").parquet(src))
+        run_pass()
         est = spark.createDataFrame(
             [(k, int(v[0]), int(v[1])) for k, v in collected.items()],
             "event_type string, est long, n_rows long")
-        exact = spark.createDataFrame(
-            [(r["event_type"], int(r["exact_probe"])) for r in exact_rows],
-            "event_type string, exact_probe long")
+        exact = ev.groupBy("event_type").agg(
+            F.count(F.when(F.col("user_id") == PROBE, 1))
+            .alias("exact_probe"))
         eps = math.e / CmsSpec().width
         return (est.join(exact, "event_type")
                 .select(
@@ -1420,29 +1409,19 @@ def q_streaming_mg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        # exact per-group stream length / probe count depend only on the
-        # source table — overlap their scan with the two streaming passes
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            f_exact = pool.submit(ev.groupBy("event_type").agg(
-                F.count(F.lit(1)).alias("exact_rows"),
-                F.count(F.when(F.col("user_id") == PROBE, 1))
-                .alias("exact_probe")).collect)
-            (ev.filter(F.col("user_id") % 2 == 0)
-             .coalesce(2).write.mode("append").parquet(src))
-            run_pass()
-            (ev.filter(F.col("user_id") % 2 == 1)
-             .coalesce(2).write.mode("append").parquet(src))
-            run_pass()
-            exact_rows_c = f_exact.result()
+        (ev.filter(F.col("user_id") % 2 == 0)
+         .coalesce(2).write.mode("append").parquet(src))
+        run_pass()
+        (ev.filter(F.col("user_id") % 2 == 1)
+         .coalesce(2).write.mode("append").parquet(src))
+        run_pass()
         est = spark.createDataFrame(
             [(k, int(v[0]), int(v[1])) for k, v in collected.items()],
             "event_type string, est long, n_rows long")
-        exact = spark.createDataFrame(
-            [(r["event_type"], int(r["exact_rows"]), int(r["exact_probe"]))
-             for r in exact_rows_c],
-            "event_type string, exact_rows long, exact_probe long")
+        exact = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("exact_rows"),
+            F.count(F.when(F.col("user_id") == PROBE, 1))
+            .alias("exact_probe"))
         return (est.join(exact, "event_type")
                 .select(
                     "event_type", "exact_probe",
@@ -1801,14 +1780,14 @@ def _checkpoint_resume_users_body(spark, sf_dir, tempfile, HllSpec,
             # 'kill': drop the object; a fresh one on the same dir resumes
             resumed = SketchCheckpoint(d_resume, HllSpec(), ["user_id"],
                                        ["event_type"], unit_col="week")
-            resumed.run(spark, src, weeks)
+            resumed.run(spark, src, weeks, parallelism=2)
             return resumed
 
         def _control_chain():
             control = SketchCheckpoint(tempfile.mkdtemp(prefix="ckpt_ctl_"),
                                        HllSpec(), ["user_id"], ["event_type"],
                                        unit_col="week")
-            control.run(spark, src, weeks)
+            control.run(spark, src, weeks, parallelism=2)
             return control
 
         # three independent job chains over the persisted gate input —
@@ -3333,29 +3312,28 @@ def _join_discovery_oracle() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Gate registry.  ORDER MATTERS: the driver's DuckDB oracle checks the
-    FIRST 50 entries, so the window rotates each round.  Final round-5
-    policy (enforced by ``scripts/check_entry.py --window 50``): (1) every
-    never-driver-checked gate (the cuckoo pair + all round-5 additions),
-    (2) the r02 cohort, (3) as much of the r03 cohort as fits.  The
-    registry outgrew 2x the window this round (56 gates would need an r05
-    row; the window holds 50), so six r03 gates sit at positions 51-56 as
-    DELIBERATE residual staleness — chosen so each sketch family keeps an
-    r04/r05 driver row through a sibling gate (t-digest via
-    tdigest_event_value_quantiles, KLL via kll_price_quantiles, CMS via
-    cms_heavy_hitters/cms_top/cms_join_size, the streaming harness via six
-    other streaming gates, the per-group direct-count oracle via
-    hll_salted_tree_merge which shares hll_distinct_suppliers_per_order's
-    oracle verbatim, Bloom via bloom_membership + both bloom_pruned
-    gates); all six passed this session's full local oracle run.  The
-    r04-green tail is unchanged code at stale=1."""
+    FIRST 50 entries, so the window rotates each round.  Round-6 policy
+    (VERDICT r5 item #1, enforced by ``scripts/check_entry.py --window
+    50``): the six gates whose last driver row was r03
+    (tdigest_doc_length_quantiles, streaming_tdigest_median,
+    streaming_kll_median, streaming_cms_point_counts,
+    hll_distinct_suppliers_per_order, bloom_distinct_custkeys_bound) move
+    to window positions 1-6 so every registry gate has a green driver row
+    within 2 rounds; the six gates they displace all have r05 rows
+    (stale=1 next round).  No oracle text changes — this is purely a
+    registry reordering."""
     return {
-        # -- r5 WINDOW (first 50; driver-checked this round) -------------
-        # never-driver-checked first, then the r02 cohort, then every
-        # r03-green gate that fits.  56 gates need an r05 row but the
-        # window holds 50: six r03 gates (marked below) stay stale by
-        # DELIBERATE choice -- each family keeps an r04/r05 row through a
-        # sibling gate, and all six passed this session's full local
-        # oracle runs (scripts/check_entry.py).
+        # -- r6 WINDOW (first 50; driver-checked this round) -------------
+        # positions 1-6: the six r03-stale gates the r5 verdict ordered
+        # into the window (zeroes the rotation ledger)
+        "tdigest_doc_length_quantiles": q_tdigest_doc_length_quantiles,
+        "streaming_tdigest_median": q_streaming_tdigest_median,
+        "streaming_kll_median": q_streaming_kll_median,
+        "streaming_cms_point_counts": q_streaming_cms_point_counts,
+        "hll_distinct_suppliers_per_order": q_hll_distinct_suppliers_per_order,
+        "bloom_distinct_custkeys_bound": q_bloom_distinct_custkeys_bound,
+        # then the r5 window cohort, minus the six displaced r05-green
+        # gates now at positions 51-56
         "cuckoo_membership_retract": q_cuckoo_membership_retract,
         "incremental_retract_dedup": q_incremental_retract_dedup,
         "bpe_tokenize": q_bpe_tokenize,
@@ -3406,14 +3384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_distinct_users": q_streaming_distinct_users,
         "streaming_theta_distinct": q_streaming_theta_distinct,
         "streaming_dedup_events": q_streaming_dedup_events,
-        # -- positions 51-56: the six deliberate r03 leftovers ----------
-        "tdigest_doc_length_quantiles": q_tdigest_doc_length_quantiles,
-        "streaming_tdigest_median": q_streaming_tdigest_median,
-        "streaming_kll_median": q_streaming_kll_median,
-        "streaming_cms_point_counts": q_streaming_cms_point_counts,
-        "hll_distinct_suppliers_per_order": q_hll_distinct_suppliers_per_order,
-        "bloom_distinct_custkeys_bound": q_bloom_distinct_custkeys_bound,
-        # -- r04-green tail (unchanged code, stale=1 after r05) ---------
+        # -- positions 51-56: displaced by the r6 rotation; all six have
+        # r05 driver rows (stale=1 next round, inside the policy bound) --
+        # -- r04/r05-green tail (unchanged code) ------------------------
         "incremental_dedup": q_incremental_dedup,
         "blocklist_filter": q_blocklist_filter,
         "checkpoint_resume_users": q_checkpoint_resume_users,

@@ -152,18 +152,25 @@ def _popcount64(col: Column) -> Column:
 
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", max_hamming: int = 3,
-                           max_bucket: int = 10_000) -> DataFrame:
+                           max_bucket: int = 10_000,
+                           signatures: DataFrame | None = None) -> DataFrame:
     """(id_a, id_b, hamming) for all pairs within ``max_hamming`` bits.
 
     Recall is exact by the pigeonhole argument, except pairs whose *every*
     agreeing chunk lands in a bucket larger than ``max_bucket`` (degenerate
     boilerplate clusters) — raise ``max_bucket`` if exactness under such
-    clusters is required."""
+    clusters is required.
+
+    ``signatures``: a precomputed :func:`simhash_signatures` frame
+    (``id_col``, ``simhash``) — pass it (ideally persisted) when the caller
+    also needs the signatures for its own checks, so the Python signature
+    pass over the corpus runs once instead of once per consumer."""
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
-    sim = simhash_signatures(df, text_col, id_col)
+    sim = (signatures if signatures is not None
+           else simhash_signatures(df, text_col, id_col))
     # signed-long-safe chunk mask: for max_hamming=0 the chunk is the
     # whole word and (1 << 64) - 1 does not fit a Java long — -1 is the
     # same all-ones bit pattern

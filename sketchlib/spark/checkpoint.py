@@ -29,8 +29,10 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,6 +53,7 @@ class SketchCheckpoint:
         self.element_cols = [element_cols] if isinstance(element_cols, str) else list(element_cols)
         self.group_cols = list(group_cols)
         self.unit_col = unit_col
+        self._commit_lock = threading.Lock()
         os.makedirs(self.partials_dir, exist_ok=True)
 
     @property
@@ -76,7 +79,9 @@ class SketchCheckpoint:
         return {rec["unit"] for rec in self.lineage()}
 
     def _commit(self, record: dict) -> None:
-        with open(self.manifest_path, "a") as f:
+        # serialize in-process concurrent unit commits (run(parallelism=N));
+        # each record is one line, appended and fsynced atomically
+        with self._commit_lock, open(self.manifest_path, "a") as f:
             f.write(json.dumps(record) + "\n")
             f.flush()
             os.fsync(f.fileno())
@@ -163,13 +168,27 @@ class SketchCheckpoint:
         return record
 
     def run(self, spark: SparkSession, source: Callable[[str], DataFrame],
-            units: Sequence[str]) -> dict:
+            units: Sequence[str], parallelism: int = 1) -> dict:
         """Process all not-yet-completed units. ``source(unit)`` returns the
-        unit's (partition-pruned) DataFrame."""
+        unit's (partition-pruned) DataFrame.
+
+        ``parallelism > 1`` submits that many unit jobs concurrently from
+        driver threads — units are independent (separate scans, separate
+        partials directories, write-then-commit manifest records), so a
+        later unit's scan back-fills executors freed by an earlier unit's
+        write tail.  2-3 in flight is plenty; the returned ``records`` list
+        stays in ``units`` order, and manifest-line order (which may
+        interleave) carries no semantics — completion is set-based."""
         self._check_resume_config()
         done = self.completed_units()
         todo = [u for u in units if str(u) not in done]
-        records = [self.run_unit(source(u), str(u)) for u in todo]
+        if parallelism > 1 and len(todo) > 1:
+            with ThreadPoolExecutor(max_workers=parallelism) as pool:
+                futs = [pool.submit(self.run_unit, source(u), str(u))
+                        for u in todo]
+                records = [f.result() for f in futs]
+        else:
+            records = [self.run_unit(source(u), str(u)) for u in todo]
         return {"resumed": bool(done), "skipped": len(units) - len(todo),
                 "ran": len(todo), "records": records}
 
