@@ -799,15 +799,23 @@ def q_hash_split_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id")
     a = hash_split(docs, "doc_id", weights)
     b = hash_split(docs.repartition(13), "doc_id", weights)
-    counts = {r["split"]: r["n"] for r in
-              a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # the split-fraction counts and the A-vs-B stability join are
+    # independent jobs — overlap them
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_counts = pool.submit(
+            a.groupBy("split").agg(F.count("*").alias("n")).collect)
+        f_mismatch = pool.submit(
+            (a.join(b.withColumnRenamed("split", "split_b"), "doc_id")
+             .filter(F.col("split") != F.col("split_b"))).count)
+        counts = {r["split"]: r["n"] for r in f_counts.result()}
+        mismatch = f_mismatch.result()
     n_total = sum(counts.values())
     frac_ok = all(
         abs(counts.get(s, 0) - w * n_total)
         <= 6.0 * math.sqrt(max(w * (1 - w) * n_total, 1.0)) + 1
         for s, w in weights.items())
-    mismatch = (a.join(b.withColumnRenamed("split", "split_b"), "doc_id")
-                .filter(F.col("split") != F.col("split_b")).count())
     return spark.createDataFrame(
         [(int(n_total), len(counts), bool(frac_ok), mismatch == 0)],
         "n_total long, n_splits int, fractions_ok boolean, "
@@ -878,12 +886,21 @@ def q_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
                   key=lambda s: int(s[3:]))
     tot = sum(int(s[3:]) + 1 for s in srcs)
     targets = {s: (int(s[3:]) + 1) / tot for s in srcs}
-    fracs = mix_fractions(docs, "source", targets, "n_chars")
+    # the fraction fit, the raw per-source counts, and the kept per-source
+    # counts are independent job chains over the same table — overlap them
+    from concurrent.futures import ThreadPoolExecutor
+
     kept = mix_by_source(docs, "source", targets, "doc_id", "n_chars")
-    n_rows = {r["source"]: r["n"] for r in
-              docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
-    n_kept = {r["source"]: r["n"] for r in
-              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_fracs = pool.submit(mix_fractions, docs, "source", targets,
+                              "n_chars")
+        f_rows = pool.submit(
+            docs.groupBy("source").agg(F.count("*").alias("n")).collect)
+        f_kept = pool.submit(
+            kept.groupBy("source").agg(F.count("*").alias("n")).collect)
+        fracs = f_fracs.result()
+        n_rows = {r["source"]: r["n"] for r in f_rows.result()}
+        n_kept = {r["source"]: r["n"] for r in f_kept.result()}
     out = []
     for s in srcs:
         f, n = fracs[s], n_rows[s]
@@ -1593,8 +1610,14 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketchlib.similarity.ivf import ivf_topk, train_centroids
 
     emb = _read(spark, sf_dir, "embeddings")
-    cents = train_centroids(emb, n_clusters=8, sample_rows=2000, seed=7)
-    qrows = emb.filter(F.col("vec_id").isin([0, 7, 21])).collect()
+    # centroid training and the query-row collect are independent jobs
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cents = pool.submit(train_centroids, emb, n_clusters=8,
+                              sample_rows=2000, seed=7)
+        f_q = pool.submit(emb.filter(F.col("vec_id").isin([0, 7, 21])).collect)
+        cents, qrows = f_cents.result(), f_q.result()
     queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
     res = ivf_topk(emb, queries, cents, k=5, nprobe=8)
     return res.select("query_id", "vec_id", F.col("rnk").cast("int").alias("rnk"))
@@ -1619,10 +1642,15 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding",
                     lambda v: F.round(v.cast("double") * scale)).alias("qe"))
-    cb = train_codebooks(qdf, vec_col="qe", m=8, ksub=16,
-                         method="first_ids", id_col="vec_id")
+    # codebook training and the query-row collect are independent jobs
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cb = pool.submit(train_codebooks, qdf, vec_col="qe", m=8, ksub=16,
+                           method="first_ids", id_col="vec_id")
+        f_q = pool.submit(qdf.filter(F.col("vec_id").isin([0, 7, 21])).collect)
+        cb, qrows = f_cb.result(), f_q.result()
     enc = pq_encode(qdf, cb, vec_col="qe", exact_distances=True)
-    qrows = qdf.filter(F.col("vec_id").isin([0, 7, 21])).collect()
     queries = [(r["vec_id"], list(r["qe"])) for r in qrows]
     res = adc_topk(enc, queries, cb, k=5)
     return res.select("query_id", "vec_id",
@@ -1664,10 +1692,18 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketchlib.similarity.pq import adc_topk, pq_encode, train_codebooks
 
     emb = _read(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    cents = train_centroids(emb, n_clusters=8, sample_rows=2000, seed=7)
-    cb = train_codebooks(emb, m=8, ksub=16, sample_rows=2000, seed=7)
+    # the coarse-quantizer training, the codebook training, and the
+    # query-row collect are three independent sample jobs — overlap them
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_cents = pool.submit(train_centroids, emb, n_clusters=8,
+                              sample_rows=2000, seed=7)
+        f_cb = pool.submit(train_codebooks, emb, m=8, ksub=16,
+                           sample_rows=2000, seed=7)
+        f_q = pool.submit(emb.filter(F.col("vec_id").isin([0, 7, 21])).collect)
+        cents, cb, qrows = f_cents.result(), f_cb.result(), f_q.result()
     indexed = pq_encode(ivf_assign(emb, cents), cb)
-    qrows = emb.filter(F.col("vec_id").isin([0, 7, 21])).collect()
     queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
     # full probe: every cluster is a candidate source (nprobe == n_clusters
     # is implicit here because ADC scans the whole code table); rerank=-1
@@ -2721,10 +2757,16 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (_read(spark, sf_dir, "documents").select("doc_id", "text")
             .filter(F.col("text").isNotNull()))
-    curve = vocab_growth(docs, n_buckets=10)
+    # the curve build (internal sketch jobs) and the id-bounds aggregate
+    # are independent — overlap them
+    from concurrent.futures import ThreadPoolExecutor
 
-    bounds = docs.agg(F.min("doc_id").alias("lo"),
-                      F.max("doc_id").alias("hi")).collect()[0]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_curve = pool.submit(vocab_growth, docs, 10)
+        f_bounds = pool.submit(docs.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect)
+        curve = f_curve.result()
+        bounds = f_bounds.result()[0]
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     span = max(hi - lo + 1, 1)
     bucket = F.least(F.lit(9), F.floor(
@@ -3261,8 +3303,16 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _read(spark, sf_dir, "orders")
     cols = ["o_custkey", "o_orderkey", "o_orderstatus"]
-    prof = profile_columns(orders, cols)
-    [r] = orders.agg(*[F.countDistinct(c).alias(c) for c in cols]).collect()
+    # profile_columns runs its exact-scalar collect internally; the gate's
+    # exact COUNT(DISTINCT) reference is an independent job — overlap them
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_prof = pool.submit(profile_columns, orders, cols)
+        f_exact = pool.submit(orders.agg(
+            *[F.countDistinct(c).alias(c) for c in cols]).collect)
+        prof = f_prof.result()
+        [r] = f_exact.result()
     exact = spark.createDataFrame([(c, int(r[c])) for c in cols],
                                   "column string, exact_distinct long")
     j = prof.join(exact, "column")

@@ -132,7 +132,10 @@ def connected_components(pairs: DataFrame, src_col: str = "id_a",
              .filter(F.col("u").isNotNull() & F.col("v").isNotNull()
                      & (F.col("u") != F.col("v")))
              .distinct())
-    edges = edges.localCheckpoint(eager=True)
+    # lazy checkpoint: the signature job below is the action that
+    # materializes (and caches) the deduped edge set — one pass instead of
+    # an eager checkpoint pass plus a signature pass over the same rows
+    edges = edges.localCheckpoint(eager=False)
     prev = _signature(edges)
     if prev[0] == 0:
         return edges.select(F.col("u").alias("id"),
@@ -140,7 +143,8 @@ def connected_components(pairs: DataFrame, src_col: str = "id_a",
     if prev[0] <= driver_threshold:
         return _driver_components(edges)
     for _ in range(max_iters):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # same fusion per star round: the signature materializes the round
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         sig = _signature(edges)
         if sig == prev:
             break
