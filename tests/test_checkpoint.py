@@ -191,3 +191,38 @@ def test_resume_config_mismatch_rejected(spark, tmp_path):
         ck2.run(spark, lambda u: df, ["d1"])
     with pytest.raises(ValueError, match="config mismatch"):
         ck2.result(spark)
+
+
+def test_parallel_units_equal_sequential(spark, tmp_path):
+    """run(parallelism=3) must produce the same lineage set, record order,
+    and BIT-IDENTICAL merged result as the sequential run — units are
+    independent write-then-commit jobs, so overlap cannot change anything
+    but the wall clock."""
+    from sketchlib.spark.aggregate import HllSpec
+    from sketchlib.spark.checkpoint import SketchCheckpoint
+
+    df = spark.createDataFrame(
+        [(i, f"u{i % 13}", f"d{i % 4}") for i in range(400)],
+        "id long, url string, day string")
+    units = ["d0", "d1", "d2", "d3"]
+    src = lambda u: df.filter(df.day == u)  # noqa: E731
+
+    seq = SketchCheckpoint(str(tmp_path / "seq"), HllSpec(p=12), "url")
+    seq_res = seq.run(spark, src, units)
+    par = SketchCheckpoint(str(tmp_path / "par"), HllSpec(p=12), "url")
+    par_res = par.run(spark, src, units, parallelism=3)
+
+    # records come back in input order regardless of completion order
+    assert [r["unit"] for r in seq_res["records"]] == units
+    assert [r["unit"] for r in par_res["records"]] == units
+    # manifest holds every unit exactly once (interleaved appends are
+    # line-atomic under the commit lock)
+    assert sorted(par.completed_units()) == sorted(units)
+    assert (sorted(r["unit"] for r in par.lineage())
+            == sorted(r["unit"] for r in seq.lineage()))
+    # merged blobs bit-identical (merge order immaterial by design)
+    a = {r["__g"] if "__g" in r else 0: bytes(r["sketch"])
+         for r in seq.result(spark).collect()}
+    b = {r["__g"] if "__g" in r else 0: bytes(r["sketch"])
+         for r in par.result(spark).collect()}
+    assert a == b

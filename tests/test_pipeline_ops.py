@@ -991,3 +991,23 @@ class TestNearDupBetween:
                                 max_bucket_right=0).count() == 0
         assert near_dup_between(left, right,
                                 threshold=0.6).count() == 2
+
+
+class TestSimhashSharedSignatures:
+    def test_precomputed_signatures_identical_pairs(self, spark):
+        """simhash_near_dup_pairs(signatures=...) must return exactly the
+        pairs of the compute-internally path — the parameter only removes
+        the duplicated Python signature pass, never changes the result."""
+        from sketchlib.dedup.simhash import (simhash_near_dup_pairs,
+                                             simhash_signatures)
+
+        rows = [(i, f"alpha beta gamma delta {i % 5} epsilon zeta")
+                for i in range(60)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        base = {(r["id_a"], r["id_b"], r["hamming"])
+                for r in simhash_near_dup_pairs(docs, max_hamming=6).collect()}
+        sig = simhash_signatures(docs, "text", "doc_id")
+        shared = {(r["id_a"], r["id_b"], r["hamming"])
+                  for r in simhash_near_dup_pairs(
+                      docs, max_hamming=6, signatures=sig).collect()}
+        assert shared == base and len(base) > 0
