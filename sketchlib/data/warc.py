@@ -246,14 +246,20 @@ def warc_response_bytes(url: str, date_iso: str, payload: bytes,
     """One deterministic WARC ``response`` record (record id derived from
     (url, date) — no wall clock, no RNG; ``gzip_record`` wraps it as its
     own gzip member with ``mtime=0``, the CC layout)."""
+    # every caller-settable header value is framing-sensitive: a stray
+    # CR/LF in any of them silently corrupts record framing for all
+    # subsequent records (ADVICE r5) — check BEFORE building any block
+    for name, val in (("url", url), ("date_iso", date_iso),
+                      ("content_type", content_type)):
+        if any(c in "\r\n" for c in val):
+            raise ValueError(
+                f"{name} must not contain CR/LF (header injection)")
     http = (f"HTTP/1.1 {status} OK\r\n"
             f"Content-Type: {content_type}\r\n"
             f"Content-Length: {len(payload)}\r\n\r\n"
             ).encode("ascii") + payload
     rid = uuid.UUID(bytes=hashlib.md5(
         f"{url}|{date_iso}".encode()).digest())
-    if any(c in "\r\n" for c in url):
-        raise ValueError("url must not contain CR/LF (header injection)")
     # WARC header field values are UTF-8 (ISO 28500 §4) — a raw IRI url
     # must not crash the writer even though crawlers normally
     # percent-encode first
@@ -392,11 +398,39 @@ def read_warc(spark, paths, on_error: str = "null"):
     def kernel(batches):
         import pandas as pd
 
+        def _error_row(path, msg):
+            return pd.DataFrame({
+                "warc_file": pd.Series([path], dtype="object"),
+                "url": pd.Series([None], dtype="object"),
+                "warc_ts": pd.Series(
+                    [pd.NaT], dtype="datetime64[us]"),
+                "http_status": pd.Series([None], dtype="Int32"),
+                "content_type": pd.Series([None], dtype="object"),
+                "html": pd.Series([None], dtype="object"),
+                "parse_error": pd.Series([msg], dtype="object"),
+            })
+
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                # decompress FIRST with prefix recovery, so a .warc.gz
+                # truncated or corrupted mid-member (the realistic CC
+                # failure) still surrenders every record gzipped before
+                # the corruption point — strict decompression inside the
+                # raise-mode record parser would discard the whole file
+                # before any record was yielded, contradicting the
+                # documented keep-prefix-and-flag contract
+                err = None
+                if data.startswith(_GZ_MAGIC):
+                    try:
+                        data = gunzip_members(data)
+                    except ValueError as exc:
+                        if on_error == "raise":
+                            raise
+                        err = str(exc)
+                        data = _gunzip_prefix(data)
                 try:
-                    for frame in records_frames(bytes(content),
-                                                on_error="raise"):
+                    for frame in records_frames(data, on_error="raise"):
                         frame.insert(0, "warc_file", path)
                         frame["parse_error"] = pd.Series(
                             [None] * len(frame), dtype="object")
@@ -404,18 +438,11 @@ def read_warc(spark, paths, on_error: str = "null"):
                 except ValueError as exc:
                     if on_error == "raise":
                         raise
-                    yield pd.DataFrame({
-                        "warc_file": pd.Series([path], dtype="object"),
-                        "url": pd.Series([None], dtype="object"),
-                        "warc_ts": pd.Series(
-                            [pd.NaT], dtype="datetime64[us]"),
-                        "http_status": pd.Series([None], dtype="Int32"),
-                        "content_type": pd.Series([None], dtype="object"),
-                        "html": pd.Series([None], dtype="object"),
-                        "parse_error": pd.Series([str(exc)],
-                                                 dtype="object"),
-                    })
-                    continue
+                    # a recovered gzip prefix usually ends mid-record, so
+                    # the structural error supersedes the gzip message
+                    err = str(exc)
+                if err is not None:
+                    yield _error_row(path, err)
 
     src = spark.read.format("binaryFile").load(paths)
     return src.select("path", "content").mapInPandas(kernel, schema=schema)
@@ -430,6 +457,14 @@ def write_warc(df, out_dir: str, url_col: str = "url",
     reach — local-mode dir, NFS, or an object-store mount; pass
     ``shards`` to repartition first).  Returns the manifest
     ``[{file, n_records, n_bytes}, ...]``.
+
+    Timestamp precision: ``WARC-Date`` is written at WHOLE-SECOND
+    precision (``%Y-%m-%dT%H:%M:%SZ``), so a read->write->read round trip
+    truncates sub-second components a source timestamp may carry (WARC
+    1.0 permits ISO 8601 subseconds; this writer deliberately emits the
+    second-granularity form every consumer accepts).  Pre-truncate
+    ``ts_col`` if bit-exact round-tripping of microsecond timestamps
+    matters.
 
     Idempotent under task retries: each task writes a temp file and
     renames it into place (rename is atomic on POSIX), and the file name

@@ -255,3 +255,40 @@ def test_read_warc_partial_file_keeps_prefix(spark, tmp_path):
     bad = [r for r in rows if r["parse_error"] is not None]
     assert sorted(r["url"] for r in good) == [u for u, _, _ in RECS[:2]]
     assert len(bad) == 1 and bad[0]["url"] is None
+
+
+def test_read_warc_gzip_truncation_keeps_prefix(spark, tmp_path):
+    """The realistic CC failure: a .warc.gz truncated mid-MEMBER.  The
+    kernel must decompress with prefix recovery (not strict), so every
+    record gzipped before the truncation point is kept AND one
+    parse_error row is appended — the documented contract, previously
+    only covered for uncompressed buffers (ADVICE r5)."""
+    buf = build_warc(RECS, gzip_records=True)  # one gzip member/record
+    # cut inside the LAST member: members 1..n-1 stay fully decodable
+    cut = buf[: len(buf) - 37]
+    (tmp_path / "trunc.warc.gz").write_bytes(cut)
+    df = read_warc(spark, str(tmp_path))
+    rows = df.collect()
+    good = [r for r in rows if r["parse_error"] is None]
+    bad = [r for r in rows if r["parse_error"] is not None]
+    assert sorted(r["url"] for r in good) == sorted(
+        u for u, _, _ in RECS[:-1])
+    assert len(bad) == 1 and bad[0]["url"] is None
+
+
+def test_warc_response_bytes_rejects_crlf_in_all_header_values(spark):
+    """date_iso and content_type are framing-sensitive like url — a CR/LF
+    in any of them must raise instead of silently corrupting the record
+    stream (ADVICE r5)."""
+    import pytest
+
+    from sketchlib.data.warc import warc_response_bytes
+
+    for kwargs in (
+            dict(url="https://a/x\r\nWARC-Type: evil",
+                 date_iso="2026-01-01T00:00:00Z"),
+            dict(url="https://a/x", date_iso="2026-01-01T00:00:00Z\r\nX: y"),
+            dict(url="https://a/x", date_iso="2026-01-01T00:00:00Z",
+                 content_type="text/html\r\nX: y")):
+        with pytest.raises(ValueError, match="CR/LF"):
+            warc_response_bytes(payload=b"p", **kwargs)
